@@ -1,0 +1,139 @@
+package graft.workloads
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.CatalogQuery
+import graft.sources.Tables
+
+/** Event-stream analytics over the `events` fixture, expressed in batch
+  * so the DuckDB oracle can check them. The same transforms are reused
+  * by the Structured Streaming workloads (graft.streaming) — windowed
+  * aggregation, sessionization, dedup are the stateful-op semantics
+  * mandated by SURVEY.md §7.5 (the reference itself has no streaming,
+  * SURVEY §2.9).
+  *
+  * Scale notes: every query keys its shuffle by (window/user) so state
+  * partitions evenly; sessionization is a single window-function pass
+  * (one shuffle on user_id), not a per-user collect.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    CatalogQuery(
+      "e01_tumbling_window",
+      "Tumbling 1-hour window aggregation by event type (window() → epoch-aligned buckets)",
+      (s, dir) => {
+        ev(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("total_value"))
+          .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some(s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             |  count(*) AS n, ${Parity.dsumSql("value", 2)} AS total_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY hour_start, event_type""".stripMargin)),
+
+    CatalogQuery(
+      "e02_sliding_window",
+      "Sliding window (1 hour every 30 min) counts — each event lands in two overlapping windows",
+      (s, dir) => {
+        ev(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"), Parity.davg(col("value"), 2).as("avg_value"))
+          .select(col("window.start").as("win_start"), col("n"), col("avg_value"))
+          .orderBy(col("win_start"))
+      },
+      Some(s"""WITH hits AS (
+             |  SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS win_start, value
+             |  FROM (SELECT make_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)*1000000) AS b,
+             |               value FROM events))
+             |SELECT win_start, count(*) AS n, ${Parity.davgSql("value", 2)} AS avg_value
+             |FROM hits
+             |GROUP BY win_start
+             |ORDER BY win_start""".stripMargin)),
+
+    CatalogQuery(
+      "e03_sessionize",
+      "Gap-based sessionization (30-min inactivity) via lag + running sum — one shuffle on user_id",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        val marked = ev(s, dir)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("is_new",
+            when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+              .otherwise(0L))
+        marked
+          .withColumn("session_id",
+            sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"), Parity.dsum(col("value"), 2).as("session_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some(s"""WITH marked AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, value,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  count(*) AS n_events, ${Parity.dsumSql("value", 2)} AS session_value
+             |FROM sess
+             |GROUP BY 1, 2
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    CatalogQuery(
+      "e04_first_event_dedup",
+      "Keyed dedup keeping earliest event per (user, type) — row_number()=1 (streaming dropDuplicates semantics)",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id, ts
+             |FROM (SELECT user_id, event_type, event_id, ts,
+             |        row_number() OVER (PARTITION BY user_id, event_type
+             |          ORDER BY ts, event_id) AS rn
+             |      FROM events)
+             |WHERE rn = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    CatalogQuery(
+      "e05_json_extract",
+      "Semi-structured extraction: JSON props field → typed aggregation (get_json_object)",
+      (s, dir) => {
+        ev(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+            coalesce(sum(col("k")), lit(0L)).as("sum_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
+             |  CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+             |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+  )
+}

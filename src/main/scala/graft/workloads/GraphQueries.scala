@@ -1,0 +1,143 @@
+package graft.workloads
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.CatalogQuery
+import graft.sources.Tables
+
+/** Graph-pattern multi-join workloads (the summerDG fork's signature
+  * additions: linear/star/circle/square/wedge pattern queries —
+  * reference `P/LinearQueryPerformance.scala:77-91`,
+  * `P/StarQueryPerformance.scala:77-91`, `P/CircleQueryPerformance.scala:77-93`,
+  * `P/SquareQueryPerformance.scala:72-87`, `P/TwitterQueryPerformance.scala:36-40`).
+  *
+  * The edge table is derived deterministically from the fixtures (one
+  * edge per order's first lineitem, keys folded into a 2003-node id
+  * space), so the DuckDB oracle can build the identical graph.
+  *
+  * Scale design: the reference materializes every matched path through
+  * a chained shuffle join — O(paths) rows moved. Where the query only
+  * *counts* pattern matches, we instead aggregate to per-node
+  * in/out-degrees (O(V) rows) and sum degree products; this is
+  * algebraically identical and turns an O(E·d) shuffle into two
+  * O(E) aggregations + an O(V) join — the plan that survives a 100 TB
+  * edge set. The cyclic (triangle) and square patterns genuinely need
+  * the multi-way join, so those keep it.
+  */
+object GraphQueries {
+
+  private val N = 2003 // prime fold modulus → well-mixed node ids
+
+  /** Derived edge table: distinct (src, tgt), both in [0, N). */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select((col("l_orderkey") % N).as("src"), (col("l_partkey") % N).as("tgt"))
+      .distinct()
+
+  private val edgesSql =
+    s"""edges AS (
+       |  SELECT DISTINCT l_orderkey % $N AS src, l_partkey % $N AS tgt
+       |  FROM lineitem WHERE l_linenumber = 1)""".stripMargin
+
+  /** In/out degree per node — the O(V) summary the count queries join. */
+  private def degrees(e: DataFrame): (DataFrame, DataFrame) = (
+    e.groupBy(col("src")).agg(count(lit(1)).as("outd")),
+    e.groupBy(col("tgt")).agg(count(lit(1)).as("ind")))
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    CatalogQuery(
+      "g01_chain_count",
+      "Linear 2-hop chain count (a.tgt=b.src) — degree-product aggregation instead of path materialization",
+      (s, dir) => {
+        val e = edges(s, dir)
+        val (out, in) = degrees(e)
+        in.join(out, col("tgt") === col("src"))
+          .agg(coalesce(sum(col("ind") * col("outd")), lit(0L)).as("n_paths"))
+      },
+      Some(s"""WITH $edgesSql
+              |SELECT CAST(count(*) AS BIGINT) AS n_paths
+              |FROM edges a JOIN edges b ON a.tgt = b.src""".stripMargin)),
+
+    CatalogQuery(
+      "g02_star_count",
+      "Star 3-way count (a.tgt=b.src and a.tgt=c.src, shared hub) — indeg·outdeg² aggregation",
+      (s, dir) => {
+        val e = edges(s, dir)
+        val (out, in) = degrees(e)
+        in.join(out, col("tgt") === col("src"))
+          .agg(coalesce(sum(col("ind") * col("outd") * col("outd")), lit(0L)).as("n_stars"))
+      },
+      Some(s"""WITH $edgesSql
+              |SELECT CAST(count(*) AS BIGINT) AS n_stars
+              |FROM edges a
+              |JOIN edges b ON a.tgt = b.src
+              |JOIN edges c ON a.tgt = c.src""".stripMargin)),
+
+    CatalogQuery(
+      "g03_triangle_count",
+      "Cyclic triangle count (a.tgt=b.src, b.tgt=c.src, c.tgt=a.src) — genuine multi-way self-join",
+      (s, dir) => {
+        val e = edges(s, dir)
+        val a = e.as("a"); val b = e.as("b"); val c = e.as("c")
+        a.join(b, col("a.tgt") === col("b.src"))
+          .join(c, col("b.tgt") === col("c.src") && col("c.tgt") === col("a.src"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some(s"""WITH $edgesSql
+              |SELECT count(*) AS n_triangles
+              |FROM edges a
+              |JOIN edges b ON a.tgt = b.src
+              |JOIN edges c ON b.tgt = c.src AND c.tgt = a.src""".stripMargin)),
+
+    CatalogQuery(
+      "g04_square_count",
+      "Square 4-way join with distinctness filters (reference SquareQueryPerformance shape), on a folded subgraph",
+      (s, dir) => {
+        val e = edges(s, dir).filter(col("src") % 4 === 0 && col("tgt") % 4 === 0)
+        val a = e.as("a"); val b = e.as("b"); val c = e.as("c"); val d = e.as("d")
+        a.join(b, col("a.src") === col("b.src") && col("a.tgt") =!= col("b.tgt"))
+          .join(c, col("a.tgt") === col("c.tgt") && col("c.src") =!= col("a.src"))
+          .join(d, col("c.src") === col("d.src") && col("d.tgt") === col("b.tgt") && col("d.tgt") =!= col("c.tgt"))
+          .agg(count(lit(1)).as("n_squares"))
+      },
+      Some(s"""WITH $edgesSql,
+              |sq AS (SELECT * FROM edges WHERE src % 4 = 0 AND tgt % 4 = 0)
+              |SELECT count(*) AS n_squares
+              |FROM sq a
+              |JOIN sq b ON a.src = b.src AND a.tgt <> b.tgt
+              |JOIN sq c ON a.tgt = c.tgt AND c.src <> a.src
+              |JOIN sq d ON c.src = d.src AND d.tgt = b.tgt AND d.tgt <> c.tgt""".stripMargin)),
+
+    CatalogQuery(
+      "g05_wedge_count",
+      "Out-wedge count (a.src=b.src, a.tgt≠b.tgt) — Σoutdeg²−E closed form vs naive self-join oracle",
+      (s, dir) => {
+        val e = edges(s, dir)
+        val out = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+        val sumSq = out.agg(coalesce(sum(col("outd") * col("outd")), lit(0L)).as("ss"))
+        val total = e.agg(count(lit(1)).as("e"))
+        sumSq.crossJoin(total).select((col("ss") - col("e")).as("n_wedges"))
+      },
+      Some(s"""WITH $edgesSql
+              |SELECT CAST(count(*) AS BIGINT) AS n_wedges
+              |FROM edges a JOIN edges b ON a.src = b.src AND a.tgt <> b.tgt""".stripMargin)),
+
+    CatalogQuery(
+      "g06_manymatches_selfjoin",
+      "Duplicate-key self-join explosion (JoinPerformance numMatches shape, `P/JoinPerformance.scala:64-70`)",
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .filter(col("l_partkey") <= 100)
+          .select(col("l_partkey"), col("l_orderkey"))
+        li.as("a").join(li.as("b"), col("a.l_partkey") === col("b.l_partkey"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT count(*) AS n_pairs
+             |FROM (SELECT l_partkey FROM lineitem WHERE l_partkey <= 100) a
+             |JOIN (SELECT l_partkey FROM lineitem WHERE l_partkey <= 100) b
+             |  ON a.l_partkey = b.l_partkey""".stripMargin)),
+  )
+}

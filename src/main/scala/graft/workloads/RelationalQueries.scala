@@ -46,24 +46,24 @@ object RelationalQueries {
         li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-            round(avg(col("l_quantity")), 4).as("avg_qty"),
-            round(avg(col("l_extendedprice")), 4).as("avg_price"),
-            round(avg(col("l_discount")), 4).as("avg_disc"),
+            Parity.dsum(col("l_quantity"), 0).as("sum_qty"),
+            Parity.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+            Parity.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+            Parity.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+            Parity.davg(col("l_quantity"), 0).as("avg_qty"),
+            Parity.davg(col("l_extendedprice"), 2).as("avg_price"),
+            Parity.davg(col("l_discount"), 2).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-             |  round(avg(l_quantity), 4) AS avg_qty,
-             |  round(avg(l_extendedprice), 4) AS avg_price,
-             |  round(avg(l_discount), 4) AS avg_disc,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  ${Parity.dsumSql("l_quantity", 0)} AS sum_qty,
+             |  ${Parity.dsumSql("l_extendedprice", 2)} AS sum_base_price,
+             |  ${Parity.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+             |  ${Parity.dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+             |  ${Parity.davgSql("l_quantity", 0)} AS avg_qty,
+             |  ${Parity.davgSql("l_extendedprice", 2)} AS avg_price,
+             |  ${Parity.davgSql("l_discount", 2)} AS avg_disc,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -99,13 +99,13 @@ object RelationalQueries {
           .groupBy(col("o_orderstatus"))
           .agg(
             count(lit(1)).as("n"),
-            round(avg(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 2).as("avg_urgent_price"),
+            Parity.davg(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")), 2).as("avg_urgent_price"),
             sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L)).otherwise(lit(0L))).as("n_high"))
           .orderBy(col("o_orderstatus"))
       },
-      Some("""SELECT o_orderstatus,
+      Some(s"""SELECT o_orderstatus,
              |  count(*) AS n,
-             |  round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS avg_urgent_price,
+             |  ${Parity.davgSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END", 2)} AS avg_urgent_price,
              |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high
              |FROM orders
              |GROUP BY o_orderstatus
@@ -124,12 +124,12 @@ object RelationalQueries {
         o.join(c, col("o_custkey") === col("c_custkey"))
           .join(li, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .agg(Parity.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
-      Some("""SELECT o_orderkey, o_orderdate,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      Some(s"""SELECT o_orderkey, o_orderdate,
+             |  ${Parity.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
              |FROM orders
              |JOIN customer ON o_custkey = c_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
@@ -176,11 +176,11 @@ object RelationalQueries {
           .join(n, col("s_nationkey") === col("n_nationkey"))
           .join(r, col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .agg(Parity.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
-      Some("""SELECT n_name,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      Some(s"""SELECT n_name,
+             |  ${Parity.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -200,9 +200,9 @@ object RelationalQueries {
             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
             col("l_discount").between(0.03, 0.07) &&
             col("l_quantity") < 24)
-          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+          .agg(Parity.dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
       },
-      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      Some(s"""SELECT ${Parity.dsumSql("l_extendedprice * l_discount", 4)} AS revenue
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -219,13 +219,13 @@ object RelationalQueries {
           .groupBy(col("c_custkey"), col("c_name"))
           .agg(
             count(col("o_orderkey")).as("n_orders"),
-            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+            coalesce(Parity.dsum(col("o_totalprice"), 2), lit(0.0)).as("total_spent"))
           .filter(col("n_orders") <= 2)
           .orderBy(col("c_custkey"))
       },
-      Some("""SELECT c_custkey, c_name,
+      Some(s"""SELECT c_custkey, c_name,
              |  count(o_orderkey) AS n_orders,
-             |  round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+             |  coalesce(${Parity.dsumSql("o_totalprice", 2)}, 0.0) AS total_spent
              |FROM customer
              |LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey, c_name
@@ -326,7 +326,7 @@ object RelationalQueries {
         val su = broadcast(t(s, dir, "supplier"))
         val rev = li.join(su, col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_nationkey"), col("s_suppkey"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .agg(Parity.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         val w = Window.partitionBy(col("s_nationkey")).orderBy(col("revenue").desc, col("s_suppkey"))
         rev.withColumn("rk", rank().over(w).cast("long"))
           .filter(col("rk") <= 3)
@@ -334,9 +334,9 @@ object RelationalQueries {
             col("s_suppkey").as("suppkey"), col("revenue"), col("rk"))
           .orderBy(col("nationkey"), col("rk"), col("suppkey"))
       },
-      Some("""WITH rev AS (
+      Some(s"""WITH rev AS (
              |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_suppkey AS suppkey,
-             |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |    ${Parity.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
              |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |  GROUP BY 1, 2)
              |SELECT nationkey, suppkey, revenue, rk FROM (
@@ -374,18 +374,18 @@ object RelationalQueries {
         val p = broadcast(t(s, dir, "part"))
         val agg = li.join(p, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_type"))
-          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e4).cast("long")).as("rev_s"))
         agg.select(col("p_type"),
-          round(col("rev"), 2).as("revenue"),
-          round(col("rev") * 100.0 / sum(col("rev")).over(Window.partitionBy()), 4).as("share_pct"))
+          (col("rev_s").cast("double") / lit(1e4)).as("revenue"),
+          (col("rev_s").cast("double") * 100.0 / sum(col("rev_s")).over(Window.partitionBy()).cast("double")).as("share_pct"))
           .orderBy(col("p_type"))
       },
       Some("""WITH agg AS (
-             |  SELECT p_type, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+             |  SELECT p_type, sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4) AS BIGINT)) AS rev_s
              |  FROM lineitem JOIN part ON l_partkey = p_partkey
              |  GROUP BY p_type)
-             |SELECT p_type, round(rev, 2) AS revenue,
-             |  round(rev * 100.0 / sum(rev) OVER (), 4) AS share_pct
+             |SELECT p_type, CAST(rev_s AS DOUBLE) / 1e4 AS revenue,
+             |  CAST(rev_s AS DOUBLE) * 100.0 / CAST(sum(rev_s) OVER () AS DOUBLE) AS share_pct
              |FROM agg
              |ORDER BY p_type""".stripMargin)),
 
@@ -395,20 +395,20 @@ object RelationalQueries {
       (s, dir) => {
         val monthly = t(s, dir, "orders")
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-          .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+          .agg(Parity.dsum(col("o_totalprice"), 2).as("revenue"))
         val w = Window.orderBy(col("month"))
         monthly.select(col("month"), col("revenue"),
-          round(col("revenue") - lag(col("revenue"), 1).over(w), 2).as("delta_prev"),
-          round(lead(col("revenue"), 1).over(w) - col("revenue"), 2).as("delta_next"))
+          (col("revenue") - lag(col("revenue"), 1).over(w)).as("delta_prev"),
+          (lead(col("revenue"), 1).over(w) - col("revenue")).as("delta_next"))
           .orderBy(col("month"))
       },
-      Some("""WITH monthly AS (
+      Some(s"""WITH monthly AS (
              |  SELECT date_trunc('month', o_orderdate) AS month,
-             |    round(sum(o_totalprice), 2) AS revenue
+             |    ${Parity.dsumSql("o_totalprice", 2)} AS revenue
              |  FROM orders GROUP BY 1)
              |SELECT month, revenue,
-             |  round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2) AS delta_prev,
-             |  round(lead(revenue, 1) OVER (ORDER BY month) - revenue, 2) AS delta_next
+             |  revenue - lag(revenue, 1) OVER (ORDER BY month) AS delta_prev,
+             |  lead(revenue, 1) OVER (ORDER BY month) - revenue AS delta_next
              |FROM monthly
              |ORDER BY month""".stripMargin)),
 
@@ -426,12 +426,12 @@ object RelationalQueries {
           .join(n, col("c_nationkey") === col("n_nationkey"))
           .rollup(col("n_name"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("total"),
+            Parity.dsum(col("o_totalprice"), 2).as("total"),
             (grouping(col("n_name")) + grouping(col("o_orderpriority"))).cast("long").as("lochierarchy"))
           .orderBy(col("lochierarchy").desc, col("n_name"), col("o_orderpriority"))
       },
-      Some("""SELECT n_name, o_orderpriority, count(*) AS n,
-             |  round(sum(o_totalprice), 2) AS total,
+      Some(s"""SELECT n_name, o_orderpriority, count(*) AS n,
+             |  ${Parity.dsumSql("o_totalprice", 2)} AS total,
              |  CAST(grouping(n_name) + grouping(o_orderpriority) AS BIGINT) AS lochierarchy
              |FROM orders
              |JOIN customer ON o_custkey = c_custkey
@@ -445,11 +445,11 @@ object RelationalQueries {
       (s, dir) => {
         t(s, dir, "lineitem")
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("l_quantity"), 0).as("sum_qty"))
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
       },
-      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |  round(sum(l_quantity), 2) AS sum_qty
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  ${Parity.dsumSql("l_quantity", 0)} AS sum_qty
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
@@ -484,10 +484,10 @@ object RelationalQueries {
           .select(col("l_linestatus"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("amount"))
         a.union(n)
           .groupBy(col("l_linestatus"))
-          .agg(count(lit(1)).as("n"), round(sum(col("amount")), 2).as("total"))
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("amount"), 4).as("total"))
           .orderBy(col("l_linestatus"))
       },
-      Some("""SELECT l_linestatus, count(*) AS n, round(sum(amount), 2) AS total
+      Some(s"""SELECT l_linestatus, count(*) AS n, ${Parity.dsumSql("amount", 4)} AS total
              |FROM (
              |  SELECT l_linestatus, l_extendedprice * (1.0 - l_discount) AS amount
              |  FROM lineitem WHERE l_returnflag = 'A'
@@ -572,12 +572,12 @@ object RelationalQueries {
         t(s, dir, "orders")
           .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
             quarter(col("o_orderdate")).cast("long").as("qtr"))
-          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+          .agg(count(lit(1)).as("n_orders"), Parity.dsum(col("o_totalprice"), 2).as("total"))
           .orderBy(col("yr"), col("qtr"))
       },
-      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
              |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-             |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+             |  count(*) AS n_orders, ${Parity.dsumSql("o_totalprice", 2)} AS total
              |FROM orders
              |GROUP BY 1, 2
              |ORDER BY yr, qtr""".stripMargin)),
