@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.CatalogQuery
+import graft.sources.Tables
+import graft.workloads.Parity
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the training-data-pipeline surface (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup).
+  *
+  * Design for 100 TB: every variant is candidate-generation (hash
+  * bucketing, O(n) shuffle) followed by exact verification on candidate
+  * pairs only — never an O(n²) cross join (the one brute-force variant,
+  * dd06, is the small-side baseline; its scale path is ss02's LSH
+  * bucketing). Thresholds compare in integer arithmetic so results are
+  * reproducible under any partitioning.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    CatalogQuery(
+      "dd01_exact_dedup_summary",
+      "Exact dedup summary: total docs vs distinct texts (hash-groupBy, map-side partial agg)",
+      (s, dir) => {
+        docs(s, dir).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
+      },
+      Some("""SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+             |  count(*) - count(DISTINCT text) AS n_dupes
+             |FROM documents""".stripMargin)),
+
+    CatalogQuery(
+      "dd02_exact_dedup_keep_first",
+      "Exact dedup keeping lowest doc_id per text; one shuffle keyed by content hash",
+      (s, dir) => {
+        docs(s, dir)
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents
+             |GROUP BY text
+             |ORDER BY keep_id""".stripMargin)),
+
+    CatalogQuery(
+      "dd03_minhash_lsh",
+      "MinHash+LSH near-dup pairs (32 hashes, 8 bands × 4) verified with exact shingle Jaccard ≥ 0.8",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
+        val cand = TextOps.lshCandidates(d, "doc_id", "sh", numHashes = 32, rowsPerBand = 4)
+        TextOps.jaccardJoin(cand, d, "doc_id", "sh", threshNum = 8, threshDen = 10)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    CatalogQuery(
+      "dd04_simhash",
+      "SimHash near-dup pairs: 64-bit signatures, 16-bit chunk bucketing, Hamming ≤ 8 verification",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .withColumn("h", xxhash64(col("tok")))
+        // One aggregation pass computes all 64 bit-counters.
+        val bitSums = (0 until 64).map { b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"_b$b")
+        }
+        val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+          .withColumn("simhash",
+            (0 until 64).map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+              .reduce(_ + _))
+          .select(col("doc_id"), col("simhash"))
+        // Pigeonhole: Hamming ≤ 8 on 64 bits → at least one identical
+        // 16-bit chunk... (8 errors can spread over 4 chunks, so use
+        // chunk match as candidate generation, verify exactly after).
+        val chunks = sig.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("c"), expr(s"(simhash >> ${c * 16}) & 65535").as("v"))): _*)).as("ch"))
+          .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+        chunks.as("x").join(chunks.as("y"),
+            col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+            expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    CatalogQuery(
+      "dd05_ngram_jaccard",
+      "Character-3-gram Jaccard near-dup (LSH candidates → exact n-gram set verification ≥ 0.7)",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), TextOps.charNgrams(col("text"), 3).as("ng"))
+        val cand = TextOps.lshCandidates(d, "doc_id", "ng", numHashes = 32, rowsPerBand = 4)
+        TextOps.jaccardJoin(cand, d, "doc_id", "ng", threshNum = 7, threshDen = 10)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    CatalogQuery(
+      "dd06_embedding_neardup",
+      "Embedding-cosine near-dup pairs (cosine ≥ 0.4), brute-force baseline; ss02 is the LSH scale path",
+      (s, dir) => {
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", TextOps.cosine(col("a.v"), col("b.v")))
+          .filter(col("cos") >= 0.4)
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            round(col("cos") * 1e6).cast("long").as("cos_e6"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+  )
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.CatalogQuery
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: opaque binary payloads with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The Spark-side shape is the real thing — binary column + metadata
+  * struct, `mapPartitions` batch processing with a case-class schema,
+  * partition-count preserved — while the codec itself is a STUB
+  * (`FakeCodec.decodeFeatures`): the container ships no image/audio
+  * libraries, so decode is a deterministic byte-histogram stand-in.
+  * Swapping in a real JNI/FFM decoder changes one function.
+  */
+object MultimodalQueries {
+
+  /** Deterministic stand-in for an image/audio decoder. Real decode
+    * (JPEG→pixels, PCM→frames) would plug in here. */
+  object FakeCodec {
+    val FeatureDim = 8
+    /** "Decode" = 8-bucket byte histogram — deterministic, shaped like
+      * a feature extractor (bytes in → fixed-width vector out). */
+    def decodeFeatures(payload: Array[Byte]): Array[Long] = {
+      val h = new Array[Long](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        h((payload(i) & 0xff) >>> 5) += 1
+        i += 1
+      }
+      h
+    }
+  }
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+  case class FeatureRow(doc_id: Long, width: Int, height: Int, n_bytes: Long,
+      features: Array[Long])
+
+  /** Synthesize a media table from documents: payload = UTF-8 bytes
+    * (stand-in for image bytes), metadata derived deterministically. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (pmod(xxhash64(col("doc_id")), lit(512)) + 64).cast("int").as("width"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(512)) + 64).cast("int").as("height"))
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    CatalogQuery(
+      "mm01_media_features",
+      "Binary media column + metadata struct → per-partition batch feature extraction (stubbed codec)",
+      (s, dir) => {
+        import s.implicits._
+        val media = mediaTable(s, dir).as[MediaRow]
+        media.mapPartitions { rows =>
+          // batch-shaped: one codec context per partition, not per row
+          rows.map { r =>
+            val f = FakeCodec.decodeFeatures(r.payload)
+            FeatureRow(r.doc_id, r.width, r.height, r.payload.length.toLong, f)
+          }
+        }.toDF()
+          .select(col("doc_id"), col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"), col("n_bytes"),
+            aggregate(col("features"), lit(0L), (a, x) => a + x).as("feature_mass"),
+            concat_ws(",", col("features")).as("feature_csv"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    CatalogQuery(
+      "mm02_media_partition_stats",
+      "Media metadata aggregation without decoding (column pruning: payload never read)",
+      (s, dir) => {
+        mediaTable(s, dir)
+          .groupBy((col("width") > 300).as("wide"))
+          .agg(count(lit(1)).as("n"),
+            avg(col("height")).cast("double").as("avg_height"))
+          .select(col("wide"), col("n"),
+            round(col("avg_height"), 4).as("avg_height"))
+          .orderBy(col("wide"))
+      },
+      None),
+  )
+}

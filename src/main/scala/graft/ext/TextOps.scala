@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared text/set primitives for the data-pipeline operators
+  * (dedup, fingerprinting, similarity). Everything is built from
+  * codegen'd `org.apache.spark.sql.functions` (higher-order array
+  * functions, xxhash64) — no UDFs in the hot path, so whole-stage
+  * codegen spans hold.
+  */
+object TextOps {
+
+  /** Whitespace tokens; trimmed first so no empty tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct n-word shingles; whole trimmed text if < n tokens.
+    * Uses transform(sequence(...)) so the shingle loop runs inside
+    * codegen rather than a UDF. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) < n, array(concat_ws(" ", t)))
+        .otherwise(transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  /** Distinct character n-grams; whole text if shorter than n. */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(
+      when(length(text) < n, array(text))
+        .otherwise(transform(
+          sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n)))))
+
+  /** MinHash-LSH candidate pairs.
+    *
+    * Pipeline (all distributed, one shuffle per stage):
+    *   1. explode the set column → (id, element)
+    *   2. one hash-aggregate computes all `numHashes` minhash values
+    *      per id in a single pass (min(xxhash64(elem, seed_i)))
+    *   3. band signatures = xxhash64 over each band's minhashes;
+    *      explode to (id, band, bucket)
+    *   4. self-equi-join on (band, bucket) with id< ordering → pairs
+    *
+    * Oversized buckets (degenerate content, e.g. empty docs) are
+    * capped at `maxBucketSize` — the standard guard that keeps a
+    * skewed bucket from producing O(bucket²) candidates at scale.
+    * Candidates must still be verified with an exact measure
+    * (`jaccardJoin`), so the cap costs recall only on pathological
+    * buckets.
+    */
+  def lshCandidates(
+      docs: DataFrame,
+      idCol: String,
+      setCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int = 100): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val nBands = numHashes / rowsPerBand
+
+    val exploded = docs.select(col(idCol), explode(col(setCol)).as("_el"))
+    val mhAggs = (0 until numHashes).map(i => min(xxhash64(col("_el"), lit(i))).as(s"_mh$i"))
+    val mh = exploded.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
+
+    val bandStructs = (0 until nBands).map { b =>
+      val bandHashInputs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"_mh$i")) :+ lit(b)
+      struct(lit(b).as("band"), xxhash64(bandHashInputs: _*).as("bucket"))
+    }
+    val buckets = mh
+      .select(col(idCol), explode(array(bandStructs: _*)).as("_bb"))
+      .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+
+    val sized = buckets
+      .join(
+        buckets.groupBy(col("band"), col("bucket")).count()
+          .filter(col("count") <= maxBucketSize)
+          .select(col("band"), col("bucket")),
+        Seq("band", "bucket"))
+
+    sized.as("x")
+      .join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** Attach both sides' sets to candidate pairs and keep pairs with
+    * Jaccard ≥ threshNum/threshDen — the comparison is pure integer
+    * arithmetic (|∩|·den ≥ |∪|·num), no float boundary issues.
+    * Output: a_id, b_id, inter, uni. */
+  def jaccardJoin(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshNum: Int,
+      threshDen: Int): DataFrame = {
+    val a = docs.select(col(idCol).as("a_id"), col(setCol).as("_sa"))
+    val b = docs.select(col(idCol).as("b_id"), col(setCol).as("_sb"))
+    pairs.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("_sa"), col("_sb"))).cast("long"))
+      .filter(col("inter") * threshDen >= col("uni") * threshNum)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+  }
+
+  /** Cosine similarity between two array<double> columns, computed
+    * with sequential higher-order aggregates (deterministic per plan). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column = sqrt(dot(x, x))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.CatalogQuery
+import graft.sources.Tables
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * per-row expression pipelines (no shuffle until the final aggregate),
+  * so they scale linearly and stay inside whole-stage codegen.
+  */
+object TextQueries {
+
+  /** Tiny built-in stopword lexicons for the n-gram/stopword
+    * language-ID heuristic. Real deployments would load profiles; the
+    * operator shape (score per language via token-set intersection,
+    * argmax) is what matters. */
+  private val lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他", "这", "中"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    CatalogQuery(
+      "tx01_langid",
+      "Language ID via stopword-lexicon scoring + argmax (n-gram heuristic family)",
+      (s, dir) => {
+        val toks = array_distinct(TextOps.tokens(col("text")))
+        val scored = docs(s, dir).select(
+          (Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+            lexicons.toSeq.sortBy(_._1).map { case (l, words) =>
+              size(array_intersect(toks, array(words.map(lit): _*))).cast("long").as(s"score_$l")
+            }): _*)
+        val langs = lexicons.keys.toSeq.sorted
+        val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+        // argmax with lexicographic tiebreak; all-zero scores → "und"
+        val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+          when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+        }
+        scored.withColumn("pred_lang", pred)
+          .select(col("doc_id"), col("pred_lang"), col("labeled_lang"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    CatalogQuery(
+      "tx02_quality_score",
+      "Per-doc quality metrics: char/token counts, lexical diversity (distinct/total tokens)",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        docs(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("diversity"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct,
+             |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+             |    / len(regexp_split_to_array(trim(text), '\s+')) AS diversity
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx03_token_stats",
+      "Corpus token statistics per source: whitespace tokens + word-regex tokens (BPE-ish pre-tokenizer)",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        docs(s, dir)
+          .select(col("source"), size(toks).cast("long").as("n_tok"),
+            regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_words"),
+            length(col("text")).cast("long").as("n_chars"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+            sum(col("n_words")).as("total_words"),
+            (sum(col("n_chars")).cast("double") / sum(col("n_tok"))).as("chars_per_token"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+             |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS total_words,
+             |  CAST(sum(length(text)) AS DOUBLE)
+             |    / sum(len(regexp_split_to_array(trim(text), '\s+'))) AS chars_per_token
+             |FROM documents
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    CatalogQuery(
+      "tx04_fingerprint",
+      "Document fingerprint: min rolling hash over 4-token windows (winnowing-style), plus collision summary",
+      (s, dir) => {
+        val windows = TextOps.wordShingles(col("text"), 4)
+        val fp = docs(s, dir).select(col("doc_id"),
+          array_min(transform(windows, w => xxhash64(w))).as("fingerprint"))
+        fp.groupBy(col("fingerprint"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("first_doc"))
+      },
+      None),
+  )
+}

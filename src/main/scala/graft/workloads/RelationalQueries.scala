@@ -308,11 +308,11 @@ object RelationalQueries {
       "Uncorrelated scalar subquery (TPC-DS q9 pattern)",
       sqlQuery("""SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
                  |FROM part
-                 |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+                 |WHERE p_retailprice > 1.005 * (SELECT avg(p_retailprice) FROM part)
                  |ORDER BY p_partkey""".stripMargin),
       Some("""SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
              |FROM part
-             |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+             |WHERE p_retailprice > 1.005 * (SELECT avg(p_retailprice) FROM part)
              |ORDER BY p_partkey""".stripMargin)),
 
     // ------------------------------------------------------------------
