@@ -1,0 +1,167 @@
+package graft.core
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A configuration dimension swept during an experiment (reference
+  * `P/Benchmark.scala:60-92` Variation): the experiment runs the full
+  * cartesian product of all variations' options. */
+case class Variation[T](name: String, options: Seq[T])(val setup: T => Unit)
+
+/** Experiment orchestration (reference `P/Benchmark.scala:109-549`,
+  * redesigned without runtime reflection: tables and queries are
+  * explicit registries — Scala 2.13-safe, and the discovery surface the
+  * reflection provided is now just `Map` lookups).
+  *
+  * An experiment = iterations × cartesian(variations) × queries, run
+  * asynchronously; results accumulate as `ExperimentRun` records and
+  * are written as single-file JSON for the self-hosted analysis
+  * queries.
+  */
+class Benchmark(
+    val spark: SparkSession,
+    val resultsLocation: String = "/tmp/graft-results") {
+
+  /** Named tables this benchmark can provision (name → DataFrame). */
+  def allTables: Map[String, DataFrame] = Map.empty
+
+  /** Register every table whose name a query references and is not yet
+    * registered (`P/Benchmark.scala:342-374` auto-provisioning, via
+    * temp views instead of saveAsTable — no metastore dependency). */
+  def provisionTables(queries: Seq[Query]): Unit = {
+    val needed = queries.flatMap(q => scala.util.Try(q.tablesInvolved).getOrElse(Set.empty)).toSet
+    needed.foreach { t =>
+      if (!spark.catalog.tableExists(t))
+        allTables.get(t).foreach(_.createOrReplaceTempView(t))
+    }
+  }
+
+  private def crossProduct(variations: Seq[Variation[_]]): Seq[Seq[(Variation[_], Any)]] =
+    variations.foldLeft(Seq(Seq.empty[(Variation[_], Any)])) { (acc, v) =>
+      for (combo <- acc; opt <- v.options) yield combo :+ (v -> (opt: Any))
+    }
+
+  private def currentConfiguration(): BenchmarkConfiguration =
+    BenchmarkConfiguration(
+      sparkVersion = spark.version,
+      scalaVersion = scala.util.Properties.versionNumberString,
+      sqlConf = spark.conf.getAll,
+      defaultParallelism = spark.sparkContext.defaultParallelism)
+
+  /** Handle on a running experiment (`ExperimentStatus` in the
+    * reference, `P/Benchmark.scala:299-549`). */
+  class ExperimentStatus(
+      queries: Seq[Query],
+      iterations: Int,
+      variations: Seq[Variation[_]],
+      tags: Map[String, String],
+      timeoutMs: Long) {
+
+    val timestamp: Long = System.currentTimeMillis()
+    @volatile var currentRuns: Seq[ExperimentRun] = Nil
+    @volatile var currentQuery: String = ""
+    @volatile var failures: Int = 0
+
+    val resultPath = s"$resultsLocation/timestamp=$timestamp"
+
+    private val work: Future[Unit] = Future {
+      val combos = crossProduct(variations)
+      val runs = for {
+        i <- 1 to iterations
+        combo <- combos
+      } yield {
+        combo.foreach { case (v, opt) =>
+          v.asInstanceOf[Variation[Any]].setup(opt)
+        }
+        val comboTags = combo.map { case (v, opt) => v.name -> opt.toString }.toMap
+        val results = queries.map { q =>
+          currentQuery = q.name
+          val r = q.benchmarkWithTimeout(spark, timeoutMs)
+          if (r.failure.isDefined) failures += 1
+          r
+        }
+        val run = ExperimentRun(timestamp, i, tags ++ comboTags,
+          currentConfiguration(), results)
+        currentRuns = currentRuns :+ run
+        run
+      }
+      import spark.implicits._
+      spark.createDataset(runs).coalesce(1).write.mode("overwrite").json(resultPath)
+    }
+
+    def waitForFinish(timeoutSeconds: Int): Unit =
+      Await.result(work, Duration(timeoutSeconds, "s"))
+
+    /** Per-query stats over completed runs (reference
+      * `P/RunBenchmark.scala:155-174`). */
+    def getCurrentResults(): DataFrame = {
+      import spark.implicits._
+      if (currentRuns.isEmpty) spark.emptyDataFrame
+      else spark.createDataset(currentRuns).toDF()
+        .select(col("iteration"), explode(col("results")).as("result"))
+        .select(col("iteration"), col("result.*"))
+    }
+
+    def summarize(): DataFrame =
+      getCurrentResults()
+        .filter(col("failure").isNull)
+        .groupBy(col("name"))
+        .agg(
+          min(col("executionTime")).as("minTimeMs"),
+          max(col("executionTime")).as("maxTimeMs"),
+          avg(col("executionTime")).as("avgTimeMs"),
+          stddev(col("executionTime")).as("stdDev"))
+        .orderBy(col("name"))
+  }
+
+  def runExperiment(
+      queries: Seq[Query],
+      iterations: Int = 3,
+      variations: Seq[Variation[_]] = Nil,
+      tags: Map[String, String] = Map.empty,
+      timeoutMs: Long = 1000 * 60 * 30): ExperimentStatus = {
+    provisionTables(queries)
+    new ExperimentStatus(queries, iterations, variations, tags, timeoutMs)
+  }
+}
+
+object Benchmark {
+
+  /** Read results back and summarize across experiments (reference
+    * `P/RunBenchmark.scala:150-196` baseline comparison). */
+  def analyze(spark: SparkSession, resultsLocation: String): DataFrame = {
+    // note: fields that were null in every record (e.g. `failure` on a
+    // clean run) are absent from the written JSON entirely — only
+    // reference fields guaranteed present
+    spark.read.json(s"$resultsLocation/timestamp=*")
+      .select(col("timestamp"), explode(col("results")).as("result"))
+      .select(col("timestamp"), col("result.name").as("name"),
+        col("result.executionTime").as("executionTime"))
+      .filter(col("executionTime").isNotNull)
+      .groupBy(col("timestamp"), col("name"))
+      .agg(min("executionTime").as("minTimeMs"),
+        max("executionTime").as("maxTimeMs"),
+        avg("executionTime").as("avgTimeMs"))
+      .orderBy(col("timestamp"), col("name"))
+  }
+
+  /** Percent change of this run vs a baseline timestamp
+    * (`P/RunBenchmark.scala:177-196`). */
+  def compareToBaseline(spark: SparkSession, resultsLocation: String,
+      baselineTimestamp: Long, currentTimestamp: Long): DataFrame = {
+    val stats = analyze(spark, resultsLocation)
+      .filter(col("timestamp").isin(baselineTimestamp, currentTimestamp))
+    val base = stats.filter(col("timestamp") === baselineTimestamp)
+      .select(col("name"), col("avgTimeMs").as("baselineMs"))
+    val cur = stats.filter(col("timestamp") === currentTimestamp)
+      .select(col("name"), col("avgTimeMs").as("currentMs"))
+    base.join(cur, "name")
+      .withColumn("percentChange",
+        round((col("currentMs") - col("baselineMs")) * 100.0 / col("baselineMs"), 2))
+      .orderBy(col("name"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming workloads over the `events` fixture — the
+  * mandated streaming extension (SURVEY §2.9/§7.5: the reference has no
+  * streaming; these are the Spark-native semantics a user would add).
+  *
+  * Every stateful op is keyed (window/user_id) so state partitions
+  * across executors; watermarks bound state size — the two properties
+  * that matter at production stream volume.
+  */
+object EventsStream {
+
+  /** Schema of events.parquet with ts read as raw nanos (see
+    * graft.sources.Tables.events for the TIMESTAMP(NANOS) issue). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet (file-stream source —
+    * in production this would be Kafka/kinesis; the transform stack is
+    * identical). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory; the fixture is a single
+    // parquet file in a read-only tree, so stage a symlink dir
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
+        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
+        d
+      }
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts with a watermark bounding state
+    * (same semantics as batch e01_tumbling_window). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window aggregation (1h window / 30min slide) with watermark. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Session windows via the built-in session_window (gap close 30 min). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(event_id: Long, user_id: Long, event_type: String, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via
+    * mapGroupsWithState (the arbitrary-stateful-op surface). */
+  def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserStats] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserStats(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion against an in-memory
+    * sink and return the materialized result (test/dev harness). */
+  def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.Tables
+
+/** End-to-end harness behavior: experiments, variations, phase timing,
+  * HashResults checksum stability, JSON results round-trip, timeout. */
+class HarnessSpec extends SparkSpec {
+
+  private def li = Tables.table(spark, sfDir, "lineitem")
+
+  test("experiment runs iterations x variations and writes JSON results") {
+    val bench = new Benchmark(spark, s"/tmp/graft-test-results-${System.nanoTime()}")
+    val q1 = new Query("agg", li.groupBy("l_returnflag").count(),
+      executionMode = ExecutionMode.CountResults)
+    val q2 = new Query("hash", li.select("l_orderkey", "l_returnflag").limit(100),
+      executionMode = ExecutionMode.HashResults)
+    val flip = Variation("codegen", Seq("true", "false"))(v =>
+      spark.conf.set("spark.sql.codegen.wholeStage", v))
+    val exp = bench.runExperiment(Seq(q1, q2), iterations = 2,
+      variations = Seq(flip))
+    exp.waitForFinish(300)
+
+    assert(exp.failures == 0)
+    assert(exp.currentRuns.size == 4) // 2 iterations x 2 variation options
+    // every run has phase + execution times and a scalar result
+    exp.currentRuns.flatMap(_.results).foreach { r =>
+      assert(r.executionTime.isDefined && r.planningTime.isDefined)
+      assert(r.result.isDefined)
+    }
+    // checksum is identical across iterations and variations
+    val checksums = exp.currentRuns.flatMap(_.results).filter(_.name == "hash")
+      .map(_.result.get).distinct
+    assert(checksums.size == 1)
+    // results JSON is readable and analyzable
+    val read = spark.read.json(exp.resultPath)
+    assert(read.count() == 4)
+    val summary = exp.summarize().collect()
+    assert(summary.length == 2)
+    // analyze() round-trips from disk
+    val analyzed = Benchmark.analyze(spark,
+      exp.resultPath.stripSuffix(s"/timestamp=${exp.timestamp}"))
+    assert(analyzed.count() == 2)
+  }
+
+  test("failures are captured, not thrown") {
+    val bench = new Benchmark(spark)
+    val bad = new Query("bad", li.select(col("no_such_column")))
+    val exp = bench.runExperiment(Seq(bad), iterations = 1)
+    exp.waitForFinish(120)
+    assert(exp.failures == 1)
+    val r = exp.currentRuns.head.results.head
+    assert(r.failure.isDefined)
+    assert(r.failure.get.className.nonEmpty)
+  }
+
+  test("join types are scraped from the physical plan") {
+    val o = Tables.table(spark, sfDir, "orders")
+    val q = new Query("join", li.join(o, col("l_orderkey") === col("o_orderkey")).select(lit(1)))
+    val r = q.doBenchmark()
+    assert(r.failure.isEmpty)
+    assert(r.joinTypes.exists(_.contains("Join")))
+  }
+
+  test("HashResults checksum changes when data changes") {
+    val q1 = new Query("h1", li.filter(col("l_orderkey") <= 100).select("l_orderkey"),
+      executionMode = ExecutionMode.HashResults)
+    val q2 = new Query("h2", li.filter(col("l_orderkey") <= 200).select("l_orderkey"),
+      executionMode = ExecutionMode.HashResults)
+    val (r1, r2) = (q1.doBenchmark(), q2.doBenchmark())
+    assert(r1.result.get != r2.result.get)
+  }
+
+  test("SQL-text queries run through the same lifecycle") {
+    Tables.registerAll(spark, sfDir)
+    val q = Query.sql(spark, "sql_q",
+      "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag")
+    val r = q.doBenchmark()
+    assert(r.failure.isEmpty && r.result.get == 3L)
+  }
+}

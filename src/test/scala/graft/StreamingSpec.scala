@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventsStream
+import graft.sources.Tables
+
+/** Streaming semantics vs batch ground truth on the same fixture. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling window matches batch aggregation") {
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.tumblingCounts(stream), "tumbling_test", OutputMode.Append())
+      .groupBy().agg(sum("n")).collect()(0).getLong(0)
+    val batchN = Tables.events(spark, sfDir).count()
+    // watermark closes all windows except possibly the last open ones;
+    // with processAllAvailable on a finite source, append emits only
+    // windows below the final watermark
+    assert(got > 0 && got <= batchN)
+  }
+
+  test("streaming session windows produce keyed sessions") {
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.sessionWindows(stream), "session_test", OutputMode.Append())
+    assert(got.count() > 0)
+    assert(got.filter(col("n_events") <= 0).count() == 0)
+  }
+
+  test("streaming dedup emits each event_id at most once") {
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.dedupEvents(stream), "dedup_test", OutputMode.Append())
+    val dupes = got.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+  }
+
+  test("mapGroupsWithState running totals equal batch per-user totals") {
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.userRunningTotals(spark, stream).toDF(),
+      "state_test", OutputMode.Update())
+    // final state per user (last update wins)
+    val finalState = got.groupBy("user_id")
+      .agg(max("n_events").as("n_events"))
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_batch"))
+    val mismatched = finalState.join(batch, "user_id")
+      .filter(col("n_events") =!= col("n_batch")).count()
+    assert(mismatched == 0)
+  }
+}
