@@ -101,12 +101,17 @@ object DedupQueries {
 
     CatalogQuery(
       "dd05_ngram_jaccard",
-      "Character-3-gram Jaccard near-dup (LSH candidates → exact n-gram set verification ≥ 0.7)",
+      "Character-5-gram Jaccard near-dup (LSH candidates → exact n-gram set verification ≥ 0.8)",
       (s, dir) => {
+        // 5-char grams: 3-grams over a small shared vocabulary are
+        // near-identical across ALL documents, which floods LSH buckets
+        // with false candidates; 5-grams straddle word boundaries and
+        // discriminate
         val d = docs(s, dir)
-          .select(col("doc_id"), TextOps.charNgrams(col("text"), 3).as("ng"))
-        val cand = TextOps.lshCandidates(d, "doc_id", "ng", numHashes = 32, rowsPerBand = 4)
-        TextOps.jaccardJoin(cand, d, "doc_id", "ng", threshNum = 7, threshDen = 10)
+          .select(col("doc_id"), TextOps.charNgrams(col("text"), 5).as("ng"))
+        val cand = TextOps.lshCandidates(d, "doc_id", "ng",
+          numHashes = 32, rowsPerBand = 4, maxBucketSize = 50)
+        TextOps.jaccardJoin(cand, d, "doc_id", "ng", threshNum = 8, threshDen = 10)
           .orderBy(col("a_id"), col("b_id"))
       },
       None),
@@ -115,10 +120,15 @@ object DedupQueries {
       "dd06_embedding_neardup",
       "Embedding-cosine near-dup pairs (cosine ≥ 0.4), brute-force baseline; ss02 is the LSH scale path",
       (s, dir) => {
+        graft.functions.VectorOps.register(s)
+        import graft.functions.VectorOps
+        // normalize once per vector (O(n)), so each of the O(n²) pair
+        // evaluations is a single codegen'd dot product
         val e = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"),
+            VectorOps.normalize(col("embedding").cast("array<double>")).as("nv"))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos", TextOps.cosine(col("a.v"), col("b.v")))
+          .withColumn("cos", VectorOps.dot(col("a.nv"), col("b.nv")))
           .filter(col("cos") >= 0.4)
           .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
             round(col("cos") * 1e6).cast("long").as("cos_e6"))

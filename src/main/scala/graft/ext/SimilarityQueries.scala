@@ -37,13 +37,17 @@ object SimilarityQueries {
   /** LSH signature: bit j = sign(v · plane_j). */
   private def signature(v: Column): Column =
     (0 until Planes).map { j =>
-      val dot = aggregate(zip_with(v, planeCol(j), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      val dot = graft.functions.VectorOps.dot(v, planeCol(j))
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
+  /** Pre-normalized vectors: pair scoring becomes one codegen'd dot. */
+  private def embeddings(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
     Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorOps.normalize(col("embedding").cast("array<double>")).as("v"))
+  }
 
   val all: Seq[CatalogQuery] = Seq(
 
@@ -56,7 +60,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("q_id"), col("v").as("qv")))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
         q.join(e, col("vec_id") =!= col("q_id"))
-          .withColumn("cos", TextOps.cosine(col("qv"), col("v")))
+          .withColumn("cos", graft.functions.VectorOps.dot(col("qv"), col("v")))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -83,7 +87,7 @@ object SimilarityQueries {
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
         probes.join(e, col("probe_sig") === col("sig") && col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("qv"), col("vec_id"), col("v")).distinct()
-          .withColumn("cos", TextOps.cosine(col("qv"), col("v")))
+          .withColumn("cos", graft.functions.VectorOps.dot(col("qv"), col("v")))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),

@@ -61,8 +61,25 @@ object TextOps {
     require(numHashes % rowsPerBand == 0)
     val nBands = numHashes / rowsPerBand
 
-    val exploded = docs.select(col(idCol), explode(col(setCol)).as("_el"))
-    val mhAggs = (0 until numHashes).map(i => min(xxhash64(col("_el"), lit(i))).as(s"_mh$i"))
+    // One strong hash per element, then numHashes cheap universal-hash
+    // rehashes (odd-constant multiply-add on int64, wrapping): ~30×
+    // fewer hash evaluations than hashing each element per seed, and
+    // the multiply-adds stay inside codegen. Wrapping arithmetic needs
+    // a custom expression because ANSI mode raises on long overflow.
+    graft.functions.HashOps.register(docs.sparkSession)
+    val exploded = docs
+      .select(col(idCol), explode(col(setCol)).as("_el"))
+      .select(col(idCol), xxhash64(col("_el")).as("_h"))
+    def mixConst(i: Int, salt: Long): Long = {
+      var z = i.toLong * 0x9e3779b97f4a7c15L + salt
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)) | 1L // odd multiplier
+    }
+    val mhAggs = (0 until numHashes).map { i =>
+      min(graft.functions.HashOps.mulAdd(col("_h"),
+        mixConst(i, 0x51ab5f1cL), mixConst(i, 0x7e21))).as(s"_mh$i")
+    }
     val mh = exploded.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
 
     val bandStructs = (0 until nBands).map { b =>
