@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Benchmark, Variation}
+import graft.workloads.MicroBenchmarks
+
+/** CLI experiment runner (reference `P/RunBenchmark.scala` flag surface,
+  * scopt-free):
+  *
+  *   runMain graft.RunBenchmark --benchmark micro-join --iterations 2 \
+  *     --filter inner --results /tmp/graft-results --timeout-ms 600000 \
+  *     --vary-codegen
+  *
+  * Benchmarks: micro-join | micro-agg | micro-scalar | micro-matches |
+  * micro-tiers | micro-all | catalog (the fixture query catalog, needs
+  * --sf-dir).
+  */
+object RunBenchmark {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap ++ args.filter(a => a == "--vary-codegen").map(_ -> "true").toMap
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val benchName = opts.getOrElse("benchmark", "micro-agg")
+    val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.01")
+    val queries = (benchName match {
+      case "micro-join" => MicroBenchmarks.joinMatrix(spark)
+      case "micro-agg" => MicroBenchmarks.aggSweep(spark)
+      case "micro-scalar" => MicroBenchmarks.scalarAggs(spark)
+      case "micro-matches" => MicroBenchmarks.numMatches(spark)
+      case "micro-tiers" => MicroBenchmarks.apiTiers(spark)
+      case "micro-all" => MicroBenchmarks.all(spark)
+      case "catalog" => SparkEntry.catalog.map(c =>
+        new core.Query(c.name, c.build(spark, sfDir), c.description))
+      case other => sys.error(s"unknown benchmark: $other")
+    }).filter(q => opts.get("filter").forall(f => q.name.contains(f)))
+
+    require(queries.nonEmpty, "no queries match the filter")
+
+    val bench = new Benchmark(spark, opts.getOrElse("results", "/tmp/graft-results"))
+    val variations =
+      if (opts.contains("--vary-codegen") || opts.contains("vary-codegen"))
+        Seq(Variation("codegen", Seq("true", "false"))(v =>
+          spark.conf.set("spark.sql.codegen.wholeStage", v)))
+      else Nil
+
+    val exp = bench.runExperiment(
+      queries,
+      iterations = opts.getOrElse("iterations", "3").toInt,
+      variations = variations,
+      tags = Map("benchmark" -> benchName),
+      timeoutMs = opts.getOrElse("timeout-ms", "1800000").toLong)
+    exp.waitForFinish(opts.getOrElse("wait-s", "10800").toInt)
+
+    println(s"results written to ${exp.resultPath}; ${exp.failures} failures")
+    exp.summarize().show(200, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,148 @@
+package graft.workloads
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.CatalogQuery
+import graft.sources.Tables
+
+/** Remaining scalar/aggregate/window surface from SURVEY §2 not covered
+  * by the main relational catalog: percentile/median, dense_rank +
+  * first(), Scala UDF registration, payload-widening projections and
+  * key-type-cast joins (JoinPerformance variations), approx distinct.
+  */
+object MiscQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    CatalogQuery(
+      "q31_percentile",
+      "Exact percentile / median aggregate (dashboard percentile parity)",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_quantity"), lit(0.5), lit(100000)).as("approx_median"),
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.95)").as("p95_qty"))
+          .select(col("l_returnflag"), col("median_qty"), col("p95_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.95) AS p95_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    CatalogQuery(
+      "q32_dense_rank_first",
+      "dense_rank() + first() over ordered partitions (dashboard run-id pattern)",
+      (s, dir) => {
+        val priced = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            (round(col("o_totalprice") * 100).cast("long")).as("price_c"))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("price_c").desc, col("o_orderkey"))
+        priced
+          .withColumn("rk", dense_rank().over(w).cast("long"))
+          .withColumn("best_order",
+            first(col("o_orderkey")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rk") <= 2 && col("o_custkey") <= 100)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("best_order"))
+          .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, rk, o_orderkey, best_order FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    CAST(dense_rank() OVER w AS BIGINT) AS rk,
+             |    first(o_orderkey) OVER (PARTITION BY o_custkey
+             |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_order
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey
+             |    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey))
+             |WHERE rk <= 2 AND o_custkey <= 100
+             |ORDER BY o_custkey, rk, o_orderkey""".stripMargin)),
+
+    CatalogQuery(
+      "q33_scala_udf",
+      "Registered Scala UDF in a projection (dashboard normalizeVersion parity)",
+      (s, dir) => {
+        val normalize = udf((seg: String) => seg.toLowerCase.stripSuffix("hold"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"), normalize(col("c_mktsegment")).as("norm_seg"))
+          .groupBy(col("norm_seg"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("norm_seg"))
+      },
+      Some("""SELECT CASE WHEN lower(c_mktsegment) LIKE '%hold'
+             |         THEN substring(lower(c_mktsegment), 1, length(c_mktsegment) - 4)
+             |         ELSE lower(c_mktsegment) END AS norm_seg,
+             |  count(*) AS n
+             |FROM customer
+             |GROUP BY 1
+             |ORDER BY norm_seg""".stripMargin)),
+
+    CatalogQuery(
+      "q34_payload_widening",
+      "Payload-widening projection + join (JoinPerformance 1KB-row shape, `P/JoinPerformance.scala:50-55`)",
+      (s, dir) => {
+        val payload = t(s, dir, "supplier")
+          .select(col("s_suppkey"), lit("*" * 256).as("data256"))
+        t(s, dir, "lineitem")
+          .join(broadcast(payload), col("l_suppkey") === col("s_suppkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("data256"))).as("payload_chars"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(length(data256)) AS BIGINT) AS payload_chars
+             |FROM lineitem
+             |JOIN (SELECT s_suppkey, repeat('*', 256) AS data256 FROM supplier) p
+             |  ON l_suppkey = s_suppkey""".stripMargin)),
+
+    CatalogQuery(
+      "q35_cast_key_join",
+      "Key-type-cast join variation (String-typed keys, `P/JoinPerformance.scala:57-62`)",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("ok_str"), col("o_orderpriority"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("string").as("lk_str"))
+          .join(o, col("lk_str") === col("ok_str"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM (SELECT CAST(l_orderkey AS VARCHAR) AS lk_str FROM lineitem) l
+             |JOIN (SELECT CAST(o_orderkey AS VARCHAR) AS ok_str, o_orderpriority FROM orders) o
+             |  ON lk_str = ok_str
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    CatalogQuery(
+      "q36_approx_distinct",
+      "HLL-sketch approx_count_distinct alongside exact (sketch family baseline)",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          .select(col("exact_parts"),
+            // approx value is engine-specific; assert sane bounds and
+            // emit the exact value for the oracle comparison
+            (col("approx_parts") >= col("exact_parts") * 0.9 &&
+              col("approx_parts") <= col("exact_parts") * 1.1).as("approx_within_10pct"),
+            col("exact_parts").as("n"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+             |  true AS approx_within_10pct,
+             |  count(DISTINCT l_partkey) AS n
+             |FROM lineitem""".stripMargin)),
+  )
+}

@@ -6,7 +6,7 @@ import graft.ext
 /** Union of all workload catalogs — the engine's full query surface. */
 object QueryCatalog {
   def all: Seq[CatalogQuery] =
-    RelationalQueries.all ++ GraphQueries.all ++ EventQueries.all ++ TypedQueries.all ++
+    RelationalQueries.all ++ MiscQueries.all ++ GraphQueries.all ++ EventQueries.all ++ TypedQueries.all ++
       ext.DedupQueries.all ++ ext.SimilarityQueries.all ++ ext.TextQueries.all ++
       ext.MultimodalQueries.all
 }
