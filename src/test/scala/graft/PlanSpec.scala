@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates: these are the properties that decide
+  * whether a query survives a 100× scale-up — filter pushdown to the
+  * parquet scan, column pruning, broadcast joins for small dims, and
+  * whole-stage codegen coverage. A plan regression here is a perf bug
+  * even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter is pushed to the parquet scan and columns pruned") {
+    val plan = planOf(run("q01_pricing_summary"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"missing pushdown:\n$plan")
+    // scan must not read join keys it doesn't need (e.g. l_suppkey)
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_suppkey") && !readSchema.contains("l_partkey"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("q03: dimension filter pushed below the join") {
+    val plan = planOf(run("q03_top_orders"))
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"), s"filter not pushed:\n$plan")
+  }
+
+  test("q05: small dims join via broadcast, not shuffle") {
+    val plan = planOf(run("q05_region_volume"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    // nation/region/supplier must NOT appear as sort-merge sides
+    val smjCount = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smjCount <= 2, s"too many shuffle joins ($smjCount):\n$plan")
+  }
+
+  test("q27: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(run("q27_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE only materializes codegen stages at execution: run first,
+    // then read the final plan ("*(n)" marks codegen stages)
+    val df = run("q01_pricing_summary")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true") && plan.contains("*("),
+      s"no codegen stages:\n$plan")
+  }
+
+  test("dd06: custom ArrayDotProduct expression participates in codegen") {
+    val df = run("dd06_embedding_neardup")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the expression must appear inside a codegen stage ("*(n) ...
+    // array_dot"), not a fallback project
+    assert(plan.contains("array_dot"), s"expression missing:\n$plan")
+    val codegenLines = plan.linesIterator.filter(_.contains("array_dot")).toSeq
+    assert(codegenLines.exists(_.contains("*(")), s"array_dot outside codegen:\n$plan")
+  }
+
+  test("e01: window aggregation keys the shuffle by (window, event_type)") {
+    val plan = planOf(run("e01_tumbling_window"))
+    assert(plan.contains("HashAggregate"), plan)
+  }
+}
