@@ -55,11 +55,18 @@ object DedupQueries {
 
     CatalogQuery(
       "dd03_minhash_lsh",
-      "MinHash+LSH near-dup pairs (32 hashes, 8 bands × 4) verified with exact shingle Jaccard ≥ 0.8",
+      "MinHash+LSH near-dup pairs (36 hashes, 6 bands × 6) verified with exact shingle Jaccard ≥ 0.8",
       (s, dir) => {
+        // 6 rows/band: the fixture docs share a small vocabulary, so
+        // background pair Jaccard is ~0.4 — r=4 bands collide on
+        // ~0.4^4 of ALL pairs and verification dominates; r=6 cuts
+        // false candidates ~40x for ~0.84 recall at the J=0.8 line.
+        // persist: the shingle sets are read by the minhash pass and
+        // both sides of the verify join.
         val d = docs(s, dir)
           .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
-        val cand = TextOps.lshCandidates(d, "doc_id", "sh", numHashes = 32, rowsPerBand = 4)
+          .persist()
+        val cand = TextOps.lshCandidates(d, "doc_id", "sh", numHashes = 36, rowsPerBand = 6)
         TextOps.jaccardJoin(cand, d, "doc_id", "sh", threshNum = 8, threshDen = 10)
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -109,8 +116,9 @@ object DedupQueries {
         // discriminate
         val d = docs(s, dir)
           .select(col("doc_id"), TextOps.charNgrams(col("text"), 5).as("ng"))
+          .persist()
         val cand = TextOps.lshCandidates(d, "doc_id", "ng",
-          numHashes = 32, rowsPerBand = 4, maxBucketSize = 50)
+          numHashes = 36, rowsPerBand = 6, maxBucketSize = 50)
         TextOps.jaccardJoin(cand, d, "doc_id", "ng", threshNum = 8, threshDen = 10)
           .orderBy(col("a_id"), col("b_id"))
       },

@@ -20,7 +20,8 @@ class HarnessSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.wholeStage", v))
     val exp = bench.runExperiment(Seq(q1, q2), iterations = 2,
       variations = Seq(flip))
-    exp.waitForFinish(300)
+    try exp.waitForFinish(300)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
 
     assert(exp.failures == 0)
     assert(exp.currentRuns.size == 4) // 2 iterations x 2 variation options

@@ -46,6 +46,7 @@ class PlanSpec extends SparkSpec {
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE only materializes codegen stages at execution: run first,
     // then read the final plan ("*(n)" marks codegen stages)
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
     val df = run("q01_pricing_summary")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
@@ -54,6 +55,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dd06: custom ArrayDotProduct expression participates in codegen") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
     val df = run("dd06_embedding_neardup")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
