@@ -91,6 +91,22 @@ class Benchmark(
       }
       import spark.implicits._
       spark.createDataset(runs).coalesce(1).write.mode("overwrite").json(resultPath)
+      // post-run block cleanup (`P/Benchmarkable.scala:58-65` semantics
+      // on public API): drop cached blocks so back-to-back experiments
+      // don't compound memory pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+
+    /** Minimal HTML status report (`P/Benchmark.scala:518-548`). */
+    def statusHtml(): String = {
+      val done = currentRuns.size
+      s"""<html><body>
+         |<h1>Experiment $timestamp</h1>
+         |<b>Runs completed:</b> $done<br/>
+         |<b>Current query:</b> $currentQuery<br/>
+         |<b>Failures:</b> $failures<br/>
+         |</body></html>""".stripMargin
     }
 
     def waitForFinish(timeoutSeconds: Int): Unit =

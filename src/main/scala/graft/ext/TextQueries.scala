@@ -101,9 +101,14 @@ object TextQueries {
       "tx04_fingerprint",
       "Document fingerprint: min rolling hash over 4-token windows (winnowing-style), plus collision summary",
       (s, dir) => {
+        // explode + min-agg instead of array_min(transform(...)): the
+        // higher-order transform evaluates its lambda interpreted per
+        // element, while explode + xxhash64 + min stays in codegen
         val windows = TextOps.wordShingles(col("text"), 4)
-        val fp = docs(s, dir).select(col("doc_id"),
-          array_min(transform(windows, w => xxhash64(w))).as("fingerprint"))
+        val fp = docs(s, dir)
+          .select(col("doc_id"), explode(windows).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(min(xxhash64(col("w"))).as("fingerprint"))
         fp.groupBy(col("fingerprint"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
           .orderBy(col("first_doc"))

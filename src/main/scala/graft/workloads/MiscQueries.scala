@@ -17,6 +17,9 @@ object MiscQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
 
+  private def sqlQuery(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -124,6 +127,65 @@ object MiscQueries {
              |  ON lk_str = ok_str
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
+
+    CatalogQuery(
+      "q37_rollup_rank",
+      "rank() partitioned by grouping()-derived hierarchy over ROLLUP output (TPC-DS q36/q70/q86 signature)",
+      sqlQuery("""SELECT lochierarchy, n_name, o_orderstatus, total, rk FROM (
+                 |  SELECT lochierarchy, n_name, o_orderstatus, total,
+                 |    CAST(rank() OVER (PARTITION BY lochierarchy ORDER BY total DESC, n_name NULLS FIRST, o_orderstatus NULLS FIRST) AS BIGINT) AS rk
+                 |  FROM (
+                 |    SELECT CAST(grouping(n_name) + grouping(o_orderstatus) AS BIGINT) AS lochierarchy,
+                 |      n_name, o_orderstatus,
+                 |      CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total
+                 |    FROM orders
+                 |    JOIN customer ON o_custkey = c_custkey
+                 |    JOIN nation ON c_nationkey = n_nationkey
+                 |    GROUP BY ROLLUP (n_name, o_orderstatus)))
+                 |WHERE rk <= 3
+                 |ORDER BY lochierarchy DESC, rk, n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+      Some("""SELECT lochierarchy, n_name, o_orderstatus, total, rk FROM (
+             |  SELECT lochierarchy, n_name, o_orderstatus, total,
+             |    CAST(rank() OVER (PARTITION BY lochierarchy ORDER BY total DESC, n_name NULLS FIRST, o_orderstatus NULLS FIRST) AS BIGINT) AS rk
+             |  FROM (
+             |    SELECT CAST(grouping(n_name) + grouping(o_orderstatus) AS BIGINT) AS lochierarchy,
+             |      n_name, o_orderstatus,
+             |      CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total
+             |    FROM orders
+             |    JOIN customer ON o_custkey = c_custkey
+             |    JOIN nation ON c_nationkey = n_nationkey
+             |    GROUP BY ROLLUP (n_name, o_orderstatus)))
+             |WHERE rk <= 3
+             |ORDER BY lochierarchy DESC, rk, n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+
+    CatalogQuery(
+      "q38_wide_agg",
+      "Multi-aggregate wide row: 12 aggregates across 8 columns in one pass (TPC-DS qSsMax signature)",
+      (s, dir) => {
+        t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n"),
+          count(col("l_orderkey")).as("n_ok"),
+          countDistinct(col("l_orderkey")).as("d_ok"),
+          countDistinct(col("l_partkey")).as("d_pk"),
+          countDistinct(col("l_suppkey")).as("d_sk"),
+          max(col("l_orderkey")).as("max_ok"),
+          max(col("l_partkey")).as("max_pk"),
+          max(col("l_linenumber")).cast("long").as("max_ln"),
+          round(max(col("l_quantity")), 2).as("max_qty"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          max(col("l_returnflag")).as("max_rf"),
+          max(col("l_shipdate")).as("max_ship"))
+      },
+      Some("""SELECT count(*) AS n, count(l_orderkey) AS n_ok,
+             |  count(DISTINCT l_orderkey) AS d_ok,
+             |  count(DISTINCT l_partkey) AS d_pk,
+             |  count(DISTINCT l_suppkey) AS d_sk,
+             |  max(l_orderkey) AS max_ok, max(l_partkey) AS max_pk,
+             |  CAST(max(l_linenumber) AS BIGINT) AS max_ln,
+             |  round(max(l_quantity), 2) AS max_qty,
+             |  round(max(l_extendedprice), 2) AS max_price,
+             |  max(l_returnflag) AS max_rf, max(l_shipdate) AS max_ship
+             |FROM lineitem""".stripMargin)),
 
     CatalogQuery(
       "q36_approx_distinct",
