@@ -95,5 +95,39 @@ object SimilarityQueries {
           .orderBy(col("q_id"), col("rank"))
       },
       None),
+
+    CatalogQuery(
+      "ss03_ann_ivf",
+      "IVF ANN: KMeans coarse quantizer buckets the corpus; queries probe their 4 nearest centroids, exact re-rank inside",
+      (s, dir) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+        val e = embeddings(s, dir).withColumn("fv", array_to_vector(col("v")))
+        val km = new KMeans().setK(16).setSeed(42).setFeaturesCol("fv").fit(e)
+        val assigned = km.transform(e)
+          .select(col("vec_id"), col("v"), col("prediction").as("bucket"))
+        // centroid list is tiny (k rows): distribute it, probe by dot
+        val centroids = s.createDataFrame(
+          km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+          .toDF("bucket", "centroid")
+        val q = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cd").desc, col("bucket"))
+        val probes = q.crossJoin(broadcast(centroids))
+          .withColumn("cd", graft.functions.VectorOps.dot(col("qv"), col("centroid")))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 4)
+          .select(col("q_id"), col("qv"), col("bucket"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+        probes.join(assigned, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", graft.functions.VectorOps.dot(col("qv"), col("v")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            round(col("cos") * 1e6).cast("long").as("cos_e6"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      None),
   )
 }

@@ -188,6 +188,30 @@ object MiscQueries {
              |FROM lineitem""".stripMargin)),
 
     CatalogQuery(
+      "q39_asof_join",
+      "As-of (point-in-time) join: each event gets the user's latest order at event time (union + last-ignoring-nulls window; DuckDB ASOF JOIN oracle)",
+      (s, dir) => {
+        val events = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val lastOrders = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("last_orderkey"))
+        graft.operators.AsOfJoin.asOf(
+          events, lastOrders, key = "user_id",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("last_orderkey"))
+          .select(col("event_id"), col("user_id"), col("last_orderkey"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_orderkey
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, r.last_orderkey
+             |FROM events e
+             |ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
+    CatalogQuery(
       "q36_approx_distinct",
       "HLL-sketch approx_count_distinct alongside exact (sketch family baseline)",
       (s, dir) => {
