@@ -36,6 +36,13 @@ object RunBenchmark {
 
     val benchName = opts.getOrElse("benchmark", "micro-agg")
     val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.01")
+    val resultsLoc = opts.getOrElse("results", "/tmp/graft-results")
+    // benchmarks with their own table registry must run their own
+    // experiment (auto-provisioning reads Benchmark.allTables)
+    val retail = if (benchName == "retail")
+      Some(new workloads.RetailBenchmark(spark,
+        opts.getOrElse("fact-rows", "1000000").toLong, resultsLoc))
+    else None
     val queries = (benchName match {
       case "micro-join" => MicroBenchmarks.joinMatrix(spark)
       case "micro-agg" => MicroBenchmarks.aggSweep(spark)
@@ -43,6 +50,7 @@ object RunBenchmark {
       case "micro-matches" => MicroBenchmarks.numMatches(spark)
       case "micro-tiers" => MicroBenchmarks.apiTiers(spark)
       case "micro-all" => MicroBenchmarks.all(spark)
+      case "retail" => retail.get.queries
       case "catalog" => SparkEntry.catalog.map(c =>
         new core.Query(c.name, c.build(spark, sfDir), c.description))
       case other => sys.error(s"unknown benchmark: $other")
@@ -50,7 +58,7 @@ object RunBenchmark {
 
     require(queries.nonEmpty, "no queries match the filter")
 
-    val bench = new Benchmark(spark, opts.getOrElse("results", "/tmp/graft-results"))
+    val bench = retail.getOrElse(new Benchmark(spark, resultsLoc))
     val variations =
       if (opts.contains("--vary-codegen") || opts.contains("vary-codegen"))
         Seq(Variation("codegen", Seq("true", "false"))(v =>

@@ -33,7 +33,7 @@ class Benchmark(
     * registered (`P/Benchmark.scala:342-374` auto-provisioning, via
     * temp views instead of saveAsTable — no metastore dependency). */
   def provisionTables(queries: Seq[Query]): Unit = {
-    val needed = queries.flatMap(q => scala.util.Try(q.tablesInvolved).getOrElse(Set.empty)).toSet
+    val needed = queries.flatMap(_.referencedTables(spark)).toSet
     needed.foreach { t =>
       if (!spark.catalog.tableExists(t))
         allTables.get(t).foreach(_.createOrReplaceTempView(t))

@@ -33,6 +33,19 @@ class Query(
     }.filter(_.nonEmpty).toSet
   }
 
+  /** Table names without requiring analysis: spark.sql resolves
+    * eagerly, so for SQL-text queries over not-yet-registered tables
+    * the names must come from the *parsed* (unresolved) plan. */
+  def referencedTables(spark: SparkSession): Set[String] = sqlText match {
+    case Some(txt) =>
+      spark.sessionState.sqlParser.parsePlan(txt).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.tableName
+      }.toSet
+    case None =>
+      scala.util.Try(tablesInvolved).getOrElse(Set.empty)
+  }
+
   private def timed[A](body: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val r = body

@@ -1,0 +1,110 @@
+package graft.workloads
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Benchmark, ExecutionMode, Query}
+import graft.datagen.StarSchema
+
+/** TPC-DS-shaped analytic suite over the generated retail star schema
+  * — own-worded queries capturing the distinctive reference patterns
+  * (date_sk partition filters, star map-join chains, rollup+grouping
+  * hierarchies with windowed rank, cross-channel unions, period
+  * intersects, wide scans). Correctness here is checksum stability
+  * (`ExecutionMode.HashResults`): generated data is deterministic, so
+  * each query's crc32 checksum must be identical across runs, configs,
+  * and partitionings — the reference's own regression gate.
+  */
+class RetailBenchmark(spark: SparkSession, factRows: Long = 1000000L,
+    resultsLocation: String = "/tmp/graft-results")
+    extends Benchmark(spark, resultsLocation) {
+
+  override def allTables = StarSchema.tables(spark, factRows)
+
+  private def q(name: String, description: String, sql: String,
+      mode: ExecutionMode = ExecutionMode.HashResults): Query =
+    new Query(name, spark.sql(sql), description, Some(sql), mode)
+
+  def queries: Seq[Query] = Seq(
+
+    q("rq1_category_rollup_rank",
+      "revenue rollup over (category, brand) + grouping() hierarchy + windowed rank (q36/q70/q86 shape)",
+      """SELECT * FROM (
+        |  SELECT CAST(grouping(i_category) + grouping(i_brand) AS INT) AS lochierarchy,
+        |    i_category, i_brand,
+        |    sum(ss_quantity * CAST(round(i_list_price * 100) AS BIGINT) * (100 - ss_discount_pct)) AS rev_c,
+        |    rank() OVER (PARTITION BY grouping(i_category) + grouping(i_brand)
+        |      ORDER BY sum(ss_quantity * CAST(round(i_list_price * 100) AS BIGINT) * (100 - ss_discount_pct)) DESC) AS rk
+        |  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+        |  GROUP BY ROLLUP (i_category, i_brand))
+        |WHERE rk <= 5
+        |ORDER BY lochierarchy DESC, rk, i_category, i_brand""".stripMargin),
+
+    q("rq2_channel_union",
+      "cross-channel UNION ALL then re-aggregation (q2/q5/q71 shape; channels = market segments)",
+      """SELECT d_year, d_qoy, count(*) AS n, sum(qty) AS total_qty FROM (
+        |  SELECT ss_sold_date_sk, ss_quantity AS qty
+        |  FROM store_sales JOIN store ON ss_store_sk = s_store_sk WHERE s_market < 2
+        |  UNION ALL
+        |  SELECT ss_sold_date_sk, ss_quantity AS qty
+        |  FROM store_sales JOIN store ON ss_store_sk = s_store_sk WHERE s_market >= 2)
+        |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |GROUP BY d_year, d_qoy
+        |ORDER BY d_year, d_qoy""".stripMargin),
+
+    q("rq3_year_over_year",
+      "monthly revenue with lag window for month-over-month deltas (q47/q57 shape)",
+      """WITH monthly AS (
+        |  SELECT d_year, d_moy, sum(ss_quantity) AS qty
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  GROUP BY d_year, d_moy)
+        |SELECT d_year, d_moy, qty,
+        |  qty - lag(qty) OVER (ORDER BY d_year, d_moy) AS delta
+        |FROM monthly
+        |ORDER BY d_year, d_moy""".stripMargin),
+
+    q("rq4_top_brands_per_state",
+      "per-state brand ranking, rank-bounded top-k (q67 shape)",
+      """SELECT * FROM (
+        |  SELECT s_state, i_brand, sum(ss_quantity) AS qty,
+        |    rank() OVER (PARTITION BY s_state ORDER BY sum(ss_quantity) DESC, i_brand) AS rk
+        |  FROM store_sales
+        |  JOIN store ON ss_store_sk = s_store_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  GROUP BY s_state, i_brand)
+        |WHERE rk <= 3
+        |ORDER BY s_state, rk""".stripMargin),
+
+    q("rq5_demographic_buckets",
+      "conditional aggregation buckets over customer demographics (q27/q34/q88 shape)",
+      """SELECT c_gender,
+        |  count(CASE WHEN c_birth_year < 1960 THEN 1 END) AS boomer_sales,
+        |  count(CASE WHEN c_birth_year BETWEEN 1960 AND 1980 THEN 1 END) AS genx_sales,
+        |  count(CASE WHEN c_birth_year > 1980 THEN 1 END) AS younger_sales,
+        |  avg(ss_quantity) AS avg_qty
+        |FROM store_sales JOIN customer_dim ON ss_customer_sk = c_customer_sk
+        |GROUP BY c_gender
+        |ORDER BY c_gender""".stripMargin),
+
+    q("rq6_date_range_scan",
+      "date_sk partition-key range filter (the reference's '-- partition key filter' pattern)",
+      """SELECT d_year, count(*) AS n, sum(ss_quantity) AS qty
+        |FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |WHERE ss_sold_date_sk BETWEEN 365 AND 730
+        |GROUP BY d_year ORDER BY d_year""".stripMargin),
+
+    q("rq7_period_intersect",
+      "items selling in both periods via INTERSECT (q14/q38 shape)",
+      """SELECT count(*) AS n_common FROM (
+        |  SELECT DISTINCT ss_item_sk FROM store_sales WHERE ss_sold_date_sk < 365
+        |  INTERSECT
+        |  SELECT DISTINCT ss_item_sk FROM store_sales WHERE ss_sold_date_sk >= 1096)""".stripMargin),
+
+    q("rq8_wide_scan_max",
+      "single-pass wide aggregate over the fact table (qSsMax shape)",
+      """SELECT count(*) AS n, count(DISTINCT ss_item_sk) AS d_items,
+        |  count(DISTINCT ss_store_sk) AS d_stores,
+        |  count(DISTINCT ss_customer_sk) AS d_cust,
+        |  max(ss_sold_date_sk) AS max_date, max(ss_quantity) AS max_qty,
+        |  max(ss_discount_pct) AS max_disc
+        |FROM store_sales""".stripMargin))
+}
