@@ -71,6 +71,44 @@ object StarSchema {
         h(col("id"), seed + 13, 31).cast("int").as("ss_discount_pct"))
   }
 
+  /** Second/third sales channels (catalog, web): same shape as
+    * store_sales with channel-specific key distributions — enables the
+    * reference's cross-channel union/intersect queries (q2/q5/q14/q71). */
+  def channelSales(spark: SparkSession, channel: String, n: Long,
+      days: Int = 1461, items: Long = 1000, customers: Long = 10000,
+      seed: Long = 42): DataFrame = {
+    val cs = seed + channel.hashCode
+    val d = days.toLong
+    spark.range(0, n)
+      .select(
+        col("id").as(s"${channel}_id"),
+        greatest(h(col("id"), cs + 7, d), h(col("id"), cs + 8, d))
+          .cast("int").as(s"${channel}_sold_date_sk"),
+        h(col("id"), cs + 9, items).as(s"${channel}_item_sk"),
+        h(col("id"), cs + 11, customers).as(s"${channel}_customer_sk"),
+        (h(col("id"), cs + 12, 10) + 1).cast("int").as(s"${channel}_quantity"))
+  }
+
+  /** Returns fact: a deterministic ~8% subset of store sales. */
+  def storeReturns(spark: SparkSession, salesRows: Long,
+      seed: Long = 42): DataFrame =
+    storeSales(spark, salesRows, seed = seed)
+      .filter(h(col("ss_id"), seed + 20, 100) < 8)
+      .select(
+        col("ss_id").as("sr_sale_id"),
+        col("ss_sold_date_sk").as("sr_returned_date_sk"),
+        col("ss_item_sk").as("sr_item_sk"),
+        col("ss_customer_sk").as("sr_customer_sk"),
+        col("ss_quantity").as("sr_return_quantity"))
+
+  def promotion(spark: SparkSession, n: Long = 100, seed: Long = 42): DataFrame =
+    spark.range(0, n)
+      .select(
+        col("id").as("p_promo_sk"),
+        h(col("id"), seed + 30, 1000).as("p_item_sk"),
+        (h(col("id"), seed + 31, 1200)).cast("int").as("p_start_date_sk"),
+        (h(col("id"), seed + 31, 1200) + 90).cast("int").as("p_end_date_sk"))
+
   /** Register the whole schema as temp views (sf ≈ rows of fact). */
   def tables(spark: SparkSession, factRows: Long = 1000000L,
       seed: Long = 42): Map[String, DataFrame] = Map(
@@ -78,5 +116,9 @@ object StarSchema {
     "item" -> item(spark, 1000, seed),
     "store" -> store(spark, 50, seed),
     "customer_dim" -> customerDim(spark, 10000, seed),
-    "store_sales" -> storeSales(spark, factRows, seed = seed))
+    "store_sales" -> storeSales(spark, factRows, seed = seed),
+    "catalog_sales" -> channelSales(spark, "cs", factRows / 2, seed = seed),
+    "web_sales" -> channelSales(spark, "ws", factRows / 4, seed = seed),
+    "store_returns" -> storeReturns(spark, factRows, seed = seed),
+    "promotion" -> promotion(spark, seed = seed))
 }

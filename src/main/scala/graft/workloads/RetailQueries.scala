@@ -99,6 +99,48 @@ class RetailBenchmark(spark: SparkSession, factRows: Long = 1000000L,
         |  INTERSECT
         |  SELECT DISTINCT ss_item_sk FROM store_sales WHERE ss_sold_date_sk >= 1096)""".stripMargin),
 
+    q("rq9_cross_channel_customers",
+      "customers active in all three channels via 3-way INTERSECT (q38/q87 shape on real channels)",
+      """SELECT count(*) AS n FROM (
+        |  SELECT DISTINCT ss_customer_sk AS c FROM store_sales
+        |  INTERSECT
+        |  SELECT DISTINCT cs_customer_sk AS c FROM catalog_sales
+        |  INTERSECT
+        |  SELECT DISTINCT ws_customer_sk AS c FROM web_sales)""".stripMargin),
+
+    q("rq10_channel_rollup",
+      "per-channel yearly volumes via UNION ALL + rollup (q5/q77/q80 cross-channel report shape)",
+      """SELECT channel, d_year, count(*) AS n, sum(qty) AS total_qty,
+        |  CAST(grouping(channel) + grouping(d_year) AS INT) AS g
+        |FROM (
+        |  SELECT 'store' AS channel, ss_sold_date_sk AS dsk, ss_quantity AS qty FROM store_sales
+        |  UNION ALL
+        |  SELECT 'catalog', cs_sold_date_sk, cs_quantity FROM catalog_sales
+        |  UNION ALL
+        |  SELECT 'web', ws_sold_date_sk, ws_quantity FROM web_sales)
+        |JOIN date_dim ON dsk = d_date_sk
+        |GROUP BY ROLLUP (channel, d_year)
+        |ORDER BY g, channel, d_year""".stripMargin),
+
+    q("rq11_return_ratio",
+      "fact-fact join on compound key: per-item return ratios (q17/q50 sales-returns shape)",
+      """SELECT i_category,
+        |  count(sr_sale_id) AS n_returns, count(*) AS n_sales,
+        |  CAST(sum(coalesce(sr_return_quantity, 0)) AS BIGINT) AS returned_qty
+        |FROM store_sales
+        |LEFT JOIN store_returns
+        |  ON ss_id = sr_sale_id AND ss_item_sk = sr_item_sk
+        |JOIN item ON ss_item_sk = i_item_sk
+        |GROUP BY i_category
+        |ORDER BY i_category""".stripMargin),
+
+    q("rq12_promo_window",
+      "sales inside a promotion's date window via range-predicate join (q61-ish promo effect)",
+      """SELECT count(*) AS promo_sales, CAST(sum(ss_quantity) AS BIGINT) AS promo_qty
+        |FROM store_sales JOIN promotion
+        |  ON ss_item_sk = p_item_sk
+        | AND ss_sold_date_sk BETWEEN p_start_date_sk AND p_end_date_sk""".stripMargin),
+
     q("rq8_wide_scan_max",
       "single-pass wide aggregate over the fact table (qSsMax shape)",
       """SELECT count(*) AS n, count(DISTINCT ss_item_sk) AS d_items,
