@@ -39,10 +39,13 @@ object RunBenchmark {
     val resultsLoc = opts.getOrElse("results", "/tmp/graft-results")
     // benchmarks with their own table registry must run their own
     // experiment (auto-provisioning reads Benchmark.allTables)
-    val retail = if (benchName == "retail")
-      Some(new workloads.RetailBenchmark(spark,
+    val registryBench: Option[Benchmark] = benchName match {
+      case "retail" => Some(new workloads.RetailBenchmark(spark,
         opts.getOrElse("fact-rows", "1000000").toLong, resultsLoc))
-    else None
+      case "bigdata" => Some(new workloads.BigDataBenchmark(spark,
+        opts.getOrElse("scale", "100000").toLong))
+      case _ => None
+    }
     val queries = (benchName match {
       case "micro-join" => MicroBenchmarks.joinMatrix(spark)
       case "micro-agg" => MicroBenchmarks.aggSweep(spark)
@@ -50,7 +53,10 @@ object RunBenchmark {
       case "micro-matches" => MicroBenchmarks.numMatches(spark)
       case "micro-tiers" => MicroBenchmarks.apiTiers(spark)
       case "micro-all" => MicroBenchmarks.all(spark)
-      case "retail" => retail.get.queries
+      case "retail" =>
+        registryBench.get.asInstanceOf[workloads.RetailBenchmark].queries
+      case "bigdata" =>
+        registryBench.get.asInstanceOf[workloads.BigDataBenchmark].queries
       case "catalog" => SparkEntry.catalog.map(c =>
         new core.Query(c.name, c.build(spark, sfDir), c.description))
       case other => sys.error(s"unknown benchmark: $other")
@@ -58,7 +64,7 @@ object RunBenchmark {
 
     require(queries.nonEmpty, "no queries match the filter")
 
-    val bench = retail.getOrElse(new Benchmark(spark, resultsLoc))
+    val bench = registryBench.getOrElse(new Benchmark(spark, resultsLoc))
     val variations =
       if (opts.contains("--vary-codegen") || opts.contains("vary-codegen"))
         Seq(Variation("codegen", Seq("true", "false"))(v =>
