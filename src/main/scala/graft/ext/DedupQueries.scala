@@ -61,12 +61,15 @@ object DedupQueries {
         // background pair Jaccard is ~0.4 — r=4 bands collide on
         // ~0.4^4 of ALL pairs and verification dominates; r=6 cuts
         // false candidates ~40x for ~0.84 recall at the J=0.8 line.
-        // persist: the shingle sets are read by the minhash pass and
-        // both sides of the verify join.
-        val d = docs(s, dir)
-          .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
+        // Shingles are generated as rows (codegen) and only collected
+        // into sets for the verify join.
+        val rows = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 3)
           .persist()
-        val cand = TextOps.lshCandidates(d, "doc_id", "sh", numHashes = 36, rowsPerBand = 6)
+        val d = rows.groupBy(col("doc_id"))
+          .agg(collect_set(col("_el")).as("sh"))
+          .persist()
+        val cand = TextOps.lshCandidatesFromRows(rows, "doc_id",
+          numHashes = 36, rowsPerBand = 6, maxBucketSize = 100)
         TextOps.jaccardJoin(cand, d, "doc_id", "sh", threshNum = 8, threshDen = 10)
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -114,10 +117,12 @@ object DedupQueries {
         // near-identical across ALL documents, which floods LSH buckets
         // with false candidates; 5-grams straddle word boundaries and
         // discriminate
-        val d = docs(s, dir)
-          .select(col("doc_id"), TextOps.charNgrams(col("text"), 5).as("ng"))
+        val rows = TextOps.charNgramRows(docs(s, dir), "doc_id", "text", 5)
           .persist()
-        val cand = TextOps.lshCandidates(d, "doc_id", "ng",
+        val d = rows.groupBy(col("doc_id"))
+          .agg(collect_set(col("_el")).as("ng"))
+          .persist()
+        val cand = TextOps.lshCandidatesFromRows(rows, "doc_id",
           numHashes = 36, rowsPerBand = 6, maxBucketSize = 50)
         TextOps.jaccardJoin(cand, d, "doc_id", "ng", threshNum = 8, threshDen = 10)
           .orderBy(col("a_id"), col("b_id"))

@@ -34,6 +34,46 @@ object TextOps {
           sequence(lit(1), length(text) - (n - 1)),
           i => text.substr(i, lit(n)))))
 
+  /** (id, shingle) ROWS — the scale formulation of `wordShingles`:
+    * one split per document (posexplode) and a window lead pass build
+    * the n-token windows entirely in codegen, where the
+    * array-returning `transform(...slice...)` lambda evaluates
+    * interpreted and re-derives the token array per element (~60×
+    * slower measured). Documents shorter than n tokens contribute
+    * their whole trimmed text. Rows may repeat (duplicate shingles);
+    * downstream consumers are duplicate-insensitive (min-hash) or
+    * dedup via collect_set — cheaper than a global distinct shuffle.
+    */
+  def wordShingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val leads = (1 until n).map(j => lead(col("_tok"), j).over(w))
+    val shingled = toks
+      .select(col(idCol), concat_ws(" ", (col("_tok") +: leads): _*).as("_el"),
+        leads.last.isNotNull.as("_full"))
+      .filter(col("_full"))
+      .select(col(idCol), col("_el"))
+    // docs with < n tokens: fall back to the whole trimmed text
+    // (computed narrowly from the source — no join back)
+    val short = df
+      .filter(size(tokens(col(textCol))) < n)
+      .select(col(idCol), trim(col(textCol)).as("_el"))
+    shingled.union(short)
+  }
+
+  /** (id, char n-gram) rows — explode positions, substring in codegen;
+    * short texts yield themselves. May contain duplicates (see
+    * wordShingleRows). */
+  def charNgramRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))))
+        .as("_i"), col(textCol))
+      .select(col(idCol), col(textCol).substr(col("_i"), lit(n)).as("_el"))
+
   /** MinHash-LSH candidate pairs.
     *
     * Pipeline (all distributed, one shuffle per stage):
@@ -57,7 +97,20 @@ object TextOps {
       setCol: String,
       numHashes: Int,
       rowsPerBand: Int,
-      maxBucketSize: Int = 100): DataFrame = {
+      maxBucketSize: Int = 100): DataFrame =
+    lshCandidatesFromRows(
+      docs.select(col(idCol), explode(col(setCol)).as("_el")),
+      idCol, numHashes, rowsPerBand, maxBucketSize)
+
+  /** Same, from pre-exploded (id, _el) element rows (pairs with
+    * wordShingleRows/charNgramRows so sets are never materialized as
+    * arrays for the signature pass). */
+  def lshCandidatesFromRows(
+      rows: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val nBands = numHashes / rowsPerBand
 
@@ -66,9 +119,8 @@ object TextOps {
     // fewer hash evaluations than hashing each element per seed, and
     // the multiply-adds stay inside codegen. Wrapping arithmetic needs
     // a custom expression because ANSI mode raises on long overflow.
-    graft.functions.HashOps.register(docs.sparkSession)
-    val exploded = docs
-      .select(col(idCol), explode(col(setCol)).as("_el"))
+    graft.functions.HashOps.register(rows.sparkSession)
+    val exploded = rows
       .select(col(idCol), xxhash64(col("_el")).as("_h"))
     def mixConst(i: Int, salt: Long): Long = {
       var z = i.toLong * 0x9e3779b97f4a7c15L + salt

@@ -101,14 +101,11 @@ object TextQueries {
       "tx04_fingerprint",
       "Document fingerprint: min rolling hash over 4-token windows (winnowing-style), plus collision summary",
       (s, dir) => {
-        // explode + min-agg instead of array_min(transform(...)): the
-        // higher-order transform evaluates its lambda interpreted per
-        // element, while explode + xxhash64 + min stays in codegen
-        val windows = TextOps.wordShingles(col("text"), 4)
-        val fp = docs(s, dir)
-          .select(col("doc_id"), explode(windows).as("w"))
+        // row-generated windows + min-agg: the whole pipeline stays in
+        // codegen (higher-order transform lambdas run interpreted)
+        val fp = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 4)
           .groupBy(col("doc_id"))
-          .agg(min(xxhash64(col("w"))).as("fingerprint"))
+          .agg(min(xxhash64(col("_el"))).as("fingerprint"))
         fp.groupBy(col("fingerprint"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
           .orderBy(col("first_doc"))
