@@ -53,8 +53,9 @@ class Query(
   }
 
   /** One measured run. Never throws: failures are recorded
-    * (`P/Query.scala:157-163`). */
-  def doBenchmark(includeBreakdown: Boolean = false): BenchmarkResult = {
+    * (`P/Query.scala:157-163`). Per-node metric breakdown is the
+    * separate `Breakdown.of` diagnostic (it needs AQE pinned off). */
+  def doBenchmark(): BenchmarkResult = {
     try {
       val df = newDataFrame()
       val qe = df.queryExecution
