@@ -148,5 +148,88 @@ class RetailBenchmark(spark: SparkSession, factRows: Long = 1000000L,
         |  count(DISTINCT ss_customer_sk) AS d_cust,
         |  max(ss_sold_date_sk) AS max_date, max(ss_quantity) AS max_qty,
         |  max(ss_discount_pct) AS max_disc
-        |FROM store_sales""".stripMargin))
+        |FROM store_sales""".stripMargin),
+
+    q("rq13_activity_profile",
+      "EXISTS + NOT EXISTS customer activity profile (q10/q16/q69 shape)",
+      """SELECT c_gender, count(*) AS n
+        |FROM customer_dim
+        |WHERE EXISTS (SELECT 1 FROM store_sales WHERE ss_customer_sk = c_customer_sk)
+        |  AND NOT EXISTS (SELECT 1 FROM web_sales WHERE ws_customer_sk = c_customer_sk)
+        |GROUP BY c_gender
+        |ORDER BY c_gender""".stripMargin),
+
+    q("rq14_above_average_returns",
+      "correlated scalar subquery: customers returning above 1.2x their store-date cohort average (q1 ctr shape)",
+      """WITH ctr AS (
+        |  SELECT sr_customer_sk, sr_returned_date_sk % 50 AS cohort,
+        |    CAST(sum(sr_return_quantity) AS BIGINT) AS total_return
+        |  FROM store_returns GROUP BY 1, 2)
+        |SELECT count(*) AS n_heavy_returners
+        |FROM ctr c1
+        |WHERE total_return > 1.2 * (SELECT avg(total_return) FROM ctr c2
+        |                            WHERE c1.cohort = c2.cohort)""".stripMargin),
+
+    q("rq15_time_bucket_counts",
+      "parallel CASE-bucket counts in one scan (q88 time-slot shape, buckets = quarters)",
+      """SELECT
+        |  count(CASE WHEN d_qoy = 1 THEN 1 END) AS q1_sales,
+        |  count(CASE WHEN d_qoy = 2 THEN 1 END) AS q2_sales,
+        |  count(CASE WHEN d_qoy = 3 THEN 1 END) AS q3_sales,
+        |  count(CASE WHEN d_qoy = 4 THEN 1 END) AS q4_sales
+        |FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk""".stripMargin),
+
+    q("rq16_running_totals",
+      "cumulative window frame per item over time (q51 shape)",
+      """SELECT ss_item_sk, d_moy,
+        |  sum(sum(ss_quantity)) OVER (PARTITION BY ss_item_sk ORDER BY d_moy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |WHERE ss_item_sk < 20 AND d_year = 2021
+        |GROUP BY ss_item_sk, d_moy
+        |ORDER BY ss_item_sk, d_moy""".stripMargin),
+
+    q("rq17_category_share",
+      "ratio-to-report: category revenue share within its market (q12/q20/q98 shape)",
+      """SELECT i_category, s_market,
+        |  CAST(sum(ss_quantity) AS BIGINT) AS qty,
+        |  CAST(sum(ss_quantity) AS BIGINT) * 10000
+        |    / sum(CAST(sum(ss_quantity) AS BIGINT)) OVER (PARTITION BY s_market) AS share_bps
+        |FROM store_sales
+        |JOIN item ON ss_item_sk = i_item_sk
+        |JOIN store ON ss_store_sk = s_store_sk
+        |GROUP BY i_category, s_market
+        |ORDER BY s_market, i_category""".stripMargin),
+
+    q("rq18_channel_except",
+      "EXCEPT chain: store-only customers (q87 shape)",
+      """SELECT count(*) AS n_store_only FROM (
+        |  SELECT DISTINCT ss_customer_sk AS c FROM store_sales
+        |  EXCEPT SELECT DISTINCT cs_customer_sk AS c FROM catalog_sales
+        |  EXCEPT SELECT DISTINCT ws_customer_sk AS c FROM web_sales)""".stripMargin),
+
+    q("rq19_cte_reuse",
+      "multi-CTE with the same CTE consumed twice (q2/q23 shape)",
+      """WITH weekly AS (
+        |  SELECT d_year, d_dow, CAST(sum(ss_quantity) AS BIGINT) AS qty
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  GROUP BY d_year, d_dow)
+        |SELECT a.d_dow, a.qty AS qty_2021, b.qty AS qty_2022,
+        |  b.qty * 10000 / a.qty AS growth_bps
+        |FROM weekly a JOIN weekly b ON a.d_dow = b.d_dow
+        |WHERE a.d_year = 2021 AND b.d_year = 2022
+        |ORDER BY a.d_dow""".stripMargin),
+
+    q("rq20_monthly_vs_yearly",
+      "window over aggregate: monthly deviation from the item's yearly average (q47/q57 full shape)",
+      """SELECT * FROM (
+        |  SELECT ss_item_sk, d_year, d_moy,
+        |    CAST(sum(ss_quantity) AS BIGINT) AS qty,
+        |    avg(CAST(sum(ss_quantity) AS BIGINT))
+        |      OVER (PARTITION BY ss_item_sk, d_year) AS yr_avg
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE ss_item_sk < 10
+        |  GROUP BY ss_item_sk, d_year, d_moy)
+        |WHERE qty > 1.5 * yr_avg
+        |ORDER BY ss_item_sk, d_year, d_moy""".stripMargin))
 }
