@@ -101,6 +101,27 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * so the join state is bounded; the range condition bounds how long
+    * a click is retained awaiting purchases. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Drive a streaming DataFrame to completion against an in-memory
     * sink and return the materialized result (test/dev harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.GraphPatterns
+import graft.sources.TextSources
+
+/** End-to-end: SNAP ego-net files → parser → pattern counts, checked
+  * against hand-computed ground truth on a tiny graph. */
+class GraphIntegrationSpec extends SparkSpec {
+
+  test("SNAP files drive the pattern counters with exact counts") {
+    val dir = Files.createTempDirectory("graft-snapg").toFile
+    // ego 0 with one 2-token line: edges (0,1),(0,2),(1,2)
+    Files.writeString(new java.io.File(dir, "0.edges").toPath, "1 2\n")
+    val edges = TextSources.snapEgoNet(spark, dir.getAbsolutePath)
+      .toDF("src", "tgt").distinct()
+
+    // chains (a.tgt=b.src): (0,1)->(1,2) = 1
+    assert(GraphPatterns.chainCount(edges) == 1L)
+    // stars (a.tgt = b.src = c.src): hub 1 has indeg 1, outdeg 1 -> 1
+    assert(GraphPatterns.starCount(edges) == 1L)
+    // wedges: out(0)=2 -> 4; out(1)=1 -> 1; total 5 - E(3) = 2
+    assert(GraphPatterns.wedgeCount(edges) == 2L)
+    // no directed cycle in {(0,1),(0,2),(1,2)}
+    assert(GraphPatterns.triangleCount(edges) == 0L)
+
+    // add the closing edge (2,0): one directed triangle, counted once
+    // per rotation = 3
+    Files.writeString(new java.io.File(dir, "5.edges").toPath, "")
+    val withCycle = edges.union(
+      spark.createDataFrame(Seq((2L, 0L))).toDF("src", "tgt"))
+    assert(GraphPatterns.triangleCount(withCycle) == 3L)
+  }
+
+  test("degree-product counts equal naive join counts on a generated graph") {
+    val edges = graft.datagen.Generators.randomEdges(spark, 200, 2000)
+      .toDF("src", "tgt").distinct().cache()
+    val naiveChain = edges.as("a").join(edges.as("b"), col("a.tgt") === col("b.src")).count()
+    assert(GraphPatterns.chainCount(edges) == naiveChain)
+    val naiveWedge = edges.as("a").join(edges.as("b"),
+      col("a.src") === col("b.src") && col("a.tgt") =!= col("b.tgt")).count()
+    assert(GraphPatterns.wedgeCount(edges) == naiveWedge)
+  }
+}

@@ -36,6 +36,25 @@ class StreamingSpec extends SparkSpec {
     assert(dupes == 0)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.purchaseAttribution(stream), "attr_test", OutputMode.Append())
+    val batch = Tables.events(spark, sfDir)
+    val clicks = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val expected = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts")).count()
+    assert(got.count() == expected)
+    assert(expected > 0)
+  }
+
   test("mapGroupsWithState running totals equal batch per-user totals") {
     val stream = EventsStream.readEvents(spark, sfDir)
     val got = EventsStream.runToMemory(spark,
