@@ -18,10 +18,23 @@ import graft.workloads.MicroBenchmarks
   */
 object RunBenchmark {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap ++ args.filter(a => a == "--vary-codegen").map(_ -> "true").toMap
+  private val flagArgs = Set("--vary-codegen")
+
+  /** key-value flags plus boolean flags; a boolean flag must not
+    * consume the next token (a sliding(2,2) pairing would desync every
+    * argument after it). */
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (flagArgs.contains(a)) { out += a.stripPrefix("--") -> "true"; i += 1 }
+      else if (a.startsWith("--") && i + 1 < args.length) {
+        out += a.stripPrefix("--") -> args(i + 1); i += 2
+      } else i += 1
+    }
+    out.result()
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
@@ -66,7 +79,7 @@ object RunBenchmark {
 
     val bench = registryBench.getOrElse(new Benchmark(spark, resultsLoc))
     val variations =
-      if (opts.contains("--vary-codegen") || opts.contains("vary-codegen"))
+      if (opts.contains("vary-codegen"))
         Seq(Variation("codegen", Seq("true", "false"))(v =>
           spark.conf.set("spark.sql.codegen.wholeStage", v)))
       else Nil

@@ -103,7 +103,10 @@ object SimilarityQueries {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
         val e = embeddings(s, dir).withColumn("fv", array_to_vector(col("v")))
-        val km = new KMeans().setK(16).setSeed(42).setFeaturesCol("fv").fit(e)
+        // few iterations: the quantizer only needs stable buckets, not
+        // converged centroids (re-rank inside the bucket is exact)
+        val km = new KMeans().setK(16).setMaxIter(5).setSeed(42)
+          .setFeaturesCol("fv").fit(e)
         val assigned = km.transform(e)
           .select(col("vec_id"), col("v"), col("prediction").as("bucket"))
         // centroid list is tiny (k rows): distribute it, probe by dot
