@@ -29,7 +29,11 @@ object RunBenchmark {
     while (i < args.length) {
       val a = args(i)
       if (flagArgs.contains(a)) { out += a.stripPrefix("--") -> "true"; i += 1 }
-      else if (a.startsWith("--") && i + 1 < args.length) {
+      else if (a.startsWith("--")) {
+        // a value must follow and must not itself be a flag — fail
+        // loudly rather than silently swallowing the next option
+        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+          s"option $a requires a value")
         out += a.stripPrefix("--") -> args(i + 1); i += 2
       } else i += 1
     }

@@ -115,9 +115,15 @@ object SimilarityQueries {
           .toDF("bucket", "centroid")
         val q = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        // probe ranking must use the quantizer's own metric: KMeans
+        // assigns by Euclidean distance, and for unit queries the
+        // Euclidean-nearest centroid is argmax(q·c − ‖c‖²/2) — raw dot
+        // would favor long-norm centroids and probe the wrong buckets
         val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cd").desc, col("bucket"))
         val probes = q.crossJoin(broadcast(centroids))
-          .withColumn("cd", graft.functions.VectorOps.dot(col("qv"), col("centroid")))
+          .withColumn("cd",
+            graft.functions.VectorOps.dot(col("qv"), col("centroid")) -
+              graft.functions.VectorOps.dot(col("centroid"), col("centroid")) / 2.0)
           .withColumn("pr", row_number().over(wProbe))
           .filter(col("pr") <= 4)
           .select(col("q_id"), col("qv"), col("bucket"))
