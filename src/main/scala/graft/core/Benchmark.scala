@@ -29,16 +29,20 @@ class Benchmark(
   /** Named tables this benchmark can provision (name → DataFrame). */
   def allTables: Map[String, DataFrame] = Map.empty
 
-  /** Register every table whose name a query references and is not yet
-    * registered (`P/Benchmark.scala:342-374` auto-provisioning, via
-    * temp views instead of saveAsTable — no metastore dependency). */
-  def provisionTables(queries: Seq[Query]): Unit = {
-    val needed = queries.flatMap(_.referencedTables(spark)).toSet
-    needed.foreach { t =>
-      if (!spark.catalog.tableExists(t))
-        allTables.get(t).foreach(_.createOrReplaceTempView(t))
+  /** Register every not-yet-registered table from `allTables`
+    * (`P/Benchmark.scala:342-374` auto-provisioning semantics, via temp
+    * views instead of saveAsTable — no metastore dependency).
+    *
+    * All registry tables are registered, not just referenced ones:
+    * name extraction can only work pre-analysis for SQL-text queries
+    * (DataFrame builders analyze eagerly and throw on missing tables,
+    * and probing them would also eagerly run any actions inside the
+    * builder). Temp views are lazy, so over-registration costs nothing.
+    */
+  def provisionTables(queries: Seq[Query]): Unit =
+    allTables.foreach { case (name, df) =>
+      if (!spark.catalog.tableExists(name)) df.createOrReplaceTempView(name)
     }
-  }
 
   private def crossProduct(variations: Seq[Variation[_]]): Seq[Seq[(Variation[_], Any)]] =
     variations.foldLeft(Seq(Seq.empty[(Variation[_], Any)])) { (acc, v) =>
@@ -68,34 +72,45 @@ class Benchmark(
 
     val resultPath = s"$resultsLocation/timestamp=$timestamp"
 
+    @volatile var error: Option[Throwable] = None
+
     private val work: Future[Unit] = Future {
-      val combos = crossProduct(variations)
-      val runs = for {
-        i <- 1 to iterations
-        combo <- combos
-      } yield {
-        combo.foreach { case (v, opt) =>
-          v.asInstanceOf[Variation[Any]].setup(opt)
+      try {
+        val combos = crossProduct(variations)
+        val runs = for {
+          i <- 1 to iterations
+          combo <- combos
+        } yield {
+          combo.foreach { case (v, opt) =>
+            v.asInstanceOf[Variation[Any]].setup(opt)
+          }
+          val comboTags = combo.map { case (v, opt) => v.name -> opt.toString }.toMap
+          val results = queries.map { q =>
+            currentQuery = q.name
+            val r = q.benchmarkWithTimeout(spark, timeoutMs)
+            if (r.failure.isDefined) failures += 1
+            r
+          }
+          val run = ExperimentRun(timestamp, i, tags ++ comboTags,
+            currentConfiguration(), results)
+          currentRuns = currentRuns :+ run
+          run
         }
-        val comboTags = combo.map { case (v, opt) => v.name -> opt.toString }.toMap
-        val results = queries.map { q =>
-          currentQuery = q.name
-          val r = q.benchmarkWithTimeout(spark, timeoutMs)
-          if (r.failure.isDefined) failures += 1
-          r
-        }
-        val run = ExperimentRun(timestamp, i, tags ++ comboTags,
-          currentConfiguration(), results)
-        currentRuns = currentRuns :+ run
-        run
+        import spark.implicits._
+        spark.createDataset(runs).coalesce(1).write.mode("overwrite").json(resultPath)
+      } catch {
+        case t: Throwable =>
+          // surface setup/sink failures to pollers, not only to
+          // waitForFinish callers
+          error = Some(t)
+          throw t
+      } finally {
+        // post-run block cleanup (`P/Benchmarkable.scala:58-65`
+        // semantics on public API), even on failure: drop cached blocks
+        // so back-to-back experiments don't compound memory pressure
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
       }
-      import spark.implicits._
-      spark.createDataset(runs).coalesce(1).write.mode("overwrite").json(resultPath)
-      // post-run block cleanup (`P/Benchmarkable.scala:58-65` semantics
-      // on public API): drop cached blocks so back-to-back experiments
-      // don't compound memory pressure
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
     }
 
     /** Minimal HTML status report (`P/Benchmark.scala:518-548`). */
@@ -116,8 +131,9 @@ class Benchmark(
       * `P/RunBenchmark.scala:155-174`). */
     def getCurrentResults(): DataFrame = {
       import spark.implicits._
-      if (currentRuns.isEmpty) spark.emptyDataFrame
-      else spark.createDataset(currentRuns).toDF()
+      // empty case keeps the full schema (spark.emptyDataFrame has no
+      // columns and would break downstream selects)
+      spark.createDataset(currentRuns).toDF()
         .select(col("iteration"), explode(col("results")).as("result"))
         .select(col("iteration"), col("result.*"))
     }

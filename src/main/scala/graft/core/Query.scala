@@ -97,7 +97,11 @@ class Query(
         result = Some(scalar),
         joinTypes = joinTypes)
     } catch {
-      case e: Exception =>
+      // Throwable, not Exception: a fatal Error (driver OOM on collect,
+      // codegen StackOverflowError) must be RECORDED — letting it kill
+      // the runner thread makes benchmarkWithTimeout mislabel the death
+      // as a timeout
+      case e: Throwable =>
         BenchmarkResult(name = name, mode = executionMode.name,
           failure = Some(Failure(e.getClass.getName,
             Option(e.getMessage).getOrElse("").take(2000))))

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.CatalogQuery
 import graft.sources.Tables
-import graft.workloads.Parity
 
 /** Deduplication operators over the `documents` / `embeddings` tables —
   * the training-data-pipeline surface (exact, MinHash+LSH, SimHash,
@@ -91,12 +90,18 @@ object DedupQueries {
             (0 until 64).map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
               .reduce(_ + _))
           .select(col("doc_id"), col("simhash"))
-        // Pigeonhole: Hamming ≤ 8 on 64 bits → at least one identical
-        // 16-bit chunk... (8 errors can spread over 4 chunks, so use
-        // chunk match as candidate generation, verify exactly after).
+        // Pigeonhole: to GUARANTEE a shared chunk for Hamming ≤ 8 the
+        // 64 bits must split into 9 chunks (8 differing bits can touch
+        // at most 8 of them) — 8 chunks of 7 bits + one of 8.
+        val chunkDefs = (0 until 9).map { c =>
+          val start = c * 7
+          val width = if (c == 8) 8 else 7
+          (c, start, (1L << width) - 1)
+        }
         val chunks = sig.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(c =>
-            struct(lit(c).as("c"), expr(s"(simhash >> ${c * 16}) & 65535").as("v"))): _*)).as("ch"))
+          explode(array(chunkDefs.map { case (c, start, mask) =>
+            struct(lit(c).as("c"), expr(s"(simhash >> $start) & $mask").as("v"))
+          }: _*)).as("ch"))
           .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
         chunks.as("x").join(chunks.as("y"),
             col("x.c") === col("y.c") && col("x.v") === col("y.v") &&

@@ -46,9 +46,11 @@ object TextOps {
     */
   def wordShingleRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    if (n == 1) return toks.select(col(idCol), col("_tok").as("_el"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
     val leads = (1 until n).map(j => lead(col("_tok"), j).over(w))
     val shingled = toks
@@ -177,12 +179,4 @@ object TextOps {
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
   }
 
-  /** Cosine similarity between two array<double> columns, computed
-    * with sequential higher-order aggregates (deterministic per plan). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column = sqrt(dot(x, x))
-    dot(a, b) / (norm(a) * norm(b))
-  }
 }

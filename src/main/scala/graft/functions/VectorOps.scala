@@ -74,10 +74,14 @@ object VectorOps {
   /** Dot product column (requires register(spark) on the session). */
   def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
-  /** L2-normalize an array<double> column (one dot + one transform). */
+  /** L2-normalize an array<double> column (one dot + one transform).
+    * A zero vector stays zero (instead of NaN from 0/0): cosine against
+    * anything is then 0, so it drops out of similarity thresholds
+    * rather than sorting first under NaN-is-largest semantics or
+    * blowing up ANSI casts downstream. */
   def normalize(v: Column): Column = {
     val n = sqrt(dot(v, v))
-    transform(v, x => x / n)
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
   }
 
   /** Cosine via pre-normalization: cosine(a, b) = dot(norm(a), norm(b)).

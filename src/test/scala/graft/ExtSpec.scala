@@ -9,6 +9,16 @@ import graft.sources.Tables
   * invariant at sf0.001. */
 class ExtSpec extends SparkSpec {
 
+  /** Independent cosine ground truth (interpreted higher-order
+    * aggregates) — deliberately NOT VectorOps, so the custom codegen
+    * expression is cross-checked against a separate implementation. */
+  private def refCosine(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
   private lazy val docShingles = Tables.table(spark, sfDir, "documents")
     .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
     .cache()
@@ -53,7 +63,7 @@ class ExtSpec extends SparkSpec {
     val e = Tables.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val truthN = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", TextOps.cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", refCosine(col("a.v"), col("b.v")))
       .filter(col("cos") >= 0.4).count()
     assert(got.count() == truthN)
   }
