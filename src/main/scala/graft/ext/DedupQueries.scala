@@ -76,7 +76,7 @@ object DedupQueries {
 
     CatalogQuery(
       "dd04_simhash",
-      "SimHash near-dup pairs: 64-bit signatures, 16-bit chunk bucketing, Hamming ≤ 8 verification",
+      "SimHash near-dup pairs: 64-bit signatures, 9-chunk pigeonhole bucketing, Hamming ≤ 8 verification",
       (s, dir) => {
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
