@@ -73,6 +73,24 @@ class HarnessSpec extends SparkSpec {
     assert(r1.result.get != r2.result.get)
   }
 
+  test("WriteParquet, Collect and Foreach execution modes drive results") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mode").toString
+    val wq = new Query("w", li.select("l_orderkey").limit(10),
+      executionMode = ExecutionMode.WriteParquet(out))
+    assert(wq.doBenchmark().failure.isEmpty)
+    assert(spark.read.parquet(s"$out/w.parquet").count() == 10)
+
+    val cq = new Query("c", li.select("l_orderkey").limit(7),
+      executionMode = ExecutionMode.CollectResults)
+    val cr = cq.doBenchmark()
+    assert(cr.failure.isEmpty && cr.result.contains(7L))
+
+    val fq = new Query("f", li.select("l_orderkey"),
+      executionMode = ExecutionMode.ForeachResults)
+    val fr = fq.doBenchmark()
+    assert(fr.failure.isEmpty && fr.result.contains(0L))
+  }
+
   test("SQL-text queries run through the same lifecycle") {
     Tables.registerAll(spark, sfDir)
     val q = Query.sql(spark, "sql_q",
