@@ -21,8 +21,28 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         if str(df[c].dtype) in ("int32", "int64", "Int32", "Int64"):
-            df[c] = df[c].astype("float64")  # unify int widths for compare
+            # nullable Int64: unifies widths without the float64 precision
+            # loss above 2^53 (large keys / hash-derived BIGINTs)
+            df[c] = df[c].astype("Int64")
     return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def reconcile(got: pd.DataFrame, exp: pd.DataFrame):
+    """Unify per-column dtypes when one engine returned int and the other
+    float (e.g. DuckDB HUGEINT sums arrive as float64): ints stay exact
+    unless the float side is genuinely fractional."""
+    for c in got.columns:
+        a, b = str(got[c].dtype), str(exp[c].dtype)
+        if a == b:
+            continue
+        if {a, b} <= {"Int64", "float64"}:
+            fdf = got if a == "float64" else exp
+            f = fdf[c].dropna()
+            if (f == f.round()).all() and (f.abs() < 2**53).all():
+                fdf[c] = fdf[c].round().astype("Int64")
+            else:
+                idf = got if a == "Int64" else exp
+                idf[c] = idf[c].astype("float64")
+    return got, exp
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -42,6 +62,7 @@ def main(sf_dir, out_dir):
             exp = norm(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        got, exp = reconcile(got, exp)
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1; continue

@@ -25,14 +25,18 @@ object Bench {
 
     val results = SparkEntry.catalog.map { q =>
       val t0 = System.nanoTime()
-      try { q.build(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { q.build(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Failed queries are reported as -1 AND listed in "failed" — a throw
+    // must never masquerade as a fast success.
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

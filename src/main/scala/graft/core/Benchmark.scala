@@ -38,11 +38,14 @@ class Benchmark(
     * (DataFrame builders analyze eagerly and throw on missing tables,
     * and probing them would also eagerly run any actions inside the
     * builder). Temp views are lazy, so over-registration costs nothing.
+    *
+    * Registration always replaces: a table in this benchmark's own
+    * registry must reflect *this* benchmark's configuration, even if a
+    * previous benchmark in the same session registered the same name
+    * at a different scale.
     */
   def provisionTables(queries: Seq[Query]): Unit =
-    allTables.foreach { case (name, df) =>
-      if (!spark.catalog.tableExists(name)) df.createOrReplaceTempView(name)
-    }
+    allTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
   private def crossProduct(variations: Seq[Variation[_]]): Seq[Seq[(Variation[_], Any)]] =
     variations.foldLeft(Seq(Seq.empty[(Variation[_], Any)])) { (acc, v) =>

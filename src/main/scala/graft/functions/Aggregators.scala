@@ -49,6 +49,29 @@ object Aggregators {
     override def outputEncoder: Encoder[SumCount] = Encoders.product[SumCount]
   }
 
+  case class LongSumCount(var sum: Long, var count: Long)
+
+  /** Fixed-point typed aggregator: each input is scaled to integer
+    * units (`round(x * 10^scale)`) **before** accumulation and summed
+    * as Long, so the partial sums are exact and independent of row
+    * order / partitioning — the typed-API twin of
+    * `graft.workloads.Parity.dsum`. Use this (not a Double-buffer
+    * aggregator) whenever the result feeds the hash-identical oracle
+    * gate. */
+  class FixedPointSumCount(scale: Int)
+      extends Aggregator[Double, LongSumCount, LongSumCount] {
+    private val f = math.pow(10, scale)
+    override def zero: LongSumCount = LongSumCount(0L, 0L)
+    override def reduce(b: LongSumCount, a: Double): LongSumCount = {
+      b.sum += math.round(a * f); b.count += 1; b
+    }
+    override def merge(b1: LongSumCount, b2: LongSumCount): LongSumCount =
+      LongSumCount(b1.sum + b2.sum, b1.count + b2.count)
+    override def finish(r: LongSumCount): LongSumCount = r
+    override def bufferEncoder: Encoder[LongSumCount] = Encoders.product[LongSumCount]
+    override def outputEncoder: Encoder[LongSumCount] = Encoders.product[LongSumCount]
+  }
+
   case class LogSumCount(var logSum: Double, var count: Long)
 
   /** Geometric mean = exp(mean(ln x)); log-domain buffer avoids the

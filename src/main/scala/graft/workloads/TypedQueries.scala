@@ -53,12 +53,14 @@ object TypedQueries {
         val ds = Tables.table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
           .as[Order]
+        // Fixed-point Long buffer: per-term cents are summed exactly, so
+        // the result is identical under any partitioning (matches davgSql).
         ds.groupByKey(_.o_orderstatus)
           .mapValues(_.o_totalprice)
-          .agg(Aggregators.SumCountAggregator.toColumn.name("sc"))
+          .agg(new Aggregators.FixedPointSumCount(2).toColumn.name("sc"))
           .toDF("o_orderstatus", "sc")
           .select(col("o_orderstatus"),
-            (round(col("sc.sum") * 1e2).cast("long").cast("double") / (lit(1e2) * col("sc.count")))
+            (col("sc.sum").cast("double") / (lit(1e2) * col("sc.count")))
               .as("avg_price"))
           .orderBy(col("o_orderstatus"))
       },

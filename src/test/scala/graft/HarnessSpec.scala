@@ -14,7 +14,9 @@ class HarnessSpec extends SparkSpec {
     val bench = new Benchmark(spark, s"/tmp/graft-test-results-${System.nanoTime()}")
     val q1 = new Query("agg", li.groupBy("l_returnflag").count(),
       executionMode = ExecutionMode.CountResults)
-    val q2 = new Query("hash", li.select("l_orderkey", "l_returnflag").limit(100),
+    // deterministic subset: LIMIT without ORDER BY has no guaranteed rows
+    val q2 = new Query("hash",
+      li.filter(col("l_orderkey") <= 100).select("l_orderkey", "l_returnflag"),
       executionMode = ExecutionMode.HashResults)
     val flip = Variation("codegen", Seq("true", "false"))(v =>
       spark.conf.set("spark.sql.codegen.wholeStage", v))
