@@ -108,8 +108,11 @@ object DedupQueries {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
             expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
-          .distinct()
+          // filter BEFORE distinct: the Hamming test is a cheap codegen'd
+          // bit_count on rows already in hand, while distinct is a shuffle
+          // — at scale the candidate stream is >>100× the true-pair set
           .filter(col("hamming") <= 8)
+          .distinct()
           .orderBy(col("a_id"), col("b_id"))
       },
       None),

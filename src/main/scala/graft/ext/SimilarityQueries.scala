@@ -103,9 +103,12 @@ object SimilarityQueries {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
         val e = embeddings(s, dir).withColumn("fv", array_to_vector(col("v")))
-        // few iterations: the quantizer only needs stable buckets, not
-        // converged centroids (re-rank inside the bucket is exact)
+        // few iterations + random init: the quantizer only needs stable
+        // buckets, not converged centroids (re-rank inside the bucket is
+        // exact), and kmeans|| init costs ~2 extra passes over the corpus
+        // per round — at 100 TB the quantizer would be fit on a sample
         val km = new KMeans().setK(16).setMaxIter(5).setSeed(42)
+          .setInitMode("random")
           .setFeaturesCol("fv").fit(e)
         val assigned = km.transform(e)
           .select(col("vec_id"), col("v"), col("prediction").as("bucket"))

@@ -231,5 +231,123 @@ class RetailBenchmark(spark: SparkSession, factRows: Long = 1000000L,
         |  WHERE ss_item_sk < 10
         |  GROUP BY ss_item_sk, d_year, d_moy)
         |WHERE qty > 1.5 * yr_avg
-        |ORDER BY ss_item_sk, d_year, d_moy""".stripMargin))
+        |ORDER BY ss_item_sk, d_year, d_moy""".stripMargin),
+
+    q("rq21_inventory_shift",
+      "on-hand inventory before/after a pivot date per warehouse-state x category (q21 shape)",
+      """SELECT w_state, i_category,
+        |  CAST(sum(CASE WHEN inv_date_sk < 735 THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS before_qty,
+        |  CAST(sum(CASE WHEN inv_date_sk >= 735 THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS after_qty
+        |FROM inventory
+        |JOIN warehouse ON inv_warehouse_sk = w_warehouse_sk
+        |JOIN item ON inv_item_sk = i_item_sk
+        |WHERE inv_date_sk BETWEEN 735 - 210 AND 735 + 210
+        |GROUP BY w_state, i_category
+        |HAVING sum(CASE WHEN inv_date_sk >= 735 THEN inv_quantity_on_hand ELSE 0 END) * 10
+        |  BETWEEN sum(CASE WHEN inv_date_sk < 735 THEN inv_quantity_on_hand ELSE 0 END) * 5
+        |      AND sum(CASE WHEN inv_date_sk < 735 THEN inv_quantity_on_hand ELSE 0 END) * 20
+        |ORDER BY w_state, i_category""".stripMargin),
+
+    q("rq22_inventory_rollup",
+      "average weekly on-hand rollup over the item hierarchy (q22 shape)",
+      """SELECT i_category, i_brand,
+        |  CAST(grouping(i_category) + grouping(i_brand) AS INT) AS g,
+        |  CAST(sum(inv_quantity_on_hand) AS BIGINT) AS total_on_hand,
+        |  count(*) AS n_weeks
+        |FROM inventory JOIN item ON inv_item_sk = i_item_sk
+        |GROUP BY ROLLUP (i_category, i_brand)
+        |ORDER BY g, i_category, i_brand""".stripMargin),
+
+    q("rq23_ship_lag_buckets",
+      "sold-to-ship lag bucketed 30/60/90+ days per ship mode x warehouse state (q62/q99 shape)",
+      """SELECT sm_type, w_state,
+        |  count(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30 THEN 1 END) AS d30,
+        |  count(CASE WHEN cs_ship_date_sk - cs_sold_date_sk BETWEEN 31 AND 60 THEN 1 END) AS d60,
+        |  count(CASE WHEN cs_ship_date_sk - cs_sold_date_sk BETWEEN 61 AND 90 THEN 1 END) AS d90,
+        |  count(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90 THEN 1 END) AS d90plus
+        |FROM catalog_sales
+        |JOIN ship_mode ON cs_ship_mode_sk = sm_ship_mode_sk
+        |JOIN warehouse ON cs_warehouse_sk = w_warehouse_sk
+        |GROUP BY sm_type, w_state
+        |ORDER BY sm_type, w_state""".stripMargin),
+
+    q("rq24_returns_by_reason",
+      "top return reasons by returned quantity (q85 reporting shape)",
+      """SELECT r_reason_desc, count(*) AS n_returns,
+        |  CAST(sum(wr_return_quantity) AS BIGINT) AS returned_qty
+        |FROM web_returns JOIN reason ON wr_reason_sk = r_reason_sk
+        |GROUP BY r_reason_desc
+        |ORDER BY returned_qty DESC, r_reason_desc
+        |LIMIT 10""".stripMargin),
+
+    q("rq25_shift_ratio",
+      "morning vs evening sales counts via time_dim scalar subqueries (q90 shape)",
+      """SELECT CAST(am.cnt AS BIGINT) AS am_cnt, CAST(pm.cnt AS BIGINT) AS pm_cnt,
+        |  am.cnt * 10000 / pm.cnt AS am_pm_bps
+        |FROM
+        |  (SELECT count(*) AS cnt FROM store_sales
+        |   JOIN time_dim ON ss_sold_time_sk = t_time_sk
+        |   WHERE t_hour BETWEEN 7 AND 11) am,
+        |  (SELECT count(*) AS cnt FROM store_sales
+        |   JOIN time_dim ON ss_sold_time_sk = t_time_sk
+        |   WHERE t_hour BETWEEN 17 AND 21) pm""".stripMargin),
+
+    q("rq26_basket_size",
+      "per-(customer,day) basket-size histogram for high-dependent households (q34/q73 shape)",
+      """WITH baskets AS (
+        |  SELECT ss_customer_sk, ss_sold_date_sk, count(*) AS n_items
+        |  FROM store_sales
+        |  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+        |  WHERE hd_dep_count >= 5
+        |  GROUP BY ss_customer_sk, ss_sold_date_sk)
+        |SELECT n_items, count(*) AS n_baskets
+        |FROM baskets
+        |WHERE n_items BETWEEN 2 AND 15
+        |GROUP BY n_items
+        |ORDER BY n_items""".stripMargin),
+
+    q("rq27_income_geo",
+      "customer counts per state x income band through a 4-dim snowflake chain (q84 shape)",
+      """SELECT ca_state, CAST(ib_lower_bound AS BIGINT) AS band_floor, count(*) AS n_customers
+        |FROM customer_dim
+        |JOIN customer_address ON c_address_sk = ca_address_sk
+        |JOIN household_demographics ON c_hdemo_sk = hd_demo_sk
+        |JOIN income_band ON hd_income_band_sk = ib_income_band_sk
+        |WHERE ib_lower_bound >= 30000 AND ib_upper_bound <= 70000
+        |GROUP BY ca_state, ib_lower_bound
+        |ORDER BY ca_state, band_floor""".stripMargin),
+
+    q("rq28_cross_channel_returns",
+      "returned quantity per channel via 3-way returns UNION ALL (q77 returns leg)",
+      """SELECT channel, count(*) AS n_returns, CAST(sum(ret_qty) AS BIGINT) AS returned_qty
+        |FROM (
+        |  SELECT 'store' AS channel, sr_return_quantity AS ret_qty FROM store_returns
+        |  UNION ALL
+        |  SELECT 'catalog', cr_return_quantity FROM catalog_returns
+        |  UNION ALL
+        |  SELECT 'web', wr_return_quantity FROM web_returns)
+        |GROUP BY channel
+        |ORDER BY channel""".stripMargin),
+
+    q("rq29_local_sales",
+      "same-state (store vs customer address) sales share, 4-way star join (q61-ish locality)",
+      """SELECT s_state,
+        |  count(CASE WHEN ca_state = s_state THEN 1 END) AS local_sales,
+        |  count(*) AS all_sales
+        |FROM store_sales
+        |JOIN store ON ss_store_sk = s_store_sk
+        |JOIN customer_dim ON ss_customer_sk = c_customer_sk
+        |JOIN customer_address ON c_address_sk = ca_address_sk
+        |GROUP BY s_state
+        |ORDER BY s_state""".stripMargin),
+
+    q("rq30_first_purchase_cohort",
+      "new-customer cohorts by first-purchase quarter (min-date cohorting, q'customer lifetime' shape)",
+      """WITH first_buy AS (
+        |  SELECT ss_customer_sk AS c, min(ss_sold_date_sk) AS first_dsk
+        |  FROM store_sales GROUP BY ss_customer_sk)
+        |SELECT d_year, d_qoy, count(*) AS n_new_customers
+        |FROM first_buy JOIN date_dim ON first_dsk = d_date_sk
+        |GROUP BY d_year, d_qoy
+        |ORDER BY d_year, d_qoy""".stripMargin))
 }

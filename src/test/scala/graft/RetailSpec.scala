@@ -19,7 +19,7 @@ class RetailSpec extends SparkSpec {
     exp.waitForFinish(600)
     assert(exp.failures == 0)
     val results = exp.currentRuns.head.results
-    assert(results.size == 20)
+    assert(results.size == 30)
     assert(results.forall(_.result.isDefined))
   }
 
