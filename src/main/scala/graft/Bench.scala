@@ -27,7 +27,14 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { q.build(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolation between queries: any cache/persist a query created is
+      // charged to that query and must not squat on executor memory for
+      // the rest of the run (outside the timed window).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (q.name, dt, ok)
     }
     // Failed queries are reported as -1 AND listed in "failed" — a throw
     // must never masquerade as a fast success.

@@ -54,7 +54,7 @@ class Query(
 
   /** One measured run. Never throws: failures are recorded
     * (`P/Query.scala:157-163`). Per-node metric breakdown is the
-    * separate `Breakdown.of` diagnostic (it needs AQE pinned off). */
+    * separate `Breakdown.of` diagnostic (AQE-aware). */
   def doBenchmark(): BenchmarkResult = {
     try {
       val df = newDataFrame()

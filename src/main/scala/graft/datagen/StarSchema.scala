@@ -126,8 +126,12 @@ object StarSchema {
       warehouses: Long = 5, seed: Long = 42): DataFrame =
     spark.range(0, weeks.toLong * items * warehouses)
       .select(
-        ((col("id") / (items * warehouses)) * 7).cast("int").as("inv_date_sk"),
-        ((col("id") / warehouses) % items).as("inv_item_sk"),
+        // `div` (integer division): Spark's `/` is always double division,
+        // which made inv_item_sk fractional (dropping ~80% of inventory
+        // rows from every join to item) and inv_date_sk a daily ramp
+        // instead of week-aligned
+        expr(s"(id div ${items * warehouses}) * 7").cast("int").as("inv_date_sk"),
+        expr(s"(id div $warehouses) % $items").as("inv_item_sk"),
         (col("id") % warehouses).as("inv_warehouse_sk"),
         h(col("id"), seed + 52, 1000).cast("int").as("inv_quantity_on_hand"))
 

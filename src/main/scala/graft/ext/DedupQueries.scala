@@ -61,12 +61,13 @@ object DedupQueries {
         // ~0.4^4 of ALL pairs and verification dominates; r=6 cuts
         // false candidates ~40x for ~0.84 recall at the J=0.8 line.
         // Shingles are generated as rows (codegen) and only collected
-        // into sets for the verify join.
+        // into sets for the verify join. No persist(): the shingle pass
+        // is codegen'd and cheap to recompute, and a persist inside a
+        // catalog builder has no unpersist lifecycle — leaked blocks
+        // would squat on executor memory for every later query.
         val rows = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 3)
-          .persist()
         val d = rows.groupBy(col("doc_id"))
           .agg(collect_set(col("_el")).as("sh"))
-          .persist()
         val cand = TextOps.lshCandidatesFromRows(rows, "doc_id",
           numHashes = 36, rowsPerBand = 6, maxBucketSize = 100)
         TextOps.jaccardJoin(cand, d, "doc_id", "sh", threshNum = 8, threshDen = 10)
@@ -125,11 +126,10 @@ object DedupQueries {
         // near-identical across ALL documents, which floods LSH buckets
         // with false candidates; 5-grams straddle word boundaries and
         // discriminate
+        // no persist() — same recompute-over-leak tradeoff as dd03
         val rows = TextOps.charNgramRows(docs(s, dir), "doc_id", "text", 5)
-          .persist()
         val d = rows.groupBy(col("doc_id"))
           .agg(collect_set(col("_el")).as("ng"))
-          .persist()
         val cand = TextOps.lshCandidatesFromRows(rows, "doc_id",
           numHashes = 36, rowsPerBand = 6, maxBucketSize = 50)
         TextOps.jaccardJoin(cand, d, "doc_id", "ng", threshNum = 8, threshDen = 10)
@@ -148,6 +148,16 @@ object DedupQueries {
         val e = Tables.table(s, dir, "embeddings")
           .select(col("vec_id"),
             VectorOps.normalize(col("embedding").cast("array<double>")).as("nv"))
+        // guard: this baseline is quadratic BY DESIGN; refuse corpora
+        // where the pair count would blow up instead of silently
+        // burning a cluster (the scale path is ss02's LSH bucketing)
+        val cap = s.conf.getOption("graft.ext.allPairsMaxRows")
+          .map(_.toLong).getOrElse(200000L)
+        val n = e.count()
+        require(n <= cap,
+          s"dd06_embedding_neardup is the O(n²) exact baseline: corpus has " +
+            s"$n rows > cap $cap. Use ss02 (LSH) at scale, or raise " +
+            "spark.conf graft.ext.allPairsMaxRows to override.")
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .withColumn("cos", VectorOps.dot(col("a.nv"), col("b.nv")))
           .filter(col("cos") >= 0.4)

@@ -2,9 +2,9 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.CatalogQuery
+import graft.functions.Aggregators.TopKByScore
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the embedding column.
@@ -18,11 +18,25 @@ import graft.sources.Tables
   * hash-mixed constant, not an RNG), so results are reproducible across
   * runs and cluster layouts. Probing widens to Hamming-≤1 signature
   * neighbors to recover recall lost to bucket boundaries.
+  *
+  * All three variants finish with a bounded per-query top-k AGGREGATION
+  * (`TopKByScore`, map-side partials, ≤ k rows per group per map task)
+  * — never a `row_number().over(Window.partitionBy(q))` global sort,
+  * which would funnel the whole scored pair stream onto |queries|
+  * reducers.
   */
 object SimilarityQueries {
 
   private val Dim = 64
-  private val Planes = 12
+  private val K = 5
+  // ss02 multi-table LSH: L independent tables of b hyperplane bits.
+  // For a pair at angle θ, P[bits agree] = 1 − θ/π per plane; recall
+  // for top neighbors ≈ 1 − (1 − p^b)^L, while random-pair candidate
+  // rate ≈ L·2^-b. b=6, L=8 ⇒ ~12% of the corpus scored per query for
+  // ~0.65+ recall at cos ≈ 0.4 — the classic index-size-for-recall
+  // trade (the index is L× the corpus, built in one narrow pass).
+  private val TableBits = 6
+  private val NTables = 8
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5). */
   private def planeVal(j: Int, i: Int): Double = {
@@ -34,12 +48,19 @@ object SimilarityQueries {
   private def planeCol(j: Int): Column =
     array((0 until Dim).map(i => lit(planeVal(j, i))): _*)
 
-  /** LSH signature: bit j = sign(v · plane_j). */
-  private def signature(v: Column): Column =
-    (0 until Planes).map { j =>
-      val dot = graft.functions.VectorOps.dot(v, planeCol(j))
+  /** Table-t LSH signature: bit j = sign(v · plane_{t·b+j}). */
+  private def tableSig(v: Column, t: Int): Column =
+    (0 until TableBits).map { j =>
+      val dot = graft.functions.VectorOps.dot(v, planeCol(t * TableBits + j))
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** (table, sig) index rows — one narrow pass over the vectors. */
+  private def sigRows(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("v"),
+        explode(array((0 until NTables).map(t =>
+          struct(lit(t).as("t"), tableSig(col("v"), t).as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
 
   /** Pre-normalized vectors: pair scoring becomes one codegen'd dot. */
   private def embeddings(s: SparkSession, dir: String): DataFrame = {
@@ -49,70 +70,78 @@ object SimilarityQueries {
         graft.functions.VectorOps.normalize(col("embedding").cast("array<double>")).as("v"))
   }
 
+  /** (q_id, vec_id, cos) scored pairs → exact top-K per query via the
+    * bounded aggregator, in the catalog's output shape. */
+  private def topNeighbors(scored: DataFrame): DataFrame = {
+    val topk = udaf(new TopKByScore(K))
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top.items")))
+      .select(col("q_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"),
+        round(col("col.score") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
       "ss01_ann_bruteforce",
-      "Exact top-5 cosine neighbors for 10 query vectors — broadcast queries, no corpus shuffle",
+      "Exact top-5 cosine neighbors for 10 query vectors — broadcast queries, bounded top-k agg, no corpus shuffle",
       (s, dir) => {
         val e = embeddings(s, dir)
         val q = broadcast(e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv")))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-        q.join(e, col("vec_id") =!= col("q_id"))
-          .withColumn("cos", graft.functions.VectorOps.dot(col("qv"), col("v")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            round(col("cos") * 1e6).cast("long").as("cos_e6"))
-          .orderBy(col("q_id"), col("rank"))
+        topNeighbors(
+          q.join(e, col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
       },
       None),
 
     CatalogQuery(
       "ss02_ann_lsh",
-      "LSH-bucketed ANN: random-hyperplane signatures, Hamming-≤1 multi-probe, exact re-rank in bucket",
+      "LSH-bucketed ANN: 8 independent 6-bit hyperplane tables, exact re-rank inside matched buckets",
       (s, dir) => {
-        val e = embeddings(s, dir).withColumn("sig", signature(col("v")))
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
-        // Multi-probe: each query also probes every signature at
-        // Hamming distance 1 (flip one bit) — Planes+1 probes/query.
-        val probes = broadcast(q.select(col("q_id"), col("qv"), col("qsig"),
-          explode(array((lit(-1) +: (0 until Planes).map(lit(_))): _*)).as("flip"))
-          .withColumn("probe_sig",
-            when(col("flip") === -1, col("qsig"))
-              .otherwise(expr(s"qsig ^ (1 << flip)")))
-          .select(col("q_id"), col("qv"), col("probe_sig")))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-        probes.join(e, col("probe_sig") === col("sig") && col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("qv"), col("vec_id"), col("v")).distinct()
-          .withColumn("cos", graft.functions.VectorOps.dot(col("qv"), col("v")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            round(col("cos") * 1e6).cast("long").as("cos_e6"))
-          .orderBy(col("q_id"), col("rank"))
+        val eT = sigRows(embeddings(s, dir))
+        // query probes: 10 queries × NTables rows — broadcastable
+        val qT = broadcast(eT.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("t"), col("sig")))
+        // score, THEN distinct on the narrow (q_id, vec_id, cos) triple:
+        // dedups cross-table hits without shuffling the vectors
+        topNeighbors(
+          qT.join(eT, Seq("t", "sig"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos"))
+            .distinct())
       },
       None),
 
     CatalogQuery(
       "ss03_ann_ivf",
-      "IVF ANN: KMeans coarse quantizer buckets the corpus; queries probe their 4 nearest centroids, exact re-rank inside",
+      "IVF ANN: KMeans coarse quantizer (fit on a sample) buckets the corpus; queries probe 4 nearest centroids, exact re-rank inside",
       (s, dir) => {
         import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+        import org.apache.spark.ml.functions.array_to_vector
         val e = embeddings(s, dir).withColumn("fv", array_to_vector(col("v")))
-        // few iterations + random init: the quantizer only needs stable
-        // buckets, not converged centroids (re-rank inside the bucket is
-        // exact), and kmeans|| init costs ~2 extra passes over the corpus
-        // per round — at 100 TB the quantizer would be fit on a sample
+        // The quantizer only needs stable buckets, not converged
+        // centroids (re-rank inside the bucket is exact), so: few
+        // iterations, random init, and — critically — fit on a bounded
+        // SAMPLE of the corpus. A full-corpus fit is 5+ whole passes
+        // over 100 TB to place 16 centroids.
+        val n = e.count()
+        val fitSample =
+          if (n > 5000) e.sample(withReplacement = false, 5000.0 / n, seed = 7)
+          else e
         val km = new KMeans().setK(16).setMaxIter(5).setSeed(42)
           .setInitMode("random")
-          .setFeaturesCol("fv").fit(e)
+          .setFeaturesCol("fv").fit(fitSample)
         val assigned = km.transform(e)
           .select(col("vec_id"), col("v"), col("prediction").as("bucket"))
-        // centroid list is tiny (k rows): distribute it, probe by dot
+        // centroid list is tiny (k rows): broadcast it, probe by dot
         val centroids = s.createDataFrame(
           km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
           .toDF("bucket", "centroid")
@@ -121,24 +150,22 @@ object SimilarityQueries {
         // probe ranking must use the quantizer's own metric: KMeans
         // assigns by Euclidean distance, and for unit queries the
         // Euclidean-nearest centroid is argmax(q·c − ‖c‖²/2) — raw dot
-        // would favor long-norm centroids and probe the wrong buckets
-        val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cd").desc, col("bucket"))
+        // would favor long-norm centroids and probe the wrong buckets.
+        // k=16 centroids per query: the bounded aggregator keeps the
+        // probe selection shuffle at ≤ 4 rows per query too.
+        val probeTopk = udaf(new TopKByScore(4))
         val probes = q.crossJoin(broadcast(centroids))
           .withColumn("cd",
             graft.functions.VectorOps.dot(col("qv"), col("centroid")) -
               graft.functions.VectorOps.dot(col("centroid"), col("centroid")) / 2.0)
-          .withColumn("pr", row_number().over(wProbe))
-          .filter(col("pr") <= 4)
-          .select(col("q_id"), col("qv"), col("bucket"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-        probes.join(assigned, Seq("bucket"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", graft.functions.VectorOps.dot(col("qv"), col("v")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            round(col("cos") * 1e6).cast("long").as("cos_e6"))
-          .orderBy(col("q_id"), col("rank"))
+          .groupBy(col("q_id"), col("qv"))
+          .agg(probeTopk(col("cd"), col("bucket")).as("pb"))
+          .select(col("q_id"), col("qv"), explode(col("pb.items.id")).as("bucket"))
+        topNeighbors(
+          probes.join(assigned, Seq("bucket"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
       },
       None),
   )

@@ -72,6 +72,40 @@ object Aggregators {
     override def outputEncoder: Encoder[LongSumCount] = Encoders.product[LongSumCount]
   }
 
+  case class Scored(score: Double, id: Long)
+  case class TopKBuf(items: Seq[Scored])
+
+  /** Bounded top-k by (score desc, id asc ties). The buffer never holds
+    * more than k elements and merge is associative + commutative, so
+    * Spark computes it with map-side partial aggregation: each map task
+    * ships at most k rows per group to the reducer. This is the
+    * scale-safe replacement for
+    * `row_number().over(Window.partitionBy(g).orderBy(score.desc))`
+    * top-k, which shuffles the ENTIRE scored stream to |groups|
+    * reducers and fully sorts it — a parallelism collapse when
+    * |groups| is small (e.g. 10 ANN query vectors vs a 100 TB corpus).
+    */
+  class TopKByScore(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    private def beats(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    // items kept sorted best-first, length <= k
+    private def insert(items: Seq[Scored], a: Scored): Seq[Scored] =
+      if (items.length >= k && beats(items.last, a)) items
+      else {
+        val (pre, post) = items.span(beats(_, a))
+        (pre ++ (a +: post)).take(k)
+      }
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+    override def reduce(b: TopKBuf, a: Scored): TopKBuf =
+      TopKBuf(insert(b.items, a))
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+      TopKBuf(y.items.foldLeft(x.items)(insert))
+    override def finish(r: TopKBuf): TopKBuf = r
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
   case class LogSumCount(var logSum: Double, var count: Long)
 
   /** Geometric mean = exp(mean(ln x)); log-domain buffer avoids the

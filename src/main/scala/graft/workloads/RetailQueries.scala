@@ -283,7 +283,7 @@ class RetailBenchmark(spark: SparkSession, factRows: Long = 1000000L,
     q("rq25_shift_ratio",
       "morning vs evening sales counts via time_dim scalar subqueries (q90 shape)",
       """SELECT CAST(am.cnt AS BIGINT) AS am_cnt, CAST(pm.cnt AS BIGINT) AS pm_cnt,
-        |  am.cnt * 10000 / pm.cnt AS am_pm_bps
+        |  CASE WHEN pm.cnt > 0 THEN am.cnt * 10000 div pm.cnt END AS am_pm_bps
         |FROM
         |  (SELECT count(*) AS cnt FROM store_sales
         |   JOIN time_dim ON ss_sold_time_sk = t_time_sk

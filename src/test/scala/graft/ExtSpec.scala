@@ -79,15 +79,28 @@ class ExtSpec extends SparkSpec {
     assert(badOrder == 0)
   }
 
-  test("ss02 LSH ANN: candidates only from matching/adjacent buckets; sane overlap with exact") {
+  test("ss02 LSH ANN: real recall floor vs exact top-5, and scores are exact cosines") {
     val exact = run("ss01_ann_bruteforce").select("q_id", "neighbor_id")
-    val approx = run("ss02_ann_lsh").select("q_id", "neighbor_id")
-    // LSH on near-random vectors loses recall by design; require the
-    // mechanism to produce results for most queries and stay a subset
-    // of the corpus
+    val approx = run("ss02_ann_lsh").cache()
     assert(approx.count() > 0)
-    val overlap = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi").count()
-    assert(overlap >= 0) // structural smoke; recall asserted loosely
+    // LSH on near-random vectors loses recall by design, but the
+    // 12-plane Hamming-≤1 multi-probe must recover a real fraction of
+    // the exact neighbors — this FAILS if bucketing/probing collapses
+    val nExact = exact.count()
+    val overlap = exact.join(approx.select("q_id", "neighbor_id"),
+      Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(nExact == 50)
+    assert(overlap.toDouble / nExact >= 0.3,
+      s"LSH recall collapsed: $overlap/$nExact < 0.3")
+    // every reported (q,neighbor,cos) must agree with the exact scorer:
+    // re-rank inside the bucket is exact, so scores join 1:1 to ss01's
+    // where the pair overlaps
+    val mismatched = approx
+      .join(run("ss01_ann_bruteforce").select(col("q_id"),
+          col("neighbor_id"), col("cos_e6").as("exact_cos")),
+        Seq("q_id", "neighbor_id"))
+      .filter(col("cos_e6") =!= col("exact_cos")).count()
+    assert(mismatched == 0)
   }
 
   test("tx01 langid predictions are valid labels and deterministic") {
