@@ -1,0 +1,87 @@
+package graft.datagen
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** One-time parquet snapshot of the generated retail star schema.
+  *
+  * The generators in [[StarSchema]] are pure hash functions of row id,
+  * so the snapshot is bit-deterministic: writing it once and reading it
+  * back gives every engine (this library AND the driver's DuckDB
+  * oracle) the identical bytes — which is what lets the retail suites
+  * graduate from checksum self-stability to real
+  * value-level oracle checks. DuckDB reads the files directly by
+  * absolute path (`duckOracle` builds the WITH-prelude), no catalog
+  * needed.
+  *
+  * Scale note: the snapshot is a fixed small correctness corpus
+  * (200k-row fact). Scale benchmarking of the same queries runs the
+  * generators directly at whatever factRows — see RetailBenchmark.
+  */
+object RetailData {
+
+  /** Bump whenever StarSchema's schema or generators change — the
+    * snapshot directory is versioned so stale files are never reused. */
+  val version = 4
+
+  val factRows = 200000L
+
+  def dir: String =
+    sys.env.getOrElse("SPARK_GRAFT_RETAIL_DIR", s"/root/repo/data/retail_v$version")
+
+  /** All 24 snapshot tables (kept in sync with StarSchema.tables;
+    * RetailCatalogSpec asserts the two agree). */
+  val tableNames: Seq[String] = Seq(
+    "call_center", "catalog_page", "catalog_returns", "catalog_sales",
+    "customer_address", "customer_demographics", "customer_dim", "date_dim",
+    "household_demographics", "income_band", "inventory", "item",
+    "promotion", "reason", "ship_mode", "store", "store_returns",
+    "store_sales", "time_dim", "warehouse", "web_page", "web_returns",
+    "web_sales", "web_site")
+
+  private def marker = Paths.get(dir, "_SNAPSHOT_DONE")
+
+  /** Write the snapshot if absent (idempotent, JVM-synchronized). */
+  def ensure(spark: SparkSession): Unit = synchronized {
+    if (!Files.exists(marker)) {
+      StarSchema.tables(spark, factRows).foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/$name")
+      }
+      Files.createDirectories(Paths.get(dir))
+      Files.write(marker, java.util.Arrays.asList(version.toString))
+    }
+  }
+
+  /** Register every snapshot table as a temp view (parquet scans, so
+    * pushdown/pruning reach the files). Idempotent per session: a
+    * catalog probe skips the 24 footer-reads when the views are already
+    * there (catalog queries call this once per build). */
+  def views(spark: SparkSession): Unit = {
+    ensure(spark)
+    if (!spark.catalog.tableExists("store_sales")) {
+      tableNames.foreach { n =>
+        spark.read.parquet(s"$dir/$n").createOrReplaceTempView(n)
+      }
+    }
+  }
+
+  private def referenced(sql: String): Seq[String] =
+    tableNames.filter(t => s"\\b$t\\b".r.findFirstIn(sql).isDefined)
+
+  /** DuckDB oracle text for a snapshot query: a WITH-prelude binds each
+    * referenced table name to its parquet files by absolute path, then
+    * the query body follows (merging with the query's own WITH clause
+    * when present). */
+  def duckOracle(sql: String): String = {
+    val binds = referenced(sql)
+      .map(t => s"$t AS (SELECT * FROM '$dir/$t/*.parquet')")
+    require(binds.nonEmpty, s"no known table referenced in: $sql")
+    val prelude = binds.mkString("WITH ", ",\n", "")
+    val body = sql.trim
+    if (body.toUpperCase.startsWith("WITH "))
+      s"$prelude,\n${body.drop(5)}"
+    else
+      s"$prelude\n$body"
+  }
+}

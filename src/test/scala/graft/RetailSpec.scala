@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.ExecutionMode
-import graft.workloads.RetailBenchmark
+import graft.workloads.{RetailBenchmark, RetailQueries}
 
 /** Retail star-schema suite: auto-provisioning from parsed SQL,
   * checksum determinism across runs and input partitionings. */
@@ -19,7 +19,7 @@ class RetailSpec extends SparkSpec {
     exp.waitForFinish(600)
     assert(exp.failures == 0)
     val results = exp.currentRuns.head.results
-    assert(results.size == 30)
+    assert(results.size == RetailQueries.defs.size)
     assert(results.forall(_.result.isDefined))
   }
 
