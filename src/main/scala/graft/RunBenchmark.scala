@@ -61,6 +61,18 @@ object RunBenchmark {
         opts.getOrElse("fact-rows", "1000000").toLong, resultsLoc))
       case "bigdata" => Some(new workloads.BigDataBenchmark(spark,
         opts.getOrElse("scale", "100000").toLong))
+      case "tpcds" | "tpcds-all" =>
+        Some(new workloads.TpcdsBenchmark(spark,
+          if (benchName == "tpcds-all") workloads.TpcdsCatalog.defs.map(_._1)
+          else workloads.TpcdsCatalog.runnable, resultsLoc))
+      case "tpcds-interactive" => Some(new workloads.TpcdsBenchmark(spark,
+        workloads.TpcdsCatalog.interactive, resultsLoc))
+      case "tpcds-reporting" => Some(new workloads.TpcdsBenchmark(spark,
+        workloads.TpcdsCatalog.reporting, resultsLoc))
+      case "tpcds-deep" => Some(new workloads.TpcdsBenchmark(spark,
+        workloads.TpcdsCatalog.deepAnalytic, resultsLoc))
+      case "impala-kit" => Some(new workloads.TpcdsBenchmark(spark,
+        workloads.TpcdsCatalog.impalaKit, resultsLoc))
       case _ => None
     }
     val queries = (benchName match {
@@ -74,6 +86,9 @@ object RunBenchmark {
         registryBench.get.asInstanceOf[workloads.RetailBenchmark].queries
       case "bigdata" =>
         registryBench.get.asInstanceOf[workloads.BigDataBenchmark].queries
+      case "tpcds" | "tpcds-all" | "tpcds-interactive" | "tpcds-reporting" |
+           "tpcds-deep" | "impala-kit" =>
+        registryBench.get.asInstanceOf[workloads.TpcdsBenchmark].queries
       case "catalog" => SparkEntry.catalog.map(c =>
         new core.Query(c.name, c.build(spark, sfDir), c.description))
       case other => sys.error(s"unknown benchmark: $other")

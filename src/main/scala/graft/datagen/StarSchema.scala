@@ -96,6 +96,7 @@ object StarSchema {
       .select(
         col("id").as("c_customer_sk"),
         concat(lit("CUST"), lpad(col("id").cast("string"), 10, "0")).as("c_customer_id"),
+        pick(col("id"), seed + 130, "Mr.", "Mrs.", "Ms.", "Dr.", "Sir", "Miss").as("c_salutation"),
         concat(lit("first_"), h(col("id"), seed + 74, 500)).as("c_first_name"),
         concat(lit("last_"), h(col("id"), seed + 75, 800)).as("c_last_name"),
         when(h(col("id"), seed + 76, 2) === 0, "Y").otherwise("N").as("c_preferred_cust_flag"),
@@ -332,7 +333,10 @@ object StarSchema {
     val base = spark.range(0, n)
       .select(
         col("id").as(s"${channel}_id"),
-        col("id").as(s"${channel}_order_number"),
+        // ~3 lines per order: multi-line orders are what make the
+        // "shipped from more than one warehouse" EXISTS shapes
+        // (TPC-DS q16/q94/q95) non-degenerate
+        expr("id div 3").as(s"${channel}_order_number"),
         greatest(h(col("id"), cs + 7, d), h(col("id"), cs + 8, d))
           .cast("int").as(s"${channel}_sold_date_sk"),
         h(col("id"), cs + 9, items).as(s"${channel}_item_sk"),

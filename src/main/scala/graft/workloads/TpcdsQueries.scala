@@ -1,0 +1,70 @@
+package graft.workloads
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Benchmark, ExecutionMode, Query}
+import graft.datagen.RetailData
+
+/** The assembled TPC-DS v1.4 catalog: all 99 queries by name (q1–q99,
+  * with the q14/q23/q24/q39 a/b variants and qSsMax — 104 entries),
+  * the curated `runnable` allowlist, and the ImpalaKit-style
+  * interactive / reporting / deepAnalytic groupings.
+  *
+  * Re-expresses the reference's catalog surface
+  * (`P/tpcds/TPCDS_1_4_Queries.scala:36-3861` query set,
+  * `:3866-3877` runnable allowlist;
+  * `P/tpcds/ImpalaKitQueries.scala:1465-1469` groupings) over the
+  * generated star schema.
+  */
+object TpcdsCatalog {
+
+  /** name -> SQL, all 104 entries. */
+  val defs: Seq[(String, String)] =
+    TpcdsQueries1.defs ++ TpcdsQueries2.defs ++ TpcdsQueries3.defs
+
+  val byName: Map[String, String] = defs.toMap
+
+  /** Multi-CTE giants staged out of the default execution set — each
+    * makes 3+ full passes over every sales channel (q14: cross-channel
+    * item intersect + avg subquery per HAVING; q23: three stacked
+    * customer CTEs; q64: 19-table two-year self-join; q72: catalog ×
+    * weekly-inventory equi-explosion). They parse, plan, and execute,
+    * but a scale run schedules them deliberately, exactly like the
+    * reference's allowlist concept. */
+  val heavy: Set[String] = Set("q14a", "q14b", "q23a", "q23b", "q64", "q72")
+
+  /** Queries in the default execution set (98 of 104). */
+  val runnable: Seq[String] = defs.map(_._1).filterNot(heavy)
+
+  // ImpalaKit groupings (reference ImpalaKitQueries.scala:1465-1469).
+  val interactive: Seq[String] =
+    Seq("q19", "q42", "q52", "q55", "q63", "q68", "q73", "q98")
+  val reporting: Seq[String] =
+    Seq("q3", "q7", "q27", "q43", "q53", "q89")
+  val deepAnalytic: Seq[String] =
+    Seq("q34", "q46", "q59", "q65", "q79", "qSsMax")
+  val impalaKit: Seq[String] = interactive ++ reporting ++ deepAnalytic
+}
+
+/** TPC-DS suite over the retail snapshot, checksum-gated (HashResults:
+  * order-independent sum of row crc32s, so a result must be value-stable
+  * across runs, partitionings, and configs).
+  *
+  * `names` picks the subset (default: the runnable allowlist). */
+class TpcdsBenchmark(spark: SparkSession,
+    names: Seq[String] = TpcdsCatalog.runnable,
+    resultsLocation: String = "/tmp/graft-results")
+    extends Benchmark(spark, resultsLocation) {
+
+  override def allTables: Map[String, org.apache.spark.sql.DataFrame] = {
+    RetailData.ensure(spark)
+    RetailData.tableNames.map(n =>
+      n -> spark.read.parquet(s"${RetailData.dir}/$n")).toMap
+  }
+
+  def queries: Seq[Query] = names.map { name =>
+    val sql = TpcdsCatalog.byName(name)
+    new Query(name, spark.sql(sql), s"TPC-DS 1.4 $name", Some(sql),
+      ExecutionMode.HashResults)
+  }
+}
