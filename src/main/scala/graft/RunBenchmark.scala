@@ -5,20 +5,31 @@ import org.apache.spark.sql.SparkSession
 import graft.core.{Benchmark, Variation}
 import graft.workloads.MicroBenchmarks
 
-/** CLI experiment runner (reference `P/RunBenchmark.scala` flag surface,
-  * scopt-free):
+/** CLI experiment runner (reference `P/RunBenchmark.scala` flag
+  * surface, scopt-free). Long flags:
   *
   *   runMain graft.RunBenchmark --benchmark micro-join --iterations 2 \
   *     --filter inner --results /tmp/graft-results --timeout-ms 600000 \
-  *     --vary-codegen
+  *     --vary-codegen --vary-smj --vary-broadcast
+  *
+  * plus the reference's short-flag dialect as aliases
+  * (`P/RunBenchmark.scala:49-74`): `-b` benchmark, `-f` filter, `-i`
+  * iterations, `-c` compare-to-baseline timestamp, `-s` source dir,
+  * `-p` shuffle parallelism — so `RunBenchmark -b retail -f rq1 -i 2`
+  * works as it does against the reference.
   *
   * Benchmarks: micro-join | micro-agg | micro-scalar | micro-matches |
-  * micro-tiers | micro-all | catalog (the fixture query catalog, needs
-  * --sf-dir).
+  * micro-tiers | micro-all | retail | bigdata | tpcds | tpcds-all |
+  * tpcds-interactive | tpcds-reporting | tpcds-deep | impala-kit |
+  * catalog (the fixture query catalog, needs --sf-dir).
   */
 object RunBenchmark {
 
-  private val flagArgs = Set("--vary-codegen")
+  private val flagArgs = Set("--vary-codegen", "--vary-smj", "--vary-broadcast")
+
+  private val shortAliases = Map(
+    "-b" -> "--benchmark", "-f" -> "--filter", "-i" -> "--iterations",
+    "-c" -> "--compare", "-s" -> "--sf-dir", "-p" -> "--parallel")
 
   /** key-value flags plus boolean flags; a boolean flag must not
     * consume the next token (a sliding(2,2) pairing would desync every
@@ -27,7 +38,7 @@ object RunBenchmark {
     val out = Map.newBuilder[String, String]
     var i = 0
     while (i < args.length) {
-      val a = args(i)
+      val a = shortAliases.getOrElse(args(i), args(i))
       if (flagArgs.contains(a)) { out += a.stripPrefix("--") -> "true"; i += 1 }
       else if (a.startsWith("--")) {
         // a value must follow and must not itself be a flag — fail
@@ -50,6 +61,9 @@ object RunBenchmark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // -p / --parallel: the reference's post-shuffle partition knob
+    opts.get("parallel").foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p))
 
     val benchName = opts.getOrElse("benchmark", "micro-agg")
     val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.01")
@@ -97,11 +111,19 @@ object RunBenchmark {
     require(queries.nonEmpty, "no queries match the filter")
 
     val bench = registryBench.getOrElse(new Benchmark(spark, resultsLoc))
-    val variations =
-      if (opts.contains("vary-codegen"))
-        Seq(Variation("codegen", Seq("true", "false"))(v =>
-          spark.conf.set("spark.sql.codegen.wholeStage", v)))
-      else Nil
+    // configuration sweep dimensions (the reference's unsafe/tungsten/
+    // codegen Variation set, P/Benchmark.scala:70-92, re-expressed on
+    // the knobs that still exist in Spark 4)
+    val variations = Seq(
+      opts.get("vary-codegen").map(_ =>
+        Variation("codegen", Seq("true", "false"))(v =>
+          spark.conf.set("spark.sql.codegen.wholeStage", v))),
+      opts.get("vary-smj").map(_ =>
+        Variation("preferSortMergeJoin", Seq("true", "false"))(v =>
+          spark.conf.set("spark.sql.join.preferSortMergeJoin", v))),
+      opts.get("vary-broadcast").map(_ =>
+        Variation("autoBroadcastThreshold", Seq("10485760", "-1"))(v =>
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)))).flatten
 
     val exp = bench.runExperiment(
       queries,
@@ -113,6 +135,11 @@ object RunBenchmark {
 
     println(s"results written to ${exp.resultPath}; ${exp.failures} failures")
     exp.summarize().show(200, truncate = false)
+    // -c / --compare: percent change vs a baseline experiment timestamp
+    opts.get("compare").foreach { baselineTs =>
+      Benchmark.compareToBaseline(spark, resultsLoc,
+        baselineTs.toLong, exp.timestamp).show(200, truncate = false)
+    }
     spark.stop()
   }
 }

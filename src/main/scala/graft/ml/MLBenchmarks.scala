@@ -150,7 +150,40 @@ object MLBenchmarks {
     KMeansBenchmark, LDABenchmark, ALSBenchmark)
 }
 
-/** CLI: run all (or filtered) ML benchmarks, one JSON line per result. */
+object MLBenchmarksRunner {
+
+  /** One experiment cell as a free-form benchmarkable: timed fit+score
+    * flowing through the standard experiment/results machinery. */
+  def cell(spark: org.apache.spark.sql.SparkSession, algoName: String,
+      params: MLParams, label: String): graft.core.FreeformQuery = {
+    val algo = MLBenchmarks.all.find(_.name == algoName).getOrElse(
+      sys.error(s"unknown ML algorithm: $algoName " +
+        s"(known: ${MLBenchmarks.all.map(_.name).mkString(", ")})"))
+    new graft.core.FreeformQuery(label, s"$algoName $params",
+      prepare = () => (),
+      runBody = () => Some(algo.run(spark, params).testMetric))
+  }
+
+  /** Run a YAML config: the cartesian cells each become a FreeformQuery
+    * and the whole set runs as one experiment into the JSON results
+    * sink (reference yaml.scala + SparkPerfResults flow). */
+  def runConfig(spark: org.apache.spark.sql.SparkSession,
+      config: MLYaml.Config): graft.core.Benchmark#ExperimentStatus = {
+    val queries = config.experiments.zipWithIndex.map { case ((name, p), i) =>
+      cell(spark, name, p, f"$name%s#$i%03d")
+    }
+    val bench = new graft.core.Benchmark(spark, config.output)
+    val exp = bench.runExperiment(queries,
+      iterations = config.iterations,
+      tags = Map("benchmark" -> "mllib-yaml"),
+      timeoutMs = config.timeoutSeconds * 1000L)
+    exp
+  }
+}
+
+/** CLI: `--config <yaml>` runs the cartesian experiment grid through
+  * the results sink; with no config, runs all (optionally filtered)
+  * algorithms once at default params, one JSON line per result. */
 object RunMLBenchmark {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -160,12 +193,21 @@ object RunMLBenchmark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val filter = args.headOption.getOrElse("")
-    val params = MLParams()
-    MLBenchmarks.all.filter(_.name.contains(filter)).foreach { algo =>
-      val r = algo.run(spark, params)
-      println(f"""{"algorithm":"${r.name}","trainMs":${r.trainingTimeMs}%.1f,""" +
-        f""""trainMetric":${r.trainMetric}%.4f,"testMetric":${r.testMetric}%.4f}""")
+    args.toSeq match {
+      case Seq("--config", path, rest @ _*) =>
+        val config = MLYaml.parseFile(path)
+        val exp = MLBenchmarksRunner.runConfig(spark, config)
+        exp.waitForFinish(rest.headOption.map(_.toInt).getOrElse(config.timeoutSeconds))
+        println(s"results written to ${exp.resultPath}; ${exp.failures} failures")
+        exp.summarize().show(200, truncate = false)
+      case other =>
+        val filter = other.headOption.getOrElse("")
+        val params = MLParams()
+        MLBenchmarks.all.filter(_.name.contains(filter)).foreach { algo =>
+          val r = algo.run(spark, params)
+          println(f"""{"algorithm":"${r.name}","trainMs":${r.trainingTimeMs}%.1f,""" +
+            f""""trainMetric":${r.trainMetric}%.4f,"testMetric":${r.testMetric}%.4f}""")
+        }
     }
     spark.stop()
   }
