@@ -23,7 +23,7 @@ object RetailData {
 
   /** Bump whenever StarSchema's schema or generators change — the
     * snapshot directory is versioned so stale files are never reused. */
-  val version = 5
+  val version = 6
 
   val factRows = 200000L
 

@@ -302,23 +302,28 @@ object StarSchema {
       items: Long = 1000, stores: Long = 50, customers: Long = 10000,
       seed: Long = 42): DataFrame = {
     val d = days.toLong
+    // ~3 lines per register ticket (TPC-DS per-ticket basket shapes,
+    // q34/q46/q68/q79). Ticket-level facts (who, where, when) hash the
+    // TICKET id so they're constant within a basket; line-level facts
+    // (item, quantity, price) hash the unique line id.
+    val tk = expr("id div 3")
     val base = spark.range(0, n)
       .select(
         col("id").as("ss_id"),
-        col("id").as("ss_ticket_number"),
+        tk.as("ss_ticket_number"),
         // skew: max of two uniforms biases toward high date_sk
-        greatest(h(col("id"), seed + 7, d), h(col("id"), seed + 8, d))
+        greatest(h(tk, seed + 7, d), h(tk, seed + 8, d))
           .cast("int").as("ss_sold_date_sk"),
         h(col("id"), seed + 9, items).as("ss_item_sk"),
-        h(col("id"), seed + 10, stores).as("ss_store_sk"),
-        h(col("id"), seed + 11, customers).as("ss_customer_sk"),
-        h(col("id"), seed + 112, customers).as("ss_addr_sk"),
-        h(col("id"), seed + 113, 7200).as("ss_cdemo_sk"),
-        h(col("id"), seed + 15, 720).as("ss_hdemo_sk"),
+        h(tk, seed + 10, stores).as("ss_store_sk"),
+        h(tk, seed + 11, customers).as("ss_customer_sk"),
+        h(tk, seed + 112, customers).as("ss_addr_sk"),
+        h(tk, seed + 113, 7200).as("ss_cdemo_sk"),
+        h(tk, seed + 15, 720).as("ss_hdemo_sk"),
         h(col("id"), seed + 114, 100).as("ss_promo_sk"),
         (h(col("id"), seed + 12, 10) + 1).cast("int").as("ss_quantity"),
         h(col("id"), seed + 13, 31).cast("int").as("ss_discount_pct"),
-        h(col("id"), seed + 14, 86400).as("ss_sold_time_sk"))
+        h(tk, seed + 14, 86400).as("ss_sold_time_sk"))
     withMoney(base, "ss", col("ss_id"), col("ss_quantity"), seed)
   }
 
@@ -330,29 +335,32 @@ object StarSchema {
       seed: Long = 42): DataFrame = {
     val cs = seed + channel.hashCode
     val d = days.toLong
+    // ~3 lines per order: multi-line orders make the "shipped from
+    // more than one warehouse" EXISTS shapes (TPC-DS q16/q94/q95)
+    // non-degenerate. Order-level facts hash the ORDER id (one buyer,
+    // one sold date per order); line-level facts (item, quantity,
+    // warehouse, ship date) hash the line id.
+    val ord = expr("id div 3")
     val base = spark.range(0, n)
       .select(
         col("id").as(s"${channel}_id"),
-        // ~3 lines per order: multi-line orders are what make the
-        // "shipped from more than one warehouse" EXISTS shapes
-        // (TPC-DS q16/q94/q95) non-degenerate
-        expr("id div 3").as(s"${channel}_order_number"),
-        greatest(h(col("id"), cs + 7, d), h(col("id"), cs + 8, d))
+        ord.as(s"${channel}_order_number"),
+        greatest(h(ord, cs + 7, d), h(ord, cs + 8, d))
           .cast("int").as(s"${channel}_sold_date_sk"),
         h(col("id"), cs + 9, items).as(s"${channel}_item_sk"),
-        h(col("id"), cs + 11, customers).as(s"${channel}_customer_sk"),
+        h(ord, cs + 11, customers).as(s"${channel}_customer_sk"),
         // bill and ship customers differ on ~20% of orders (gift ships)
-        when(h(col("id"), cs + 115, 5) === 0, h(col("id"), cs + 116, customers))
-          .otherwise(h(col("id"), cs + 11, customers)).as(s"${channel}_ship_customer_sk"),
-        h(col("id"), cs + 117, customers).as(s"${channel}_bill_addr_sk"),
-        h(col("id"), cs + 118, customers).as(s"${channel}_ship_addr_sk"),
-        h(col("id"), cs + 119, 7200).as(s"${channel}_bill_cdemo_sk"),
-        h(col("id"), cs + 120, 720).as(s"${channel}_bill_hdemo_sk"),
+        when(h(ord, cs + 115, 5) === 0, h(ord, cs + 116, customers))
+          .otherwise(h(ord, cs + 11, customers)).as(s"${channel}_ship_customer_sk"),
+        h(ord, cs + 117, customers).as(s"${channel}_bill_addr_sk"),
+        h(ord, cs + 118, customers).as(s"${channel}_ship_addr_sk"),
+        h(ord, cs + 119, 7200).as(s"${channel}_bill_cdemo_sk"),
+        h(ord, cs + 120, 720).as(s"${channel}_bill_hdemo_sk"),
         h(col("id"), cs + 121, 100).as(s"${channel}_promo_sk"),
         (h(col("id"), cs + 12, 10) + 1).cast("int").as(s"${channel}_quantity"),
         h(col("id"), cs + 13, 10).as(s"${channel}_ship_mode_sk"),
         h(col("id"), cs + 14, 5).as(s"${channel}_warehouse_sk"),
-        h(col("id"), cs + 122, 86400).as(s"${channel}_sold_time_sk"))
+        h(ord, cs + 122, 86400).as(s"${channel}_sold_time_sk"))
       .withColumn(s"${channel}_ship_date_sk",
         col(s"${channel}_sold_date_sk") + 1 +
           h(col(s"${channel}_id"), cs + 15, 120).cast("int"))

@@ -745,11 +745,9 @@ object TpcdsQueries1 {
         |JOIN store_returns ON ss_customer_sk = sr_customer_sk
         |  AND ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number
         |JOIN catalog_sales ON sr_customer_sk = cs_customer_sk AND sr_item_sk = cs_item_sk
-        |JOIN date_dim d1 ON d1.d_date_sk = ss_sold_date_sk AND d1.d_moy = 4 AND d1.d_year = 2021
-        |JOIN date_dim d2 ON sr_returned_date_sk = d2.d_date_sk
-        |  AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 2021
-        |JOIN date_dim d3 ON cs_sold_date_sk = d3.d_date_sk
-        |  AND d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 2021
+        |JOIN date_dim d1 ON d1.d_date_sk = ss_sold_date_sk AND d1.d_year = 2021
+        |JOIN date_dim d2 ON sr_returned_date_sk = d2.d_date_sk AND d2.d_year = 2021
+        |JOIN date_dim d3 ON cs_sold_date_sk = d3.d_date_sk AND d3.d_year IN (2021, 2022, 2023)
         |JOIN store ON s_store_sk = ss_store_sk
         |JOIN item ON i_item_sk = ss_item_sk
         |GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
