@@ -75,18 +75,20 @@ object RunBenchmark {
         opts.getOrElse("fact-rows", "1000000").toLong, resultsLoc))
       case "bigdata" => Some(new workloads.BigDataBenchmark(spark,
         opts.getOrElse("scale", "100000").toLong))
-      case "tpcds" | "tpcds-all" =>
-        Some(new workloads.TpcdsBenchmark(spark,
-          if (benchName == "tpcds-all") workloads.TpcdsCatalog.defs.map(_._1)
-          else workloads.TpcdsCatalog.runnable, resultsLoc))
-      case "tpcds-interactive" => Some(new workloads.TpcdsBenchmark(spark,
-        workloads.TpcdsCatalog.interactive, resultsLoc))
-      case "tpcds-reporting" => Some(new workloads.TpcdsBenchmark(spark,
-        workloads.TpcdsCatalog.reporting, resultsLoc))
-      case "tpcds-deep" => Some(new workloads.TpcdsBenchmark(spark,
-        workloads.TpcdsCatalog.deepAnalytic, resultsLoc))
-      case "impala-kit" => Some(new workloads.TpcdsBenchmark(spark,
-        workloads.TpcdsCatalog.impalaKit, resultsLoc))
+      case "tpcds" | "tpcds-all" | "tpcds-interactive" | "tpcds-reporting" |
+           "tpcds-deep" | "impala-kit" =>
+        val names = benchName match {
+          case "tpcds" => workloads.TpcdsCatalog.runnable
+          case "tpcds-all" => workloads.TpcdsCatalog.defs.map(_._1)
+          case "tpcds-interactive" => workloads.TpcdsCatalog.interactive
+          case "tpcds-reporting" => workloads.TpcdsCatalog.reporting
+          case "tpcds-deep" => workloads.TpcdsCatalog.deepAnalytic
+          case "impala-kit" => workloads.TpcdsCatalog.impalaKit
+        }
+        // --fact-rows N regenerates the schema at scale N in-flight
+        // (0 = the fixed DuckDB-checked parquet snapshot)
+        Some(new workloads.TpcdsBenchmark(spark, names, resultsLoc,
+          opts.getOrElse("fact-rows", "0").toLong))
       case _ => None
     }
     val queries = (benchName match {

@@ -53,16 +53,34 @@ object RetailData {
     }
   }
 
+  private val dfCache =
+    new java.util.WeakHashMap[SparkSession, Map[String, org.apache.spark.sql.DataFrame]]()
+
   /** Register every snapshot table as a temp view (parquet scans, so
-    * pushdown/pruning reach the files). Idempotent per session: a
-    * catalog probe skips the 24 footer-reads when the views are already
-    * there (catalog queries call this once per build). */
+    * pushdown/pruning reach the files). The parquet footer reads happen
+    * once per session (cached DataFrames), but the views are ALWAYS
+    * re-asserted: another benchmark in the same session may have
+    * registered a generated table under the same name, and a snapshot
+    * query must never silently run against it. */
   def views(spark: SparkSession): Unit = {
     ensure(spark)
-    if (!spark.catalog.tableExists("store_sales")) {
-      tableNames.foreach { n =>
-        spark.read.parquet(s"$dir/$n").createOrReplaceTempView(n)
+    val dfs = synchronized {
+      Option(dfCache.get(spark)).getOrElse {
+        val m = tableNames.map(n => n -> spark.read.parquet(s"$dir/$n")).toMap
+        dfCache.put(spark, m)
+        m
       }
+    }
+    // one cheap probe decides: if store_sales already resolves to OUR
+    // snapshot scan, all 24 views are current (we only ever register
+    // them as a set); otherwise (first call, or another benchmark
+    // clobbered a name with a generated table) re-assert them all
+    val current = scala.util.Try {
+      spark.table("store_sales").queryExecution.analyzed
+        .sameResult(dfs("store_sales").queryExecution.analyzed)
+    }.getOrElse(false)
+    if (!current) {
+      dfs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     }
   }
 

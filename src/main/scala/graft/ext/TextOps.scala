@@ -159,6 +159,66 @@ object TextOps {
       .distinct()
   }
 
+  /** A banded-LSH parameterization. */
+  case class LshConfig(numHashes: Int, rowsPerBand: Int) {
+    def bands: Int = numHashes / rowsPerBand
+    /** P[some band collides] for a pair at Jaccard j: 1 − (1 − j^r)^b. */
+    def recallAt(j: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+  }
+
+  /** Auto-tune (numHashes, rowsPerBand) for a target Jaccard threshold.
+    *
+    * Two-stage: (1) the S-curve formula keeps only configs whose
+    * THEORETICAL recall at the threshold clears `minRecall` — that part
+    * is corpus-independent; (2) the surviving configs are probed on a
+    * deterministic sample of the actual corpus and the one generating
+    * the fewest candidate pairs wins (ties to fewer hashes). Stage 2 is
+    * the candidate-rate feedback that fixed-formula tuning lacks: a
+    * corpus with high background similarity (shared vocabulary) floods
+    * loose bands with false candidates that exact verification then
+    * pays for, so the cheapest config shifts with the data.
+    *
+    * Cost: |viable| probe runs over `sampleDocs` documents — O(sample)
+    * each, independent of corpus size, so tuning at 100 TB costs the
+    * same as tuning locally.
+    */
+  def tuneLsh(
+      rows: DataFrame,
+      idCol: String,
+      threshNum: Int,
+      threshDen: Int,
+      minRecall: Double = 0.8,
+      hashGrid: Seq[Int] = Seq(24, 36, 48),
+      sampleDocs: Int = 500,
+      maxBucketSize: Int = 100): LshConfig = {
+    val j = threshNum.toDouble / threshDen
+    val viable = for {
+      h <- hashGrid
+      r <- (2 to h).filter(h % _ == 0)
+      cfg = LshConfig(h, r)
+      if cfg.recallAt(j) >= minRecall
+    } yield cfg
+    require(viable.nonEmpty,
+      s"no (hashes, rowsPerBand) config reaches recall $minRecall at j=$j")
+    // deterministic pseudo-random doc sample: lowest salted hash of id
+    val sampleIds = rows.select(col(idCol)).distinct()
+      .orderBy(xxhash64(col(idCol), lit(7)), col(idCol))
+      .limit(sampleDocs)
+    val sample = rows.join(broadcast(sampleIds), Seq(idCol)).persist()
+    try {
+      sample.count()
+      viable.minBy { cfg =>
+        // probe UNCAPPED: the production bucket cap would silently drop
+        // a flooding config's giant buckets, making it look cheap while
+        // actually destroying its recall — the probe must see the true
+        // candidate rate
+        (lshCandidatesFromRows(sample, idCol, cfg.numHashes, cfg.rowsPerBand,
+          maxBucketSize = Int.MaxValue).count(), cfg.numHashes.toLong)
+      }
+    } finally { sample.unpersist(false); () }
+  }
+
   /** Attach both sides' sets to candidate pairs and keep pairs with
     * Jaccard ≥ threshNum/threshDen — the comparison is pure integer
     * arithmetic (|∩|·den ≥ |∪|·num), no float boundary issues.

@@ -46,21 +46,29 @@ object TpcdsCatalog {
   val impalaKit: Seq[String] = interactive ++ reporting ++ deepAnalytic
 }
 
-/** TPC-DS suite over the retail snapshot, checksum-gated (HashResults:
-  * order-independent sum of row crc32s, so a result must be value-stable
-  * across runs, partitionings, and configs).
+/** TPC-DS suite, checksum-gated (HashResults: order-independent sum of
+  * row crc32s, so a result must be value-stable across runs,
+  * partitionings, and configs).
   *
-  * `names` picks the subset (default: the runnable allowlist). */
+  * `names` picks the subset (default: the runnable allowlist).
+  * `factRows = 0` (default) runs over the fixed parquet snapshot — the
+  * corpus DuckDB value-checks; `factRows > 0` regenerates the whole
+  * schema at that scale in-flight (generators are pure hash(id, seed)),
+  * which is how the suite demonstrates 100×+ headroom with identical
+  * plans. */
 class TpcdsBenchmark(spark: SparkSession,
     names: Seq[String] = TpcdsCatalog.runnable,
-    resultsLocation: String = "/tmp/graft-results")
+    resultsLocation: String = "/tmp/graft-results",
+    factRows: Long = 0L)
     extends Benchmark(spark, resultsLocation) {
 
-  override def allTables: Map[String, org.apache.spark.sql.DataFrame] = {
-    RetailData.ensure(spark)
-    RetailData.tableNames.map(n =>
-      n -> spark.read.parquet(s"${RetailData.dir}/$n")).toMap
-  }
+  override def allTables: Map[String, org.apache.spark.sql.DataFrame] =
+    if (factRows > 0) graft.datagen.StarSchema.tables(spark, factRows)
+    else {
+      RetailData.ensure(spark)
+      RetailData.tableNames.map(n =>
+        n -> spark.read.parquet(s"${RetailData.dir}/$n")).toMap
+    }
 
   def queries: Seq[Query] = names.map { name =>
     val sql = TpcdsCatalog.byName(name)

@@ -103,6 +103,43 @@ class ExtSpec extends SparkSpec {
     assert(mismatched == 0)
   }
 
+  test("LSH auto-tuner: recall-viable and no costlier than the hand-tuned config") {
+    val rows = TextOps.wordShingleRows(
+      Tables.table(spark, sfDir, "documents"), "doc_id", "text", 3)
+    val cfg = TextOps.tuneLsh(rows, "doc_id", threshNum = 8, threshDen = 10)
+    // stage 1 guarantee: theoretical recall at the threshold
+    assert(cfg.recallAt(0.8) >= 0.8, s"tuner returned sub-recall config $cfg")
+    // stage 2 guarantee: measured candidate cost is no worse than
+    // dd03's hand-tuned (36, 6) on the same corpus
+    def cost(c: TextOps.LshConfig): Long =
+      TextOps.lshCandidatesFromRows(rows, "doc_id", c.numHashes,
+        c.rowsPerBand, Int.MaxValue).count()
+    assert(cost(cfg) <= cost(TextOps.LshConfig(36, 6)),
+      s"tuned $cfg costs more than the hand-tuned config")
+  }
+
+  test("LSH auto-tuner feedback: a flooding corpus forces stricter bands") {
+    import spark.implicits._
+    // every doc shares a 20-token preamble (high background Jaccard);
+    // only a 3-token tail distinguishes them — loose bands collide on
+    // ~all pairs, and only the candidate-rate probe can see that
+    val common = (1 to 20).map(i => s"common$i").mkString(" ")
+    val docs = (0 until 300)
+      .map(i => (i.toLong, s"$common tail${i}a tail${i}b tail${i}c"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.wordShingleRows(docs, "doc_id", "text", 3)
+    val tuned = TextOps.tuneLsh(rows, "doc_id", threshNum = 8, threshDen = 10,
+      sampleDocs = 300)
+    def cost(c: TextOps.LshConfig): Long =
+      TextOps.lshCandidatesFromRows(rows, "doc_id", c.numHashes,
+        c.rowsPerBand, Int.MaxValue).count()
+    val loosest = TextOps.LshConfig(24, 2)
+    assert(tuned.rowsPerBand > 2, s"tuner kept flooding bands: $tuned")
+    assert(cost(tuned) < cost(loosest),
+      s"feedback failed: $tuned not cheaper than $loosest")
+    assert(tuned.recallAt(0.8) >= 0.8)
+  }
+
   test("tx01 langid predictions are valid labels and deterministic") {
     val a = run("tx01_langid").collect().map(r => (r.getLong(0), r.getString(1)))
     val valid = Set("en", "es", "de", "fr", "zh", "und")

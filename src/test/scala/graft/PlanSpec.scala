@@ -70,4 +70,33 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(run("e01_tumbling_window"))
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("tpcds q55: dimension filters pushed to the snapshot parquet scans") {
+    graft.datagen.RetailData.views(spark)
+    val plan = planOf(spark.sql(graft.workloads.TpcdsCatalog.byName("q55")))
+    // manager filter must reach the item scan, month/year the date scan
+    assert(plan.contains("EqualTo(i_manager_id,28)"), s"item filter not pushed:\n$plan")
+    assert(plan.contains("EqualTo(d_moy,11)"), s"date filter not pushed:\n$plan")
+    // the fact scan must not read money columns this query never touches
+    val factRead = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(_.contains("ss_")).mkString
+    assert(!factRead.contains("ss_net_profit") && !factRead.contains("ss_wholesale_cost"),
+      s"unpruned fact scan: $factRead")
+  }
+
+  test("tpcds q55: dims broadcast — the fact side never shuffles for the star join") {
+    graft.datagen.RetailData.views(spark)
+    val plan = planOf(spark.sql(graft.workloads.TpcdsCatalog.byName("q55")))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join degraded to shuffle:\n$plan")
+  }
+
+  test("ss01: ANN top-k is a bounded aggregation, not a per-query window sort") {
+    val df = run("ss01_ann_bruteforce")
+    val plan = planOf(df)
+    assert(!plan.contains("RunningWindowFunction") && !plan.toLowerCase.contains("window"),
+      s"window sort crept back into the ANN re-rank:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"bounded top-k aggregation missing:\n$plan")
+  }
 }
