@@ -111,5 +111,20 @@ object TextQueries {
           .orderBy(col("first_doc"))
       },
       None),
+
+    CatalogQuery(
+      "tx05_heavy_hitters",
+      "Frequent-token sketch: Misra-Gries heavy hitters (k=20, mergeable Aggregator, <=k counters per map task)",
+      (s, dir) => {
+        val mg = udaf(new graft.functions.Sketches.MisraGries(20))
+        docs(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .agg(mg(col("tok")).as("sketch"))
+          .select(posexplode(col("sketch.items")))
+          .select((col("pos") + 1).cast("long").as("rank"),
+            col("col.token").as("token"),
+            col("col.count").as("est_count"))
+      },
+      None),
   )
 }

@@ -308,9 +308,11 @@ object TpcdsQueries1 {
         |LIMIT 100""".stripMargin),
 
     ("q12",
-      """SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+      """SELECT i_item_id, i_item_desc, i_category, i_class,
+        |  CAST(i_current_price AS DOUBLE) AS i_current_price,
         |  CAST(sum(ws_ext_sales_price) * 100 AS BIGINT) AS itemrevenue_cents,
-        |  sum(ws_ext_sales_price) * 100 / sum(sum(ws_ext_sales_price)) OVER (PARTITION BY i_class) AS revenueratio
+        |  CAST(sum(ws_ext_sales_price) * 100 AS BIGINT) * 10000
+        |    / CAST(sum(sum(ws_ext_sales_price)) OVER (PARTITION BY i_class) * 100 AS BIGINT) AS revenueratio
         |FROM web_sales
         |JOIN item ON ws_item_sk = i_item_sk
         |JOIN date_dim ON ws_sold_date_sk = d_date_sk
@@ -569,9 +571,11 @@ object TpcdsQueries1 {
         |LIMIT 100""".stripMargin),
 
     ("q20",
-      """SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+      """SELECT i_item_id, i_item_desc, i_category, i_class,
+        |  CAST(i_current_price AS DOUBLE) AS i_current_price,
         |  CAST(sum(cs_ext_sales_price) * 100 AS BIGINT) AS itemrevenue_cents,
-        |  sum(cs_ext_sales_price) * 100 / sum(sum(cs_ext_sales_price)) OVER (PARTITION BY i_class) AS revenueratio
+        |  CAST(sum(cs_ext_sales_price) * 100 AS BIGINT) * 10000
+        |    / CAST(sum(sum(cs_ext_sales_price)) OVER (PARTITION BY i_class) * 100 AS BIGINT) AS revenueratio
         |FROM catalog_sales
         |JOIN item ON cs_item_sk = i_item_sk
         |JOIN date_dim ON cs_sold_date_sk = d_date_sk

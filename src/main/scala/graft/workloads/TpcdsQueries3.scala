@@ -846,9 +846,11 @@ object TpcdsQueries3 {
         |LIMIT 100""".stripMargin),
 
     ("q98",
-      """SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+      """SELECT i_item_id, i_item_desc, i_category, i_class,
+        |  CAST(i_current_price AS DOUBLE) AS i_current_price,
         |  CAST(sum(ss_ext_sales_price) * 100 AS BIGINT) AS itemrevenue_cents,
-        |  sum(ss_ext_sales_price) * 100 / sum(sum(ss_ext_sales_price)) OVER (PARTITION BY i_class) AS revenueratio
+        |  CAST(sum(ss_ext_sales_price) * 100 AS BIGINT) * 10000
+        |    / CAST(sum(sum(ss_ext_sales_price)) OVER (PARTITION BY i_class) * 100 AS BIGINT) AS revenueratio
         |FROM store_sales
         |JOIN item ON ss_item_sk = i_item_sk
         |JOIN date_dim ON ss_sold_date_sk = d_date_sk

@@ -140,6 +140,29 @@ class ExtSpec extends SparkSpec {
     assert(tuned.recallAt(0.8) >= 0.8)
   }
 
+  test("tx05 Misra-Gries sketch: coverage and error bounds vs exact counts") {
+    val k = 20
+    val toks = Tables.table(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(org.apache.spark.sql.functions.col("text"))).as("tok"))
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / (k + 1) // MG guarantee: true − est ≤ n/(k+1)
+    val sketch = run("tx05_heavy_hitters").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(sketch.nonEmpty && sketch.size <= k)
+    // every guaranteed-frequent token must be present
+    val mustHave = exact.filter(_._2 > bound).keySet
+    assert(mustHave.subsetOf(sketch.keySet),
+      s"missing guaranteed heavy hitters: ${mustHave -- sketch.keySet}")
+    // estimates never exceed truth and undershoot by at most the bound
+    sketch.foreach { case (tok, est) =>
+      val truth = exact.getOrElse(tok, 0L)
+      assert(est <= truth, s"$tok overestimated: $est > $truth")
+      assert(truth - est <= bound, s"$tok undershoots beyond bound: $est vs $truth")
+    }
+  }
+
   test("tx01 langid predictions are valid labels and deterministic") {
     val a = run("tx01_langid").collect().map(r => (r.getLong(0), r.getString(1)))
     val valid = Set("en", "es", "de", "fr", "zh", "und")
