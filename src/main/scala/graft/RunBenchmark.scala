@@ -29,7 +29,8 @@ object RunBenchmark {
 
   private val shortAliases = Map(
     "-b" -> "--benchmark", "-f" -> "--filter", "-i" -> "--iterations",
-    "-c" -> "--compare", "-s" -> "--sf-dir", "-p" -> "--parallel")
+    "-c" -> "--compare", "-s" -> "--sf-dir", "-p" -> "--parallel",
+    "-C" -> "--cardinality", "-t" -> "--tries")
 
   /** key-value flags plus boolean flags; a boolean flag must not
     * consume the next token (a sliding(2,2) pairing would desync every
@@ -107,6 +108,21 @@ object RunBenchmark {
         registryBench.get.asInstanceOf[workloads.TpcdsBenchmark].queries
       case "catalog" => SparkEntry.catalog.map(c =>
         new core.Query(c.name, c.build(spark, sfDir), c.description))
+      case "binary-join" =>
+        // the reference's RunBinaryJoin drives its modified-Spark
+        // hypercube multi-way-join executor with broadcast disabled
+        // (`P/RunBinaryJoin.scala:82-94`); the Spark-native
+        // re-expression runs the same multi-way graph-join workload
+        // under AQE (the runtime strategy chooser) with broadcast off,
+        // so every join really is a distributed binary shuffle join.
+        // -C/-t (hypercube sample cardinality / sketch tries) are
+        // accepted for CLI compatibility; AQE's runtime statistics
+        // replace the sampling they configured.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        workloads.GraphQueries.all.map(c =>
+          new core.Query(c.name, c.build(spark, sfDir), c.description)) ++
+          MicroBenchmarks.joinMatrix(spark)
       case other => sys.error(s"unknown benchmark: $other")
     }).filter(q => opts.get("filter").forall(f => q.name.contains(f)))
 

@@ -21,14 +21,17 @@ import graft.datagen.RetailData
   */
 object TpcdsOracle {
 
-  /** Oracle-safe query names (34 of 104). q12/q20/q98's ratio-to-report
+  /** Oracle-safe query names (36 of 104). q12/q20/q98's ratio-to-report
     * qualifies because the ratio divides exact integer cents (BIGINT /
-    * BIGINT → the same IEEE double in both engines). */
+    * BIGINT → the same IEEE double in both engines); q47/q57's window
+    * average is integer-exact (windowed cents sum ÷ windowed count,
+    * with the 10% deviation predicate cross-multiplied into integer
+    * form). */
   val names: Seq[String] = Seq(
     "q1", "q3", "q12", "q15", "q16", "q19", "q20", "q21", "q25", "q29",
-    "q30", "q34", "q38", "q40", "q42", "q43", "q45", "q46", "q50", "q52",
-    "q55", "q62", "q68", "q71", "q73", "q76", "q79", "q87", "q88", "q93",
-    "q96", "q97", "q98", "q99")
+    "q30", "q34", "q38", "q40", "q42", "q43", "q45", "q46", "q47", "q50",
+    "q52", "q55", "q57", "q62", "q68", "q71", "q73", "q76", "q79", "q87",
+    "q88", "q93", "q96", "q97", "q98", "q99")
 
   val all: Seq[CatalogQuery] = names.map { name =>
     val sql = TpcdsCatalog.byName(name)
@@ -36,6 +39,6 @@ object TpcdsOracle {
       s"tpcds_$name",
       s"TPC-DS 1.4 $name [retail snapshot, DuckDB-oracled]",
       (s, _) => { RetailData.views(s); s.sql(sql) },
-      Some(RetailData.duckOracle(sql)))
+      Some(RetailData.duckOracle(RetailQueries.duckDialect(sql))))
   }
 }

@@ -271,9 +271,11 @@ object TpcdsQueries2 {
     ("q47",
       """WITH v1 AS (
         |  SELECT i_category, i_brand, s_store_name, d_year, d_moy,
-        |    sum(ss_ext_sales_price) AS sum_sales,
-        |    avg(sum(ss_ext_sales_price)) OVER (
-        |      PARTITION BY i_category, i_brand, s_store_name, d_year) AS avg_monthly_sales,
+        |    CAST(sum(ss_ext_sales_price) * 100 AS BIGINT) AS sum_sales_cents,
+        |    CAST(sum(sum(ss_ext_sales_price) * 100) OVER (
+        |      PARTITION BY i_category, i_brand, s_store_name, d_year) AS BIGINT) AS wsum_cents,
+        |    count(*) OVER (
+        |      PARTITION BY i_category, i_brand, s_store_name, d_year) AS nmonths,
         |    rank() OVER (
         |      PARTITION BY i_category, i_brand, s_store_name
         |      ORDER BY d_year, d_moy) AS rn
@@ -285,21 +287,21 @@ object TpcdsQueries2 {
         |  GROUP BY i_category, i_brand, s_store_name, d_year, d_moy),
         |v2 AS (
         |  SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.d_year, v1.d_moy,
-        |    v1.avg_monthly_sales, v1.sum_sales,
-        |    v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+        |    v1.wsum_cents, v1.nmonths, v1.sum_sales_cents,
+        |    v1_lag.sum_sales_cents AS psum_cents, v1_lead.sum_sales_cents AS nsum_cents
         |  FROM v1, v1 v1_lag, v1 v1_lead
         |  WHERE v1.i_category = v1_lag.i_category AND v1.i_category = v1_lead.i_category
         |    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
         |    AND v1.s_store_name = v1_lag.s_store_name AND v1.s_store_name = v1_lead.s_store_name
         |    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
         |SELECT i_category, i_brand, s_store_name, d_year, d_moy,
-        |  CAST(sum_sales * 100 AS BIGINT) AS sum_sales_cents,
-        |  CAST(avg_monthly_sales * 100 AS BIGINT) AS avg_monthly_cents,
-        |  CAST(psum * 100 AS BIGINT) AS psum_cents, CAST(nsum * 100 AS BIGINT) AS nsum_cents
+        |  sum_sales_cents, wsum_cents div nmonths AS avg_monthly_cents,
+        |  psum_cents, nsum_cents
         |FROM v2
-        |WHERE d_year = 2021 AND avg_monthly_sales > 0
-        |  AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
-        |ORDER BY sum_sales - avg_monthly_sales, i_category, i_brand, s_store_name, d_moy
+        |WHERE d_year = 2021 AND wsum_cents > 0
+        |  AND abs(sum_sales_cents * nmonths - wsum_cents) * 10 > wsum_cents
+        |ORDER BY CAST(sum_sales_cents AS DOUBLE) - CAST(wsum_cents AS DOUBLE) / nmonths,
+        |  i_category, i_brand, s_store_name, d_moy
         |LIMIT 100""".stripMargin),
 
     ("q48",
@@ -541,9 +543,11 @@ object TpcdsQueries2 {
     ("q57",
       """WITH v1 AS (
         |  SELECT i_category, i_brand, cc_name, d_year, d_moy,
-        |    sum(cs_sales_price) AS sum_sales,
-        |    avg(sum(cs_sales_price)) OVER (
-        |      PARTITION BY i_category, i_brand, cc_name, d_year) AS avg_monthly_sales,
+        |    CAST(sum(cs_sales_price) * 100 AS BIGINT) AS sum_sales_cents,
+        |    CAST(sum(sum(cs_sales_price) * 100) OVER (
+        |      PARTITION BY i_category, i_brand, cc_name, d_year) AS BIGINT) AS wsum_cents,
+        |    count(*) OVER (
+        |      PARTITION BY i_category, i_brand, cc_name, d_year) AS nmonths,
         |    rank() OVER (
         |      PARTITION BY i_category, i_brand, cc_name
         |      ORDER BY d_year, d_moy) AS rn
@@ -555,21 +559,21 @@ object TpcdsQueries2 {
         |  GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
         |v2 AS (
         |  SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
-        |    v1.avg_monthly_sales, v1.sum_sales,
-        |    v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+        |    v1.wsum_cents, v1.nmonths, v1.sum_sales_cents,
+        |    v1_lag.sum_sales_cents AS psum_cents, v1_lead.sum_sales_cents AS nsum_cents
         |  FROM v1, v1 v1_lag, v1 v1_lead
         |  WHERE v1.i_category = v1_lag.i_category AND v1.i_category = v1_lead.i_category
         |    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
         |    AND v1.cc_name = v1_lag.cc_name AND v1.cc_name = v1_lead.cc_name
         |    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
         |SELECT i_category, i_brand, cc_name, d_year, d_moy,
-        |  CAST(sum_sales * 100 AS BIGINT) AS sum_sales_cents,
-        |  CAST(avg_monthly_sales * 100 AS BIGINT) AS avg_monthly_cents,
-        |  CAST(psum * 100 AS BIGINT) AS psum_cents, CAST(nsum * 100 AS BIGINT) AS nsum_cents
+        |  sum_sales_cents, wsum_cents div nmonths AS avg_monthly_cents,
+        |  psum_cents, nsum_cents
         |FROM v2
-        |WHERE d_year = 2021 AND avg_monthly_sales > 0
-        |  AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
-        |ORDER BY sum_sales - avg_monthly_sales, i_category, i_brand, cc_name, d_moy
+        |WHERE d_year = 2021 AND wsum_cents > 0
+        |  AND abs(sum_sales_cents * nmonths - wsum_cents) * 10 > wsum_cents
+        |ORDER BY CAST(sum_sales_cents AS DOUBLE) - CAST(wsum_cents AS DOUBLE) / nmonths,
+        |  i_category, i_brand, cc_name, d_moy
         |LIMIT 100""".stripMargin),
 
     ("q58",
