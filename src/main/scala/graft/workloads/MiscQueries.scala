@@ -230,5 +230,27 @@ object MiscQueries {
              |  true AS approx_within_10pct,
              |  count(DISTINCT l_partkey) AS n
              |FROM lineitem""".stripMargin)),
+
+    CatalogQuery(
+      "q40_or_ranges",
+      "Disjunctive partition-key predicate: chained OR of date ranges (the reference's OR-between partition filter pattern)",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").between("1993-01-01", "1993-03-31") ||
+            col("l_shipdate").between("1994-06-01", "1994-08-31") ||
+            col("l_shipdate").between("1996-01-01", "1996-02-29"))
+          .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"))
+          .agg(count(lit(1)).as("n"),
+            Parity.dsum(col("l_quantity"), 2).as("sum_qty"))
+          .orderBy(col("ship_year"))
+      },
+      Some(s"""SELECT CAST(year(l_shipdate) AS INT) AS ship_year, count(*) AS n,
+             |  ${Parity.dsumSql("l_quantity", 2)} AS sum_qty
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN '1993-01-01' AND '1993-03-31'
+             |   OR l_shipdate BETWEEN '1994-06-01' AND '1994-08-31'
+             |   OR l_shipdate BETWEEN '1996-01-01' AND '1996-02-29'
+             |GROUP BY 1
+             |ORDER BY ship_year""".stripMargin)),
   )
 }

@@ -71,6 +71,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("q40: disjunctive date-range predicate is pushed to the scan as an Or filter") {
+    val plan = planOf(run("q40_or_ranges"))
+    assert(plan.contains("PushedFilters") && plan.contains("Or("),
+      s"OR-of-ranges not pushed:\n$plan")
+  }
+
   test("tpcds q55: dimension filters pushed to the snapshot parquet scans") {
     graft.datagen.RetailData.views(spark)
     val plan = planOf(spark.sql(graft.workloads.TpcdsCatalog.byName("q55")))
