@@ -42,14 +42,33 @@ object RetailData {
 
   private def marker = Paths.get(dir, "_SNAPSHOT_DONE")
 
-  /** Write the snapshot if absent (idempotent, JVM-synchronized). */
+  /** Write the snapshot if absent (idempotent; JVM-synchronized, and
+    * cross-process safe via an atomically-created lock file: two
+    * concurrent JVMs — e.g. sbt test alongside a benchmark run — must
+    * not interleave writes into the same snapshot directory). */
   def ensure(spark: SparkSession): Unit = synchronized {
-    if (!Files.exists(marker)) {
-      StarSchema.tables(spark, factRows).foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name")
-      }
-      Files.createDirectories(Paths.get(dir))
-      Files.write(marker, java.util.Arrays.asList(version.toString))
+    if (Files.exists(marker)) return
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, "_SNAPSHOT_LOCK")
+    val owned =
+      try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (owned) {
+      try {
+        if (!Files.exists(marker)) {
+          StarSchema.tables(spark, factRows).foreach { case (name, df) =>
+            df.write.mode("overwrite").parquet(s"$dir/$name")
+          }
+          Files.write(marker, java.util.Arrays.asList(version.toString))
+        }
+      } finally Files.deleteIfExists(lock)
+    } else {
+      // another process is writing: wait for its marker (or for a
+      // stale lock to clear), then fall through
+      val deadline = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000
+      while (!Files.exists(marker) && Files.exists(lock) &&
+             System.nanoTime() < deadline) Thread.sleep(200)
+      if (!Files.exists(marker)) ensure(spark)
     }
   }
 
@@ -95,11 +114,17 @@ object RetailData {
     val binds = referenced(sql)
       .map(t => s"$t AS (SELECT * FROM '$dir/$t/*.parquet')")
     require(binds.nonEmpty, s"no known table referenced in: $sql")
-    val prelude = binds.mkString("WITH ", ",\n", "")
     val body = sql.trim
-    if (body.toUpperCase.startsWith("WITH "))
-      s"$prelude,\n${body.drop(5)}"
-    else
-      s"$prelude\n$body"
+    // match the WITH keyword however it is terminated (space, newline,
+    // comment, RECURSIVE) — a prefix string test on "WITH " would
+    // silently emit doubled-WITH SQL for "WITH\n..." bodies; a RECURSIVE
+    // body keeps its keyword on the merged clause list
+    "(?is)^WITH\\b(\\s+RECURSIVE\\b)?".r.findFirstMatchIn(body) match {
+      case Some(m) =>
+        val kw = if (m.group(1) != null) "WITH RECURSIVE " else "WITH "
+        binds.mkString(kw, ",\n", ",\n") + body.substring(m.end)
+      case None =>
+        binds.mkString("WITH ", ",\n", "\n") + body
+    }
   }
 }

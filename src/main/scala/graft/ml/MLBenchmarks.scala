@@ -197,7 +197,13 @@ object RunMLBenchmark {
       case Seq("--config", path, rest @ _*) =>
         val config = MLYaml.parseFile(path)
         val exp = MLBenchmarksRunner.runConfig(spark, config)
-        exp.waitForFinish(rest.headOption.map(_.toInt).getOrElse(config.timeoutSeconds))
+        // timeoutSeconds bounds ONE grid cell; the total wait must cover
+        // the whole cartesian grid or a healthy long experiment throws
+        // TimeoutException before the results path is printed
+        val totalWait = (config.timeoutSeconds.toLong *
+          math.max(1, config.experiments.size) * math.max(1, config.iterations))
+          .min(Int.MaxValue).toInt
+        exp.waitForFinish(rest.headOption.map(_.toInt).getOrElse(totalWait))
         println(s"results written to ${exp.resultPath}; ${exp.failures} failures")
         exp.summarize().show(200, truncate = false)
       case other =>

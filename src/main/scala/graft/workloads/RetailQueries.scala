@@ -33,7 +33,7 @@ object RetailQueries {
         |  FROM (
         |    SELECT CAST(grouping(i_category) + grouping(i_brand) AS INT) AS lochierarchy,
         |      i_category, i_brand,
-        |      sum(ss_quantity * CAST(round(i_list_price * 100) AS BIGINT) * (100 - ss_discount_pct)) AS rev_c
+        |      CAST(sum(ss_quantity * CAST(round(i_list_price * 100) AS BIGINT) * (100 - ss_discount_pct)) AS BIGINT) AS rev_c
         |    FROM store_sales JOIN item ON ss_item_sk = i_item_sk
         |    GROUP BY ROLLUP (i_category, i_brand)) hier) ranked
         |WHERE rk <= 5

@@ -22,9 +22,14 @@ object TpcdsQueries1 {
   val defs: Seq[(String, String)] = Seq(
 
     ("q1",
+      // The spec's `> avg(ctr_total_return) * 1.2` threshold is stated in
+      // integer-exact cross-multiplied form (total*10*cnt > sum*12) so the
+      // DuckDB oracle can't diverge on DECIMAL-vs-DOUBLE avg rounding at
+      // boundary-equal rows; two correlated scalar subqueries preserve the
+      // correlated-subquery plan shape of the original.
       """WITH customer_total_return AS (
         |  SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
-        |    sum(sr_return_amt) AS ctr_total_return
+        |    CAST(sum(sr_return_amt * 100) AS BIGINT) AS ctr_total_return_c
         |  FROM store_returns JOIN date_dim ON sr_returned_date_sk = d_date_sk
         |  WHERE d_year = 2021
         |  GROUP BY sr_customer_sk, sr_store_sk)
@@ -32,9 +37,11 @@ object TpcdsQueries1 {
         |FROM customer_total_return ctr1
         |JOIN store ON ctr1.ctr_store_sk = s_store_sk
         |JOIN customer_dim ON ctr1.ctr_customer_sk = c_customer_sk
-        |WHERE ctr1.ctr_total_return > (
-        |    SELECT avg(ctr_total_return) * 1.2 FROM customer_total_return ctr2
-        |    WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+        |WHERE ctr1.ctr_total_return_c * 10 * (
+        |    SELECT count(*) FROM customer_total_return ctr2
+        |    WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk) > (
+        |    SELECT CAST(sum(ctr_total_return_c) AS BIGINT) * 12 FROM customer_total_return ctr3
+        |    WHERE ctr1.ctr_store_sk = ctr3.ctr_store_sk)
         |  AND s_state = 'state_3'
         |ORDER BY c_customer_id
         |LIMIT 100""".stripMargin),
@@ -848,9 +855,10 @@ object TpcdsQueries1 {
         |LIMIT 100""".stripMargin),
 
     ("q30",
+      // Same integer-exact threshold treatment as q1 (see note there).
       """WITH customer_total_return AS (
         |  SELECT wr_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
-        |    sum(wr_return_amt) AS ctr_total_return
+        |    CAST(sum(wr_return_amt * 100) AS BIGINT) AS ctr_total_return_c
         |  FROM web_returns
         |  JOIN date_dim ON wr_returned_date_sk = d_date_sk
         |  JOIN customer_address ON wr_returning_addr_sk = ca_address_sk
@@ -858,12 +866,14 @@ object TpcdsQueries1 {
         |  GROUP BY wr_customer_sk, ca_state)
         |SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
         |  c_birth_year, c_birth_country,
-        |  CAST(ctr_total_return * 100 AS BIGINT) AS return_cents
+        |  ctr_total_return_c AS return_cents
         |FROM customer_total_return ctr1
         |JOIN customer_dim ON ctr1.ctr_customer_sk = c_customer_sk
-        |WHERE ctr1.ctr_total_return > (
-        |    SELECT avg(ctr_total_return) * 1.2 FROM customer_total_return ctr2
-        |    WHERE ctr1.ctr_state = ctr2.ctr_state)
+        |WHERE ctr1.ctr_total_return_c * 10 * (
+        |    SELECT count(*) FROM customer_total_return ctr2
+        |    WHERE ctr1.ctr_state = ctr2.ctr_state) > (
+        |    SELECT CAST(sum(ctr_total_return_c) AS BIGINT) * 12 FROM customer_total_return ctr3
+        |    WHERE ctr1.ctr_state = ctr3.ctr_state)
         |ORDER BY c_customer_id, return_cents
         |LIMIT 100""".stripMargin),
 
