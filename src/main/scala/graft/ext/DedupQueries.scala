@@ -66,11 +66,9 @@ object DedupQueries {
         // catalog builder has no unpersist lifecycle — leaked blocks
         // would squat on executor memory for every later query.
         val rows = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 3)
-        val d = rows.groupBy(col("doc_id"))
-          .agg(collect_set(col("_el")).as("sh"))
-        val cand = TextOps.lshCandidatesFromRows(rows, "doc_id",
-          numHashes = 36, rowsPerBand = 6, maxBucketSize = 100)
-        TextOps.jaccardJoin(cand, d, "doc_id", "sh", threshNum = 8, threshDen = 10)
+        TextOps.lshNearDupPairs(rows, "doc_id",
+            numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+            threshNum = 8, threshDen = 10)
           .orderBy(col("a_id"), col("b_id"))
       },
       None),
@@ -128,11 +126,9 @@ object DedupQueries {
         // discriminate
         // no persist() — same recompute-over-leak tradeoff as dd03
         val rows = TextOps.charNgramRows(docs(s, dir), "doc_id", "text", 5)
-        val d = rows.groupBy(col("doc_id"))
-          .agg(collect_set(col("_el")).as("ng"))
-        val cand = TextOps.lshCandidatesFromRows(rows, "doc_id",
-          numHashes = 36, rowsPerBand = 6, maxBucketSize = 50)
-        TextOps.jaccardJoin(cand, d, "doc_id", "ng", threshNum = 8, threshDen = 10)
+        TextOps.lshNearDupPairs(rows, "doc_id",
+            numHashes = 36, rowsPerBand = 6, maxBucketSize = 50,
+            threshNum = 8, threshDen = 10)
           .orderBy(col("a_id"), col("b_id"))
       },
       None),
@@ -158,11 +154,17 @@ object DedupQueries {
           s"dd06_embedding_neardup is the O(n²) exact baseline: corpus has " +
             s"$n rows > cap $cap. Use ss02 (LSH) at scale, or raise " +
             "spark.conf graft.ext.allPairsMaxRows to override.")
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos", VectorOps.dot(col("a.nv"), col("b.nv")))
-          .filter(col("cos") >= 0.4)
+        // the cosine test lives INSIDE the join condition: the
+        // nested-loop join then evaluates it on the in-flight row pair
+        // and only materializes output rows for true near-dups — with
+        // it as a post-join filter, every one of the O(n²) pairs copies
+        // two 64-double arrays into an output row first (the dominant
+        // cost is that memory traffic, not the dot products)
+        val cos = VectorOps.dot(col("a.nv"), col("b.nv"))
+        e.as("a").join(e.as("b"),
+            col("a.vec_id") < col("b.vec_id") && cos >= 0.4)
           .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-            round(col("cos") * 1e6).cast("long").as("cos_e6"))
+            round(cos * 1e6).cast("long").as("cos_e6"))
           .orderBy(col("a_id"), col("b_id"))
       },
       None),

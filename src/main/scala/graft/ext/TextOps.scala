@@ -112,18 +112,23 @@ object TextOps {
       idCol: String,
       numHashes: Int,
       rowsPerBand: Int,
-      maxBucketSize: Int): DataFrame = {
-    require(numHashes % rowsPerBand == 0)
-    val nBands = numHashes / rowsPerBand
+      maxBucketSize: Int): DataFrame =
+    candidatesFromSignatures(
+      signatures(rows, idCol, numHashes),
+      idCol, numHashes, rowsPerBand, maxBucketSize)
 
-    // One strong hash per element, then numHashes cheap universal-hash
-    // rehashes (odd-constant multiply-add on int64, wrapping): ~30×
-    // fewer hash evaluations than hashing each element per seed, and
-    // the multiply-adds stay inside codegen. Wrapping arithmetic needs
-    // a custom expression because ANSI mode raises on long overflow.
+  /** Per-id minhash signature row (`numHashes` `_mh<i>` columns).
+    *
+    * One strong hash per element, then numHashes cheap universal-hash
+    * rehashes (odd-constant multiply-add on int64, wrapping): ~30×
+    * fewer hash evaluations than hashing each element per seed, and
+    * the multiply-adds stay inside codegen. Wrapping arithmetic needs
+    * a custom expression because ANSI mode raises on long overflow.
+    */
+  private def signatures(rows: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
     graft.functions.HashOps.register(rows.sparkSession)
-    val exploded = rows
-      .select(col(idCol), xxhash64(col("_el")).as("_h"))
+    val exploded = rows.select(col(idCol), xxhash64(col("_el")).as("_h"))
     def mixConst(i: Int, salt: Long): Long = {
       var z = i.toLong * 0x9e3779b97f4a7c15L + salt
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -134,8 +139,18 @@ object TextOps {
       min(graft.functions.HashOps.mulAdd(col("_h"),
         mixConst(i, 0x51ab5f1cL), mixConst(i, 0x7e21))).as(s"_mh$i")
     }
-    val mh = exploded.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
+    exploded.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
+  }
 
+  /** Banded-LSH candidate pairs from a signature frame. */
+  private def candidatesFromSignatures(
+      mh: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val nBands = numHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val bandHashInputs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"_mh$i")) :+ lit(b)
       struct(lit(b).as("band"), xxhash64(bandHashInputs: _*).as("bucket"))
@@ -217,6 +232,30 @@ object TextOps {
           maxBucketSize = Int.MaxValue).count(), cfg.numHashes.toLong)
       }
     } finally { sample.unpersist(false); () }
+  }
+
+  /** LSH near-dup end-to-end: banded candidates + exact Jaccard
+    * verification (|∩|·den ≥ |∪|·num, integer-exact).
+    *
+    * Two single-purpose aggregations, NOT one combined pass: folding
+    * collect_set into the signature groupBy forces the whole agg into
+    * ObjectHashAggregate (collect_set has no codegen path), which
+    * de-codegens the 36 minhash min-updates per element row — measured
+    * ~2× slower end-to-end than paying a second, purely-object
+    * collect_set pass while the minhash agg stays whole-stage-codegen.
+    * The set agg's exchange is still reused across both verify-join
+    * sides (AQE ReuseExchange). */
+  def lshNearDupPairs(
+      rows: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int,
+      threshNum: Int,
+      threshDen: Int): DataFrame = {
+    val sets = rows.groupBy(col(idCol)).agg(collect_set(col("_el")).as("_set"))
+    val cand = lshCandidatesFromRows(rows, idCol, numHashes, rowsPerBand, maxBucketSize)
+    jaccardJoin(cand, sets, idCol, "_set", threshNum, threshDen)
   }
 
   /** Attach both sides' sets to candidate pairs and keep pairs with
