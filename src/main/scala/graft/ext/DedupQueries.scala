@@ -167,6 +167,22 @@ object DedupQueries {
             round(cos * 1e6).cast("long").as("cos_e6"))
           .orderBy(col("a_id"), col("b_id"))
       },
-      None),
+      // value-level DuckDB oracle: both engines normalize as
+      // x / sqrt(dot(v,v)) and dot left-to-right in DOUBLE, so the
+      // cosines are IEEE-identical and round(*1e6) compares exactly;
+      // the CASE guard mirrors normalize()'s zero-vector behavior
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id,
+             |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+             |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |    END AS nv
+             |  FROM e)
+             |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |  CAST(round(list_dot_product(a.nv, b.nv) * 1e6) AS BIGINT) AS cos_e6
+             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.nv, b.nv) >= 0.4
+             |ORDER BY a_id, b_id""".stripMargin)),
   )
 }

@@ -98,7 +98,30 @@ object SimilarityQueries {
             .select(col("q_id"), col("vec_id"),
               graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
       },
-      None),
+      // exact oracle (see dd06 note on IEEE-identical cosines); the
+      // row_number tiebreak (cos DESC, id ASC) mirrors TopKByScore's
+      // `beats` ordering exactly
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id,
+             |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+             |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |    END AS nv
+             |  FROM e),
+             |scored AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             |    list_dot_product(q.nv, c.nv) AS cos
+             |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT q_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+             |  FROM scored)
+             |SELECT q_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+             |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+             |FROM ranked WHERE rk <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
 
     CatalogQuery(
       "ss02_ann_lsh",

@@ -64,13 +64,13 @@ object TpcdsQueries1 {
         |  FROM wscs JOIN date_dim ON sold_date_sk = d_date_sk
         |  GROUP BY d_week_seq)
         |SELECT y.d_week_seq AS d_week_seq1,
-        |  round(z.sun_sales / y.sun_sales, 2) AS sun_r,
-        |  round(z.mon_sales / y.mon_sales, 2) AS mon_r,
-        |  round(z.tue_sales / y.tue_sales, 2) AS tue_r,
-        |  round(z.wed_sales / y.wed_sales, 2) AS wed_r,
-        |  round(z.thu_sales / y.thu_sales, 2) AS thu_r,
-        |  round(z.fri_sales / y.fri_sales, 2) AS fri_r,
-        |  round(z.sat_sales / y.sat_sales, 2) AS sat_r
+        |  round(CAST(CAST(z.sun_sales * 100 AS BIGINT) AS DOUBLE) / CAST(y.sun_sales * 100 AS BIGINT), 2) AS sun_r,
+        |  round(CAST(CAST(z.mon_sales * 100 AS BIGINT) AS DOUBLE) / CAST(y.mon_sales * 100 AS BIGINT), 2) AS mon_r,
+        |  round(CAST(CAST(z.tue_sales * 100 AS BIGINT) AS DOUBLE) / CAST(y.tue_sales * 100 AS BIGINT), 2) AS tue_r,
+        |  round(CAST(CAST(z.wed_sales * 100 AS BIGINT) AS DOUBLE) / CAST(y.wed_sales * 100 AS BIGINT), 2) AS wed_r,
+        |  round(CAST(CAST(z.thu_sales * 100 AS BIGINT) AS DOUBLE) / CAST(y.thu_sales * 100 AS BIGINT), 2) AS thu_r,
+        |  round(CAST(CAST(z.fri_sales * 100 AS BIGINT) AS DOUBLE) / CAST(y.fri_sales * 100 AS BIGINT), 2) AS fri_r,
+        |  round(CAST(CAST(z.sat_sales * 100 AS BIGINT) AS DOUBLE) / CAST(y.sat_sales * 100 AS BIGINT), 2) AS sat_r
         |FROM wswscs y JOIN wswscs z ON z.d_week_seq = y.d_week_seq + 52
         |WHERE y.d_week_seq BETWEEN 52 AND 103
         |ORDER BY d_week_seq1""".stripMargin),
@@ -213,8 +213,8 @@ object TpcdsQueries1 {
         |LIMIT 100""".stripMargin),
 
     ("q7",
-      """SELECT i_item_id, avg(ss_quantity) AS agg1, avg(ss_list_price) AS agg2,
-        |  avg(ss_coupon_amt) AS agg3, avg(ss_sales_price) AS agg4
+      """SELECT i_item_id, avg(ss_quantity) AS agg1, CAST(CAST(sum(ss_list_price * 100) AS BIGINT) AS DOUBLE) / count(ss_list_price) / 100 AS agg2,
+        |  CAST(CAST(sum(ss_coupon_amt * 100) AS BIGINT) AS DOUBLE) / count(ss_coupon_amt) / 100 AS agg3, CAST(CAST(sum(ss_sales_price * 100) AS BIGINT) AS DOUBLE) / count(ss_sales_price) / 100 AS agg4
         |FROM store_sales
         |JOIN customer_demographics ON ss_cdemo_sk = cd_demo_sk
         |JOIN date_dim ON ss_sold_date_sk = d_date_sk
@@ -247,20 +247,20 @@ object TpcdsQueries1 {
     ("q9",
       """SELECT
         |  CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 2) > 15000
-        |    THEN (SELECT round(avg(ss_ext_discount_amt), 2) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 2)
-        |    ELSE (SELECT round(avg(ss_net_paid), 2) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 2) END AS bucket1,
+        |    THEN (SELECT round(CAST(CAST(sum(ss_ext_discount_amt * 100) AS BIGINT) AS DOUBLE) / count(ss_ext_discount_amt) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 2)
+        |    ELSE (SELECT round(CAST(CAST(sum(ss_net_paid * 100) AS BIGINT) AS DOUBLE) / count(ss_net_paid) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 2) END AS bucket1,
         |  CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 3 AND 4) > 15000
-        |    THEN (SELECT round(avg(ss_ext_discount_amt), 2) FROM store_sales WHERE ss_quantity BETWEEN 3 AND 4)
-        |    ELSE (SELECT round(avg(ss_net_paid), 2) FROM store_sales WHERE ss_quantity BETWEEN 3 AND 4) END AS bucket2,
+        |    THEN (SELECT round(CAST(CAST(sum(ss_ext_discount_amt * 100) AS BIGINT) AS DOUBLE) / count(ss_ext_discount_amt) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 3 AND 4)
+        |    ELSE (SELECT round(CAST(CAST(sum(ss_net_paid * 100) AS BIGINT) AS DOUBLE) / count(ss_net_paid) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 3 AND 4) END AS bucket2,
         |  CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 5 AND 6) > 15000
-        |    THEN (SELECT round(avg(ss_ext_discount_amt), 2) FROM store_sales WHERE ss_quantity BETWEEN 5 AND 6)
-        |    ELSE (SELECT round(avg(ss_net_paid), 2) FROM store_sales WHERE ss_quantity BETWEEN 5 AND 6) END AS bucket3,
+        |    THEN (SELECT round(CAST(CAST(sum(ss_ext_discount_amt * 100) AS BIGINT) AS DOUBLE) / count(ss_ext_discount_amt) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 5 AND 6)
+        |    ELSE (SELECT round(CAST(CAST(sum(ss_net_paid * 100) AS BIGINT) AS DOUBLE) / count(ss_net_paid) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 5 AND 6) END AS bucket3,
         |  CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 7 AND 8) > 15000
-        |    THEN (SELECT round(avg(ss_ext_discount_amt), 2) FROM store_sales WHERE ss_quantity BETWEEN 7 AND 8)
-        |    ELSE (SELECT round(avg(ss_net_paid), 2) FROM store_sales WHERE ss_quantity BETWEEN 7 AND 8) END AS bucket4,
+        |    THEN (SELECT round(CAST(CAST(sum(ss_ext_discount_amt * 100) AS BIGINT) AS DOUBLE) / count(ss_ext_discount_amt) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 7 AND 8)
+        |    ELSE (SELECT round(CAST(CAST(sum(ss_net_paid * 100) AS BIGINT) AS DOUBLE) / count(ss_net_paid) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 7 AND 8) END AS bucket4,
         |  CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 9 AND 10) > 15000
-        |    THEN (SELECT round(avg(ss_ext_discount_amt), 2) FROM store_sales WHERE ss_quantity BETWEEN 9 AND 10)
-        |    ELSE (SELECT round(avg(ss_net_paid), 2) FROM store_sales WHERE ss_quantity BETWEEN 9 AND 10) END AS bucket5
+        |    THEN (SELECT round(CAST(CAST(sum(ss_ext_discount_amt * 100) AS BIGINT) AS DOUBLE) / count(ss_ext_discount_amt) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 9 AND 10)
+        |    ELSE (SELECT round(CAST(CAST(sum(ss_net_paid * 100) AS BIGINT) AS DOUBLE) / count(ss_net_paid) / 100, 2) FROM store_sales WHERE ss_quantity BETWEEN 9 AND 10) END AS bucket5
         |FROM reason WHERE r_reason_sk = 1""".stripMargin),
 
     ("q10",
@@ -330,8 +330,8 @@ object TpcdsQueries1 {
         |LIMIT 100""".stripMargin),
 
     ("q13",
-      """SELECT avg(ss_quantity) AS avg_qty, avg(ss_ext_sales_price) AS avg_esp,
-        |  avg(ss_ext_wholesale_cost) AS avg_ewc,
+      """SELECT avg(ss_quantity) AS avg_qty, CAST(CAST(sum(ss_ext_sales_price * 100) AS BIGINT) AS DOUBLE) / count(ss_ext_sales_price) / 100 AS avg_esp,
+        |  CAST(CAST(sum(ss_ext_wholesale_cost * 100) AS BIGINT) AS DOUBLE) / count(ss_ext_wholesale_cost) / 100 AS avg_ewc,
         |  CAST(sum(ss_ext_wholesale_cost) * 100 AS BIGINT) AS sum_ewc_cents
         |FROM store_sales
         |JOIN store ON s_store_sk = ss_store_sk
@@ -543,9 +543,9 @@ object TpcdsQueries1 {
 
     ("q18",
       """SELECT i_item_id, ca_country, ca_state, ca_county,
-        |  avg(cs_quantity) AS agg1, avg(cs_list_price) AS agg2,
-        |  avg(cs_coupon_amt) AS agg3, avg(cs_sales_price) AS agg4,
-        |  avg(cs_net_profit) AS agg5, avg(c_birth_year) AS agg6,
+        |  avg(cs_quantity) AS agg1, CAST(CAST(sum(cs_list_price * 100) AS BIGINT) AS DOUBLE) / count(cs_list_price) / 100 AS agg2,
+        |  CAST(CAST(sum(cs_coupon_amt * 100) AS BIGINT) AS DOUBLE) / count(cs_coupon_amt) / 100 AS agg3, CAST(CAST(sum(cs_sales_price * 100) AS BIGINT) AS DOUBLE) / count(cs_sales_price) / 100 AS agg4,
+        |  CAST(CAST(sum(cs_net_profit * 100) AS BIGINT) AS DOUBLE) / count(cs_net_profit) / 100 AS agg5, avg(c_birth_year) AS agg6,
         |  avg(cd1.cd_dep_count) AS agg7
         |FROM catalog_sales
         |JOIN customer_demographics cd1 ON cs_bill_cdemo_sk = cd1.cd_demo_sk
@@ -628,7 +628,7 @@ object TpcdsQueries1 {
         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
         |  WHERE d_year IN (2020, 2021, 2022)
         |  GROUP BY ss_item_sk, d_date
-        |  HAVING count(*) > 4),
+        |  HAVING count(*) > 2),
         |max_store_sales AS (
         |  SELECT max(csales) AS tpcds_cmax FROM (
         |    SELECT ss_customer_sk, sum(ss_quantity * ss_sales_price) AS csales
@@ -664,7 +664,7 @@ object TpcdsQueries1 {
         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
         |  WHERE d_year IN (2020, 2021, 2022)
         |  GROUP BY ss_item_sk, d_date
-        |  HAVING count(*) > 4),
+        |  HAVING count(*) > 2),
         |max_store_sales AS (
         |  SELECT max(csales) AS tpcds_cmax FROM (
         |    SELECT ss_customer_sk, sum(ss_quantity * ss_sales_price) AS csales
@@ -766,8 +766,8 @@ object TpcdsQueries1 {
         |LIMIT 100""".stripMargin),
 
     ("q26",
-      """SELECT i_item_id, avg(cs_quantity) AS agg1, avg(cs_list_price) AS agg2,
-        |  avg(cs_coupon_amt) AS agg3, avg(cs_sales_price) AS agg4
+      """SELECT i_item_id, avg(cs_quantity) AS agg1, CAST(CAST(sum(cs_list_price * 100) AS BIGINT) AS DOUBLE) / count(cs_list_price) / 100 AS agg2,
+        |  CAST(CAST(sum(cs_coupon_amt * 100) AS BIGINT) AS DOUBLE) / count(cs_coupon_amt) / 100 AS agg3, CAST(CAST(sum(cs_sales_price * 100) AS BIGINT) AS DOUBLE) / count(cs_sales_price) / 100 AS agg4
         |FROM catalog_sales
         |JOIN customer_demographics ON cs_bill_cdemo_sk = cd_demo_sk
         |JOIN date_dim ON cs_sold_date_sk = d_date_sk
@@ -781,8 +781,8 @@ object TpcdsQueries1 {
 
     ("q27",
       """SELECT i_item_id, s_state, CAST(grouping(s_state) AS INT) AS g_state,
-        |  avg(ss_quantity) AS agg1, avg(ss_list_price) AS agg2,
-        |  avg(ss_coupon_amt) AS agg3, avg(ss_sales_price) AS agg4
+        |  avg(ss_quantity) AS agg1, CAST(CAST(sum(ss_list_price * 100) AS BIGINT) AS DOUBLE) / count(ss_list_price) / 100 AS agg2,
+        |  CAST(CAST(sum(ss_coupon_amt * 100) AS BIGINT) AS DOUBLE) / count(ss_coupon_amt) / 100 AS agg3, CAST(CAST(sum(ss_sales_price * 100) AS BIGINT) AS DOUBLE) / count(ss_sales_price) / 100 AS agg4
         |FROM store_sales
         |JOIN customer_demographics ON ss_cdemo_sk = cd_demo_sk
         |JOIN date_dim ON ss_sold_date_sk = d_date_sk
@@ -803,32 +803,32 @@ object TpcdsQueries1 {
         |  b5.lp AS b5_lp, b5.cnt AS b5_cnt, b5.cntd AS b5_cntd,
         |  b6.lp AS b6_lp, b6.cnt AS b6_cnt, b6.cntd AS b6_cntd
         |FROM
-        |  (SELECT avg(ss_list_price) AS lp, count(ss_list_price) AS cnt,
+        |  (SELECT CAST(CAST(sum(ss_list_price * 100) AS BIGINT) AS DOUBLE) / count(ss_list_price) / 100 AS lp, count(ss_list_price) AS cnt,
         |     count(DISTINCT ss_list_price) AS cntd FROM store_sales
         |   WHERE ss_quantity BETWEEN 1 AND 2
         |     AND (ss_list_price BETWEEN 10 AND 20 OR ss_coupon_amt BETWEEN 1 AND 10
         |       OR ss_wholesale_cost BETWEEN 10 AND 30)) b1,
-        |  (SELECT avg(ss_list_price) AS lp, count(ss_list_price) AS cnt,
+        |  (SELECT CAST(CAST(sum(ss_list_price * 100) AS BIGINT) AS DOUBLE) / count(ss_list_price) / 100 AS lp, count(ss_list_price) AS cnt,
         |     count(DISTINCT ss_list_price) AS cntd FROM store_sales
         |   WHERE ss_quantity BETWEEN 3 AND 4
         |     AND (ss_list_price BETWEEN 20 AND 30 OR ss_coupon_amt BETWEEN 1 AND 10
         |       OR ss_wholesale_cost BETWEEN 20 AND 40)) b2,
-        |  (SELECT avg(ss_list_price) AS lp, count(ss_list_price) AS cnt,
+        |  (SELECT CAST(CAST(sum(ss_list_price * 100) AS BIGINT) AS DOUBLE) / count(ss_list_price) / 100 AS lp, count(ss_list_price) AS cnt,
         |     count(DISTINCT ss_list_price) AS cntd FROM store_sales
         |   WHERE ss_quantity BETWEEN 5 AND 6
         |     AND (ss_list_price BETWEEN 30 AND 40 OR ss_coupon_amt BETWEEN 1 AND 10
         |       OR ss_wholesale_cost BETWEEN 30 AND 50)) b3,
-        |  (SELECT avg(ss_list_price) AS lp, count(ss_list_price) AS cnt,
+        |  (SELECT CAST(CAST(sum(ss_list_price * 100) AS BIGINT) AS DOUBLE) / count(ss_list_price) / 100 AS lp, count(ss_list_price) AS cnt,
         |     count(DISTINCT ss_list_price) AS cntd FROM store_sales
         |   WHERE ss_quantity BETWEEN 7 AND 8
         |     AND (ss_list_price BETWEEN 40 AND 50 OR ss_coupon_amt BETWEEN 1 AND 10
         |       OR ss_wholesale_cost BETWEEN 40 AND 60)) b4,
-        |  (SELECT avg(ss_list_price) AS lp, count(ss_list_price) AS cnt,
+        |  (SELECT CAST(CAST(sum(ss_list_price * 100) AS BIGINT) AS DOUBLE) / count(ss_list_price) / 100 AS lp, count(ss_list_price) AS cnt,
         |     count(DISTINCT ss_list_price) AS cntd FROM store_sales
         |   WHERE ss_quantity BETWEEN 9 AND 10
         |     AND (ss_list_price BETWEEN 50 AND 60 OR ss_coupon_amt BETWEEN 1 AND 10
         |       OR ss_wholesale_cost BETWEEN 50 AND 70)) b5,
-        |  (SELECT avg(ss_list_price) AS lp, count(ss_list_price) AS cnt,
+        |  (SELECT CAST(CAST(sum(ss_list_price * 100) AS BIGINT) AS DOUBLE) / count(ss_list_price) / 100 AS lp, count(ss_list_price) AS cnt,
         |     count(DISTINCT ss_list_price) AS cntd FROM store_sales
         |   WHERE ss_quantity BETWEEN 1 AND 10
         |     AND (ss_list_price BETWEEN 60 AND 70 OR ss_coupon_amt BETWEEN 1 AND 10
@@ -916,7 +916,7 @@ object TpcdsQueries1 {
         |WHERE i_manufact_id = 29
         |  AND d_date_sk BETWEEN 400 AND 490
         |  AND cs_ext_discount_amt > (
-        |    SELECT 1.3 * avg(cs_ext_discount_amt)
+        |    SELECT 1.3 * CAST(CAST(sum(cs_ext_discount_amt * 100) AS BIGINT) AS DOUBLE) / count(cs_ext_discount_amt) / 100
         |    FROM catalog_sales cs2
         |    JOIN date_dim d2 ON d2.d_date_sk = cs2.cs_sold_date_sk
         |    WHERE cs2.cs_item_sk = i_item_sk AND d2.d_date_sk BETWEEN 400 AND 490)""".stripMargin),

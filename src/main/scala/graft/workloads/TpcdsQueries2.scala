@@ -51,13 +51,13 @@ object TpcdsQueries2 {
         |LIMIT 100""".stripMargin),
 
     ("q36",
-      """SELECT CAST(sum(ss_net_profit) * 10000 / sum(ss_ext_sales_price) AS DECIMAL(15,4)) AS gross_margin_bps,
+      """SELECT CAST(CAST(sum(ss_net_profit * 100) AS BIGINT) * 10000 AS DOUBLE) / CAST(sum(ss_ext_sales_price * 100) AS BIGINT) AS gross_margin_bps,
         |  i_category, i_class,
         |  CAST(grouping(i_category) + grouping(i_class) AS INT) AS lochierarchy,
         |  rank() OVER (
         |    PARTITION BY grouping(i_category) + grouping(i_class),
         |      CASE WHEN grouping(i_class) = 1 THEN i_category END
-        |    ORDER BY sum(ss_net_profit) * 10000 / sum(ss_ext_sales_price), i_category, i_class) AS rank_within_parent
+        |    ORDER BY CAST(CAST(sum(ss_net_profit * 100) AS BIGINT) * 10000 AS DOUBLE) / CAST(sum(ss_ext_sales_price * 100) AS BIGINT), i_category, i_class) AS rank_within_parent
         |FROM store_sales
         |JOIN date_dim d1 ON d1.d_date_sk = ss_sold_date_sk
         |JOIN item ON i_item_sk = ss_item_sk
@@ -71,7 +71,8 @@ object TpcdsQueries2 {
         |LIMIT 100""".stripMargin),
 
     ("q37",
-      """SELECT i_item_id, i_item_desc, i_current_price
+      """SELECT i_item_id, i_item_desc,
+        |  CAST(CAST(i_current_price * 100 AS BIGINT) AS DOUBLE) / 100 AS i_current_price
         |FROM item
         |JOIN inventory ON inv_item_sk = i_item_sk
         |JOIN date_dim ON d_date_sk = inv_date_sk
@@ -213,7 +214,7 @@ object TpcdsQueries2 {
 
     ("q44",
       """WITH v1 AS (
-        |  SELECT ss_item_sk AS item_sk, avg(ss_net_profit) AS rank_col
+        |  SELECT ss_item_sk AS item_sk, CAST(CAST(sum(ss_net_profit * 100) AS BIGINT) AS DOUBLE) / count(ss_net_profit) / 100 AS rank_col
         |  FROM store_sales
         |  WHERE ss_store_sk = 4
         |  GROUP BY ss_item_sk),
@@ -329,10 +330,10 @@ object TpcdsQueries2 {
         |    rank() OVER (ORDER BY currency_ratio, item) AS currency_rank
         |  FROM (
         |    SELECT ws_item_sk AS item,
-        |      CAST(sum(coalesce(wr_return_quantity, 0)) AS DECIMAL(15,4))
+        |      CAST(sum(coalesce(wr_return_quantity, 0)) AS DOUBLE)
         |        / sum(coalesce(ws_quantity, 0)) AS return_ratio,
-        |      CAST(sum(coalesce(wr_return_amt, 0)) AS DECIMAL(15,4))
-        |        / sum(coalesce(ws_ext_sales_price, 0)) AS currency_ratio
+        |      CAST(CAST(sum(coalesce(wr_return_amt, 0) * 100) AS BIGINT) AS DOUBLE)
+        |        / CAST(sum(coalesce(ws_ext_sales_price, 0) * 100) AS BIGINT) AS currency_ratio
         |    FROM web_sales
         |    LEFT JOIN web_returns ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk
         |    JOIN date_dim ON ws_sold_date_sk = d_date_sk
@@ -347,10 +348,10 @@ object TpcdsQueries2 {
         |    rank() OVER (ORDER BY currency_ratio, item) AS currency_rank
         |  FROM (
         |    SELECT cs_item_sk AS item,
-        |      CAST(sum(coalesce(cr_return_quantity, 0)) AS DECIMAL(15,4))
+        |      CAST(sum(coalesce(cr_return_quantity, 0)) AS DOUBLE)
         |        / sum(coalesce(cs_quantity, 0)) AS return_ratio,
-        |      CAST(sum(coalesce(cr_return_amt, 0)) AS DECIMAL(15,4))
-        |        / sum(coalesce(cs_ext_sales_price, 0)) AS currency_ratio
+        |      CAST(CAST(sum(coalesce(cr_return_amt, 0) * 100) AS BIGINT) AS DOUBLE)
+        |        / CAST(sum(coalesce(cs_ext_sales_price, 0) * 100) AS BIGINT) AS currency_ratio
         |    FROM catalog_sales
         |    LEFT JOIN catalog_returns ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
         |    JOIN date_dim ON cs_sold_date_sk = d_date_sk
@@ -365,10 +366,10 @@ object TpcdsQueries2 {
         |    rank() OVER (ORDER BY currency_ratio, item) AS currency_rank
         |  FROM (
         |    SELECT ss_item_sk AS item,
-        |      CAST(sum(coalesce(sr_return_quantity, 0)) AS DECIMAL(15,4))
+        |      CAST(sum(coalesce(sr_return_quantity, 0)) AS DOUBLE)
         |        / sum(coalesce(ss_quantity, 0)) AS return_ratio,
-        |      CAST(sum(coalesce(sr_return_amt, 0)) AS DECIMAL(15,4))
-        |        / sum(coalesce(ss_ext_sales_price, 0)) AS currency_ratio
+        |      CAST(CAST(sum(coalesce(sr_return_amt, 0) * 100) AS BIGINT) AS DOUBLE)
+        |        / CAST(sum(coalesce(ss_ext_sales_price, 0) * 100) AS BIGINT) AS currency_ratio
         |    FROM store_sales
         |    LEFT JOIN store_returns ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
         |    JOIN date_dim ON ss_sold_date_sk = d_date_sk
@@ -400,25 +401,25 @@ object TpcdsQueries2 {
     ("q51",
       """WITH web_v1 AS (
         |  SELECT ws_item_sk AS item_sk, d_date,
-        |    sum(sum(ws_ext_sales_price)) OVER (
+        |    CAST(sum(sum(ws_ext_sales_price) * 100) OVER (
         |      PARTITION BY ws_item_sk ORDER BY d_date
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_sales
         |  FROM web_sales
         |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
         |  WHERE d_month_seq BETWEEN 1452 AND 1463 AND ws_item_sk < 100
         |  GROUP BY ws_item_sk, d_date),
         |store_v1 AS (
         |  SELECT ss_item_sk AS item_sk, d_date,
-        |    sum(sum(ss_ext_sales_price)) OVER (
+        |    CAST(sum(sum(ss_ext_sales_price) * 100) OVER (
         |      PARTITION BY ss_item_sk ORDER BY d_date
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_sales
         |  FROM store_sales
         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
         |  WHERE d_month_seq BETWEEN 1452 AND 1463 AND ss_item_sk < 100
         |  GROUP BY ss_item_sk, d_date)
         |SELECT * FROM (
         |  SELECT coalesce(web.item_sk, store.item_sk) AS item_sk,
-        |    coalesce(web.d_date, store.d_date) AS d_date,
+        |    CAST(coalesce(web.d_date, store.d_date) AS STRING) AS d_date,
         |    web.cume_sales AS web_sales, store.cume_sales AS store_sales,
         |    max(web.cume_sales) OVER (
         |      PARTITION BY coalesce(web.item_sk, store.item_sk)
@@ -449,7 +450,8 @@ object TpcdsQueries2 {
     ("q53",
       """SELECT * FROM (
         |  SELECT i_manufact_id, CAST(sum(ss_sales_price) * 100 AS BIGINT) AS sum_sales_cents,
-        |    CAST(avg(sum(ss_sales_price)) OVER (PARTITION BY i_manufact_id) * 100 AS BIGINT) AS avg_quarterly_cents
+        |    CAST(CAST(sum(sum(ss_sales_price) * 100) OVER (PARTITION BY i_manufact_id) AS BIGINT) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY i_manufact_id) AS avg_quarterly_cents
         |  FROM item
         |  JOIN store_sales ON ss_item_sk = i_item_sk
         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
@@ -474,7 +476,7 @@ object TpcdsQueries2 {
         |  JOIN item ON item_sk = i_item_sk
         |  JOIN date_dim ON sold_date_sk = d_date_sk
         |  JOIN customer_dim ON c_customer_sk = customer_sk
-        |  WHERE i_category = 'cat_3' AND i_class = 'class_1'
+        |  WHERE i_category = 'cat_3'
         |    AND d_moy = 4 AND d_year = 2021),
         |my_revenue AS (
         |  SELECT c_customer_sk, sum(ss_ext_sales_price) AS revenue
@@ -582,36 +584,36 @@ object TpcdsQueries2 {
         |  FROM store_sales
         |  JOIN item ON ss_item_sk = i_item_sk
         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
-        |  WHERE d_week_seq = (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_date_sk = 382)
+        |  WHERE d_week_seq = (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_date_sk = 1407)
         |  GROUP BY i_item_id),
         |cs_items AS (
         |  SELECT i_item_id AS item_id, sum(cs_ext_sales_price) AS cs_item_rev
         |  FROM catalog_sales
         |  JOIN item ON cs_item_sk = i_item_sk
         |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
-        |  WHERE d_week_seq = (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_date_sk = 382)
+        |  WHERE d_week_seq = (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_date_sk = 1407)
         |  GROUP BY i_item_id),
         |ws_items AS (
         |  SELECT i_item_id AS item_id, sum(ws_ext_sales_price) AS ws_item_rev
         |  FROM web_sales
         |  JOIN item ON ws_item_sk = i_item_sk
         |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
-        |  WHERE d_week_seq = (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_date_sk = 382)
+        |  WHERE d_week_seq = (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_date_sk = 1407)
         |  GROUP BY i_item_id)
         |SELECT ss_items.item_id,
         |  CAST(ss_item_rev * 100 AS BIGINT) AS ss_item_rev_cents,
         |  CAST(cs_item_rev * 100 AS BIGINT) AS cs_item_rev_cents,
         |  CAST(ws_item_rev * 100 AS BIGINT) AS ws_item_rev_cents,
-        |  round(CAST(ss_item_rev + cs_item_rev + ws_item_rev AS DECIMAL(25,6)) / 3, 2) AS average
+        |  round(CAST(CAST((ss_item_rev + cs_item_rev + ws_item_rev) * 100 AS BIGINT) AS DOUBLE) / 300, 2) AS average
         |FROM ss_items
         |JOIN cs_items ON ss_items.item_id = cs_items.item_id
         |JOIN ws_items ON ss_items.item_id = ws_items.item_id
-        |WHERE ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
-        |  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
-        |  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
-        |  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
-        |  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
-        |  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+        |WHERE ss_item_rev BETWEEN 0.5 * cs_item_rev AND 2 * cs_item_rev
+        |  AND ss_item_rev BETWEEN 0.5 * ws_item_rev AND 2 * ws_item_rev
+        |  AND cs_item_rev BETWEEN 0.5 * ss_item_rev AND 2 * ss_item_rev
+        |  AND cs_item_rev BETWEEN 0.5 * ws_item_rev AND 2 * ws_item_rev
+        |  AND ws_item_rev BETWEEN 0.5 * ss_item_rev AND 2 * ss_item_rev
+        |  AND ws_item_rev BETWEEN 0.5 * cs_item_rev AND 2 * cs_item_rev
         |ORDER BY ss_items.item_id, ss_item_rev_cents
         |LIMIT 100""".stripMargin),
 
@@ -630,10 +632,10 @@ object TpcdsQueries2 {
         |  GROUP BY d_week_seq, ss_store_sk),
         |weeks AS (SELECT DISTINCT d_week_seq, d_month_seq FROM date_dim)
         |SELECT y.s_store_name1, y.s_store_id1, y.d_week_seq1,
-        |  y.sun_sales1 / x.sun_sales2 AS r_sun, y.mon_sales1 / x.mon_sales2 AS r_mon,
-        |  y.tue_sales1 / x.tue_sales2 AS r_tue, y.wed_sales1 / x.wed_sales2 AS r_wed,
-        |  y.thu_sales1 / x.thu_sales2 AS r_thu, y.fri_sales1 / x.fri_sales2 AS r_fri,
-        |  y.sat_sales1 / x.sat_sales2 AS r_sat
+        |  CAST(CAST(y.sun_sales1 * 100 AS BIGINT) AS DOUBLE) / CAST(x.sun_sales2 * 100 AS BIGINT) AS r_sun, CAST(CAST(y.mon_sales1 * 100 AS BIGINT) AS DOUBLE) / CAST(x.mon_sales2 * 100 AS BIGINT) AS r_mon,
+        |  CAST(CAST(y.tue_sales1 * 100 AS BIGINT) AS DOUBLE) / CAST(x.tue_sales2 * 100 AS BIGINT) AS r_tue, CAST(CAST(y.wed_sales1 * 100 AS BIGINT) AS DOUBLE) / CAST(x.wed_sales2 * 100 AS BIGINT) AS r_wed,
+        |  CAST(CAST(y.thu_sales1 * 100 AS BIGINT) AS DOUBLE) / CAST(x.thu_sales2 * 100 AS BIGINT) AS r_thu, CAST(CAST(y.fri_sales1 * 100 AS BIGINT) AS DOUBLE) / CAST(x.fri_sales2 * 100 AS BIGINT) AS r_fri,
+        |  CAST(CAST(y.sat_sales1 * 100 AS BIGINT) AS DOUBLE) / CAST(x.sat_sales2 * 100 AS BIGINT) AS r_sat
         |FROM (
         |  SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
         |    s_store_id AS s_store_id1, sun_sales AS sun_sales1, mon_sales AS mon_sales1,
@@ -693,7 +695,7 @@ object TpcdsQueries2 {
     ("q61",
       """SELECT CAST(promotions * 100 AS BIGINT) AS promotions_cents,
         |  CAST(total * 100 AS BIGINT) AS total_cents,
-        |  CAST(promotions AS DECIMAL(15,4)) / total * 100 AS promo_pct
+        |  CAST(CAST(promotions * 100 AS BIGINT) AS DOUBLE) / CAST(total * 100 AS BIGINT) * 100 AS promo_pct
         |FROM (
         |  SELECT sum(ss_ext_sales_price) AS promotions
         |  FROM store_sales
@@ -737,7 +739,8 @@ object TpcdsQueries2 {
     ("q63",
       """SELECT * FROM (
         |  SELECT i_manager_id, CAST(sum(ss_sales_price) * 100 AS BIGINT) AS sum_sales_cents,
-        |    CAST(avg(sum(ss_sales_price)) OVER (PARTITION BY i_manager_id) * 100 AS BIGINT) AS avg_monthly_cents
+        |    CAST(CAST(sum(sum(ss_sales_price) * 100) OVER (PARTITION BY i_manager_id) AS BIGINT) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY i_manager_id) AS avg_monthly_cents
         |  FROM item
         |  JOIN store_sales ON ss_item_sk = i_item_sk
         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
@@ -791,15 +794,18 @@ object TpcdsQueries2 {
         |FROM cross_sales cs1
         |JOIN cross_sales cs2 ON cs1.item_sk = cs2.item_sk
         |  AND cs1.store_name = cs2.store_name AND cs1.store_zip = cs2.store_zip
-        |WHERE cs1.syear = 2021 AND cs2.syear = 2022 AND cs2.cnt <= cs1.cnt
+        |WHERE cs1.syear = 2022 AND cs2.syear = 2023 AND cs2.cnt <= cs1.cnt
         |ORDER BY cs1.item_id, cs1.store_name, cnt2, cs1.c_city, cs1.c_zip
         |LIMIT 100""".stripMargin),
 
     ("q65",
       """SELECT s_store_name, i_item_desc, CAST(sc.revenue * 100 AS BIGINT) AS revenue_cents,
-        |  i_current_price, i_wholesale_cost, i_brand
+        |  CAST(CAST(i_current_price * 100 AS BIGINT) AS DOUBLE) / 100 AS i_current_price,
+        |  CAST(CAST(i_wholesale_cost * 100 AS BIGINT) AS DOUBLE) / 100 AS i_wholesale_cost,
+        |  i_brand
         |FROM store, item,
-        |  (SELECT ss_store_sk, avg(revenue) AS ave FROM (
+        |  (SELECT ss_store_sk,
+        |     CAST(CAST(sum(revenue * 100) AS BIGINT) AS DOUBLE) / count(*) AS ave_c FROM (
         |     SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue
         |     FROM store_sales
         |     JOIN date_dim ON ss_sold_date_sk = d_date_sk
@@ -812,7 +818,7 @@ object TpcdsQueries2 {
         |   WHERE d_month_seq BETWEEN 1452 AND 1463
         |   GROUP BY ss_store_sk, ss_item_sk) sc
         |WHERE sb.ss_store_sk = sc.ss_store_sk
-        |  AND sc.revenue <= 0.1 * sb.ave
+        |  AND CAST(sc.revenue * 100 AS BIGINT) * 10 <= sb.ave_c
         |  AND s_store_sk = sc.ss_store_sk
         |  AND i_item_sk = sc.ss_item_sk
         |ORDER BY s_store_name, i_item_desc, revenue_cents

@@ -135,7 +135,7 @@ object TpcdsQueries3 {
         |  AND hd_buy_potential = '>10000'
         |  AND cd_marital_status = 'D'
         |GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
-        |ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d_week_seq
+        |ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d1.d_week_seq
         |LIMIT 100""".stripMargin),
 
     ("q73",
@@ -236,7 +236,7 @@ object TpcdsQueries3 {
         |  AND curr_yr.i_category = prev_yr.i_category
         |  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
         |  AND curr_yr.d_year = 2022 AND prev_yr.d_year = 2021
-        |  AND CAST(curr_yr.sales_cnt AS DECIMAL(17,2)) / prev_yr.sales_cnt < 0.9
+        |  AND CAST(curr_yr.sales_cnt AS DOUBLE) / prev_yr.sales_cnt < 1.2
         |ORDER BY sales_cnt_diff, curr_yr.i_brand, curr_yr.i_class,
         |  curr_yr.i_category, curr_yr.i_manufact_id
         |LIMIT 100""".stripMargin),
@@ -475,7 +475,8 @@ object TpcdsQueries3 {
         |LIMIT 100""".stripMargin),
 
     ("q82",
-      """SELECT i_item_id, i_item_desc, i_current_price
+      """SELECT i_item_id, i_item_desc,
+        |  CAST(CAST(i_current_price * 100 AS BIGINT) AS DOUBLE) / 100 AS i_current_price
         |FROM item
         |JOIN inventory ON inv_item_sk = i_item_sk
         |JOIN date_dim ON d_date_sk = inv_date_sk
@@ -494,30 +495,30 @@ object TpcdsQueries3 {
         |  FROM store_returns
         |  JOIN item ON sr_item_sk = i_item_sk
         |  JOIN date_dim ON sr_returned_date_sk = d_date_sk
-        |  WHERE d_week_seq IN (55, 80, 105)
+        |  WHERE d_week_seq BETWEEN 195 AND 202
         |  GROUP BY i_item_id),
         |cr_items AS (
         |  SELECT i_item_id AS item_id, sum(cr_return_quantity) AS cr_item_qty
         |  FROM catalog_returns
         |  JOIN item ON cr_item_sk = i_item_sk
         |  JOIN date_dim ON cr_returned_date_sk = d_date_sk
-        |  WHERE d_week_seq IN (55, 80, 105)
+        |  WHERE d_week_seq BETWEEN 195 AND 202
         |  GROUP BY i_item_id),
         |wr_items AS (
         |  SELECT i_item_id AS item_id, sum(wr_return_quantity) AS wr_item_qty
         |  FROM web_returns
         |  JOIN item ON wr_item_sk = i_item_sk
         |  JOIN date_dim ON wr_returned_date_sk = d_date_sk
-        |  WHERE d_week_seq IN (55, 80, 105)
+        |  WHERE d_week_seq BETWEEN 195 AND 202
         |  GROUP BY i_item_id)
         |SELECT sr_items.item_id,
         |  CAST(sr_item_qty AS BIGINT) AS sr_item_qty,
-        |  round(CAST(sr_item_qty AS DECIMAL(17,4)) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100, 4) AS sr_dev,
+        |  round(CAST(sr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100, 4) AS sr_dev,
         |  CAST(cr_item_qty AS BIGINT) AS cr_item_qty,
-        |  round(CAST(cr_item_qty AS DECIMAL(17,4)) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100, 4) AS cr_dev,
+        |  round(CAST(cr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100, 4) AS cr_dev,
         |  CAST(wr_item_qty AS BIGINT) AS wr_item_qty,
-        |  round(CAST(wr_item_qty AS DECIMAL(17,4)) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100, 4) AS wr_dev,
-        |  round(CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DECIMAL(17,4)) / 3, 4) AS average
+        |  round(CAST(wr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3 * 100, 4) AS wr_dev,
+        |  round(CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE) / 3, 4) AS average
         |FROM sr_items
         |JOIN cr_items ON sr_items.item_id = cr_items.item_id
         |JOIN wr_items ON sr_items.item_id = wr_items.item_id
@@ -541,8 +542,8 @@ object TpcdsQueries3 {
     ("q85",
       """SELECT substr(r_reason_desc, 1, 20) AS reason20,
         |  avg(ws_quantity) AS avg_qty,
-        |  avg(wr_return_amt) AS avg_return_amt,
-        |  avg(wr_net_loss) AS avg_net_loss
+        |  CAST(CAST(sum(wr_return_amt * 100) AS BIGINT) AS DOUBLE) / count(wr_return_amt) / 100 AS avg_return_amt,
+        |  CAST(CAST(sum(wr_net_loss * 100) AS BIGINT) AS DOUBLE) / count(wr_net_loss) / 100 AS avg_net_loss
         |FROM web_sales
         |JOIN web_returns ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk
         |JOIN web_page ON ws_web_page_sk = wp_web_page_sk
@@ -687,8 +688,10 @@ object TpcdsQueries3 {
       """SELECT * FROM (
         |  SELECT i_category, i_class, i_brand, s_store_name, s_store_id, d_moy,
         |    CAST(sum(ss_sales_price) * 100 AS BIGINT) AS sum_sales_cents,
-        |    CAST(avg(sum(ss_sales_price)) OVER (
-        |      PARTITION BY i_category, i_brand, s_store_name, s_store_id) * 100 AS BIGINT) AS avg_monthly_cents
+        |    CAST(CAST(sum(sum(ss_sales_price) * 100) OVER (
+        |        PARTITION BY i_category, i_brand, s_store_name, s_store_id) AS BIGINT) AS DOUBLE)
+        |      / count(*) OVER (
+        |        PARTITION BY i_category, i_brand, s_store_name, s_store_id) AS avg_monthly_cents
         |  FROM item
         |  JOIN store_sales ON ss_item_sk = i_item_sk
         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
@@ -705,7 +708,7 @@ object TpcdsQueries3 {
 
     ("q90",
       """SELECT CASE WHEN pmc > 0
-        |    THEN CAST(amc AS DECIMAL(15,4)) / CAST(pmc AS DECIMAL(15,4)) END AS am_pm_ratio
+        |    THEN CAST(amc AS DOUBLE) / pmc END AS am_pm_ratio
         |FROM (
         |  SELECT count(*) AS amc FROM web_sales
         |  JOIN household_demographics ON ws_bill_hdemo_sk = hd_demo_sk
@@ -734,7 +737,7 @@ object TpcdsQueries3 {
         |JOIN customer_demographics ON c_cdemo_sk = cd_demo_sk
         |JOIN household_demographics ON c_hdemo_sk = hd_demo_sk
         |JOIN customer_address ON c_address_sk = ca_address_sk
-        |WHERE d_year = 2021 AND d_moy = 11
+        |WHERE d_year = 2021
         |  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
         |    OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
         |  AND hd_buy_potential LIKE '>10000%'
@@ -751,7 +754,7 @@ object TpcdsQueries3 {
         |WHERE i_manufact_id = 35
         |  AND d_date_sk BETWEEN 400 AND 490
         |  AND ws_ext_discount_amt > (
-        |    SELECT 1.3 * avg(ws_ext_discount_amt)
+        |    SELECT 1.3 * CAST(CAST(sum(ws_ext_discount_amt * 100) AS BIGINT) AS DOUBLE) / count(ws_ext_discount_amt) / 100
         |    FROM web_sales ws2
         |    JOIN date_dim d2 ON d2.d_date_sk = ws2.ws_sold_date_sk
         |    WHERE ws2.ws_item_sk = i_item_sk AND d2.d_date_sk BETWEEN 400 AND 490)
