@@ -105,4 +105,36 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       s"bounded top-k aggregation missing:\n$plan")
   }
+
+  test("tpcds q67: rank() <= k plans as WindowGroupLimit, not a full partition sort") {
+    // the 8-column ROLLUP explodes the row count; the rk <= 100 filter
+    // must push into the window operator (per-partition top-k) or the
+    // whole rollup output gets globally sorted at scale
+    graft.datagen.RetailData.views(spark)
+    val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q67"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window:\n$plan")
+  }
+
+  test("tpcds q14a: repeated cross-channel CTE scans reuse exchanges") {
+    // cross_items/avg_sales appear once per channel; without exchange
+    // reuse the same aggregation subtree executes 3x over the facts
+    graft.datagen.RetailData.views(spark)
+    val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q14a"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"no exchange reuse in the multi-channel plan:\n$plan")
+  }
+
+  test("tpcds q72: the 10-way join keeps every dimension broadcast") {
+    graft.datagen.RetailData.views(spark)
+    val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q72:\n$plan")
+  }
 }
