@@ -184,6 +184,33 @@ object Benchmark {
       .orderBy(col("timestamp"), col("name"))
   }
 
+  /** Dashboard score per the reference's published methodology
+    * (`src/main/notebooks/performance.dashboard.scala:106-147`):
+    * drop each query's first iteration as warmup, take the median of
+    * the remaining iterations, and score the run as the GEOMETRIC
+    * mean of those medians — medians resist stragglers, the geomean
+    * weights every query equally regardless of absolute runtime.
+    * Returns one row per timestamp: (timestamp, queries, scoreMs). */
+  def dashboardScore(spark: SparkSession, resultsLocation: String): DataFrame = {
+    val runs = spark.read.json(s"$resultsLocation/timestamp=*")
+      .select(col("timestamp"), col("iteration"), explode(col("results")).as("result"))
+      .select(col("timestamp"), col("iteration"), col("result.name").as("name"),
+        col("result.executionTime").as("executionTime"))
+      .filter(col("executionTime").isNotNull)
+    val iterStats = runs.groupBy(col("timestamp"), col("name"))
+      .agg(min(col("iteration")).as("warmupIteration"),
+        countDistinct(col("iteration")).as("nIter"))
+    val medians = runs.join(iterStats, Seq("timestamp", "name"))
+      // single-iteration runs have nothing to drop
+      .filter(col("nIter") === 1 || col("iteration") =!= col("warmupIteration"))
+      .groupBy(col("timestamp"), col("name"))
+      .agg(expr("percentile(executionTime, 0.5)").as("medianMs"))
+    medians.groupBy(col("timestamp"))
+      .agg(count(lit(1)).as("queries"),
+        exp(avg(log(col("medianMs")))).as("scoreMs"))
+      .orderBy(col("timestamp"))
+  }
+
   /** Percent change of this run vs a baseline timestamp
     * (`P/RunBenchmark.scala:177-196`). */
   def compareToBaseline(spark: SparkSession, resultsLocation: String,

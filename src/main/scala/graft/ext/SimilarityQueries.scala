@@ -159,7 +159,7 @@ object SimilarityQueries {
         val fitSample =
           if (n > 5000) e.sample(withReplacement = false, 5000.0 / n, seed = 7)
           else e
-        val km = new KMeans().setK(16).setMaxIter(5).setSeed(42)
+        val km = new KMeans().setK(16).setMaxIter(3).setSeed(42)
           .setInitMode("random")
           .setFeaturesCol("fv").fit(fitSample)
         val assigned = km.transform(e)

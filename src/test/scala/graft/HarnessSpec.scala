@@ -42,9 +42,19 @@ class HarnessSpec extends SparkSpec {
     val summary = exp.summarize().collect()
     assert(summary.length == 2)
     // analyze() round-trips from disk
-    val analyzed = Benchmark.analyze(spark,
-      exp.resultPath.stripSuffix(s"/timestamp=${exp.timestamp}"))
+    val resultsLoc = exp.resultPath.stripSuffix(s"/timestamp=${exp.timestamp}")
+    val analyzed = Benchmark.analyze(spark, resultsLoc)
     assert(analyzed.count() == 2)
+    // dashboard score: one row for this timestamp, geomean of per-query
+    // medians (warmup iteration dropped), bounded by min/max medians
+    val score = Benchmark.dashboardScore(spark, resultsLoc)
+      .filter(col("timestamp") === exp.timestamp).collect()
+    assert(score.length == 1)
+    assert(score.head.getAs[Long]("queries") == 2)
+    val s = score.head.getAs[Double]("scoreMs")
+    val meds = analyzed.collect().map(_.getAs[Double]("avgTimeMs"))
+    assert(s > 0 && s <= meds.max * 4,
+      s"score $s out of plausible range vs $meds")
   }
 
   test("failures are captured, not thrown") {
