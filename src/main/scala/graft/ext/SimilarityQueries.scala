@@ -27,43 +27,43 @@ import graft.sources.Tables
   */
 object SimilarityQueries {
 
-  private val Dim = 64
-  private val K = 5
+  private[ext] val Dim = 64
+  private[ext] val K = 5
   // ss02 multi-table LSH: L independent tables of b hyperplane bits.
   // For a pair at angle θ, P[bits agree] = 1 − θ/π per plane; recall
   // for top neighbors ≈ 1 − (1 − p^b)^L, while random-pair candidate
   // rate ≈ L·2^-b. b=6, L=8 ⇒ ~12% of the corpus scored per query for
   // ~0.65+ recall at cos ≈ 0.4 — the classic index-size-for-recall
   // trade (the index is L× the corpus, built in one narrow pass).
-  private val TableBits = 6
-  private val NTables = 8
+  private[ext] val TableBits = 6
+  private[ext] val NTables = 8
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5). */
-  private def planeVal(j: Int, i: Int): Double = {
+  private[ext] def planeVal(j: Int, i: Int): Double = {
     var h = (j.toLong * 1315423911L) ^ (i.toLong * 2654435761L)
     h ^= (h >>> 13); h *= 0x5bd1e9955bd1e995L; h ^= (h >>> 31)
     ((h & 0xffffL).toDouble / 65536.0) - 0.5
   }
 
-  private def planeCol(j: Int): Column =
+  private[ext] def planeCol(j: Int): Column =
     array((0 until Dim).map(i => lit(planeVal(j, i))): _*)
 
   /** Table-t LSH signature: bit j = sign(v · plane_{t·b+j}). */
-  private def tableSig(v: Column, t: Int): Column =
+  private[ext] def tableSig(v: Column, t: Int): Column =
     (0 until TableBits).map { j =>
       val dot = graft.functions.VectorOps.dot(v, planeCol(t * TableBits + j))
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** (table, sig) index rows — one narrow pass over the vectors. */
-  private def sigRows(df: DataFrame): DataFrame =
+  private[ext] def sigRows(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("v"),
         explode(array((0 until NTables).map(t =>
           struct(lit(t).as("t"), tableSig(col("v"), t).as("sig"))): _*)).as("ts"))
       .select(col("vec_id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
 
   /** Pre-normalized vectors: pair scoring becomes one codegen'd dot. */
-  private def embeddings(s: SparkSession, dir: String): DataFrame = {
+  private[ext] def embeddings(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorOps.register(s)
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -72,8 +72,8 @@ object SimilarityQueries {
 
   /** (q_id, vec_id, cos) scored pairs → exact top-K per query via the
     * bounded aggregator, in the catalog's output shape. */
-  private def topNeighbors(scored: DataFrame): DataFrame = {
-    val topk = udaf(new TopKByScore(K))
+  private[ext] def topNeighbors(scored: DataFrame, k: Int = K): DataFrame = {
+    val topk = udaf(new TopKByScore(k))
     scored.groupBy(col("q_id"))
       .agg(topk(col("cos"), col("vec_id")).as("top"))
       .select(col("q_id"), posexplode(col("top.items")))
