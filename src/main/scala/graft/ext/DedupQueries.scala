@@ -134,6 +134,17 @@ object DedupQueries {
       None),
 
     CatalogQuery(
+      "dd07_simhash_wide",
+      "Wide SimHash near-dup: 128-bit signatures, 9 pigeonhole chunks of 14 bits - dd04's scale path (2^14-value chunks cut false candidates ~128x)",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        TextOps.simhashWidePairs(tok, "doc_id", words = 2, radius = 8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    CatalogQuery(
       "dd06_embedding_neardup",
       "Embedding-cosine near-dup pairs (cosine ≥ 0.4), brute-force baseline; ss02 is the LSH scale path",
       (s, dir) => {

@@ -174,6 +174,85 @@ object TextOps {
       .distinct()
   }
 
+  /** Wide (multi-word) SimHash near-dup pairs: `words`×64-bit
+    * signatures, pigeonhole bucketing, exact Hamming verification.
+    *
+    * This is the scale path for dd04's collision math: Hamming ≤ r
+    * needs r+1 chunks (r differing bits can touch at most r of them),
+    * and chunk VALUE SPACE is what bounds false candidates — 9 chunks
+    * of a 64-bit signature are only 7 bits wide (2⁷ values → ~9·n²/2⁷
+    * candidate pairs), while 9 chunks of a 128-bit signature are 14
+    * bits wide (2¹⁴ values → 128× fewer collisions for the same plan
+    * shape). The per-token cost doubles (two xxhash seeds instead of
+    * one); everything stays codegen.
+    *
+    * Returns (a_id, b_id, hamming) for pairs at Hamming ≤ radius over
+    * the full `64·words`-bit signature. Bucketing is LOSSLESS (the
+    * pigeonhole guarantee, asserted against brute force in ExtSpec).
+    */
+  /** Per-id `words`×64-bit SimHash signatures as `_sig0.._sigN`
+    * columns — per-word token hashes from independent xxhash seeds,
+    * all bit counters in ONE aggregation pass. */
+  def simhashWideSignatures(
+      tok: DataFrame, // (idCol, "tok") token rows
+      idCol: String,
+      words: Int): DataFrame = {
+    require(words >= 1)
+    val hashed = tok.select(col(idCol) +: (0 until words).map(w =>
+      xxhash64(col("tok"), lit(w)).as(s"_h$w")): _*)
+    val bitSums = for (w <- 0 until words; b <- 0 until 64) yield
+      sum(when(expr(s"(_h$w >> $b) & 1") === 1, 1).otherwise(-1)).as(s"_w${w}b$b")
+    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol) +: (0 until words).map { w =>
+        (0 until 64).map(b => when(col(s"_w${w}b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as(s"_sig$w")
+      }: _*)
+  }
+
+  def simhashWidePairs(
+      tok: DataFrame, // (idCol, "tok") token rows
+      idCol: String,
+      words: Int,
+      radius: Int): DataFrame = {
+    require(words >= 1 && radius >= 0)
+    val nBits = 64 * words
+    val nChunks = radius + 1
+    val sig = simhashWideSignatures(tok, idCol, words)
+    // chunk boundaries partition [0, nBits); width nBits/nChunks with
+    // the remainder spread over the leading chunks
+    val base = nBits / nChunks
+    val starts = (0 until nChunks).scanLeft(0) { (s, c) =>
+      s + base + (if (c < nBits % nChunks) 1 else 0)
+    }
+    def chunkExpr(c: Int): Column = {
+      val start = starts(c); val end = starts(c + 1); val width = end - start
+      val loWord = start / 64; val hiWord = (end - 1) / 64
+      val off = start % 64
+      if (loWord == hiWord)
+        expr(s"(_sig$loWord >> $off) & ${(1L << width) - 1}")
+      else {
+        // spans two words: low bits from loWord, high bits from hiWord
+        val loBits = 64 - off
+        expr(s"((_sig$loWord >> $off) & ${(1L << loBits) - 1}) | " +
+          s"((_sig$hiWord & ${(1L << (width - loBits)) - 1}) << $loBits)")
+      }
+    }
+    val chunks = sig.select(col(idCol) +: (0 until words).map(w => col(s"_sig$w")) :+
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("c"), chunkExpr(c).as("v"))): _*)).as("ch"): _*)
+      .select(col(idCol) +: (0 until words).map(w => col(s"_sig$w")) :+
+        col("ch.c").as("c") :+ col("ch.v").as("v"): _*)
+    val ham = (0 until words).map(w =>
+      expr(s"bit_count(x._sig$w ^ y._sig$w)")).reduce(_ + _).cast("long")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= radius)
+      .distinct()
+  }
+
   /** A banded-LSH parameterization. */
   case class LshConfig(numHashes: Int, rowsPerBand: Int) {
     def bands: Int = numHashes / rowsPerBand

@@ -56,6 +56,26 @@ class ExtSpec extends SparkSpec {
     assert(got.filter(col("a_id") >= col("b_id")).count() == 0)
   }
 
+  test("dd07 wide simhash: pigeonhole bucketing is LOSSLESS vs brute force") {
+    val tok = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val got = run("dd07_simhash_wide")
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the SAME signatures: all pairs, exact Hamming
+    val sig = TextOps.simhashWideSignatures(tok, "doc_id", words = 2)
+    val truth = sig.as("x").join(sig.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        (expr("bit_count(x._sig0 ^ y._sig0)") +
+          expr("bit_count(x._sig1 ^ y._sig1)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth,
+      s"bucketing lost/invented pairs: got ${got.size}, truth ${truth.size}")
+    assert(truth.nonEmpty, "fixture has no wide-simhash near-dups")
+  }
+
   test("dd06 embedding near-dup matches brute-force count and threshold") {
     val got = run("dd06_embedding_neardup")
     assert(got.filter(col("cos_e6") < 400000).count() == 0)
