@@ -205,8 +205,10 @@ object TpcdsQueries1 {
         |JOIN item i ON s.ss_item_sk = i.i_item_sk
         |WHERE d.d_month_seq = (SELECT DISTINCT d_month_seq FROM date_dim
         |                       WHERE d_year = 2021 AND d_moy = 1)
-        |  AND i.i_current_price > 1.2 * (SELECT avg(j.i_current_price) FROM item j
-        |                                 WHERE j.i_category = i.i_category)
+        |  AND CAST(i.i_current_price * 100 AS BIGINT) * 10
+        |    * (SELECT count(j.i_current_price) FROM item j WHERE j.i_category = i.i_category)
+        |    > 12 * (SELECT CAST(sum(j2.i_current_price * 100) AS BIGINT) FROM item j2
+        |            WHERE j2.i_category = i.i_category)
         |GROUP BY a.ca_state
         |HAVING count(*) >= 10
         |ORDER BY cnt, state
@@ -370,7 +372,8 @@ object TpcdsQueries1 {
         |    JOIN date_dim d3 ON ws_sold_date_sk = d3.d_date_sk AND d3.d_year BETWEEN 2020 AND 2022) x
         |  ON i_brand = i_brand_id AND i_class = i_class_id AND i_category = i_category_id),
         |avg_sales AS (
-        |  SELECT avg(quantity * list_price) AS average_sales FROM (
+        |  SELECT CAST(sum(quantity * list_price * 100) AS BIGINT) AS total_sales_c,
+        |    count(quantity * list_price) AS total_cnt FROM (
         |    SELECT ss_quantity AS quantity, ss_list_price AS list_price
         |    FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
         |    WHERE d_year BETWEEN 2020 AND 2022
@@ -393,7 +396,8 @@ object TpcdsQueries1 {
         |  WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
         |    AND d_year = 2022 AND d_moy = 11
         |  GROUP BY i_brand, i_class, i_category
-        |  HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)
+        |  HAVING CAST(sum(ss_quantity * ss_list_price) * 100 AS BIGINT)
+        |    * (SELECT total_cnt FROM avg_sales) > (SELECT total_sales_c FROM avg_sales)
         |  UNION ALL
         |  SELECT 'catalog', i_brand, i_class, i_category,
         |    sum(cs_quantity * cs_list_price), count(*)
@@ -403,7 +407,8 @@ object TpcdsQueries1 {
         |  WHERE cs_item_sk IN (SELECT ss_item_sk FROM cross_items)
         |    AND d_year = 2022 AND d_moy = 11
         |  GROUP BY i_brand, i_class, i_category
-        |  HAVING sum(cs_quantity * cs_list_price) > (SELECT average_sales FROM avg_sales)
+        |  HAVING CAST(sum(cs_quantity * cs_list_price) * 100 AS BIGINT)
+        |    * (SELECT total_cnt FROM avg_sales) > (SELECT total_sales_c FROM avg_sales)
         |  UNION ALL
         |  SELECT 'web', i_brand, i_class, i_category,
         |    sum(ws_quantity * ws_list_price), count(*)
@@ -413,7 +418,8 @@ object TpcdsQueries1 {
         |  WHERE ws_item_sk IN (SELECT ss_item_sk FROM cross_items)
         |    AND d_year = 2022 AND d_moy = 11
         |  GROUP BY i_brand, i_class, i_category
-        |  HAVING sum(ws_quantity * ws_list_price) > (SELECT average_sales FROM avg_sales)) y
+        |  HAVING CAST(sum(ws_quantity * ws_list_price) * 100 AS BIGINT)
+        |    * (SELECT total_cnt FROM avg_sales) > (SELECT total_sales_c FROM avg_sales)) y
         |GROUP BY ROLLUP (channel, i_brand, i_class, i_category)
         |ORDER BY channel ASC NULLS FIRST, i_brand ASC NULLS FIRST,
         |  i_class ASC NULLS FIRST, i_category ASC NULLS FIRST
@@ -442,7 +448,8 @@ object TpcdsQueries1 {
         |    JOIN date_dim d3 ON ws_sold_date_sk = d3.d_date_sk AND d3.d_year BETWEEN 2020 AND 2022) x
         |  ON i_brand = i_brand_id AND i_class = i_class_id AND i_category = i_category_id),
         |avg_sales AS (
-        |  SELECT avg(quantity * list_price) AS average_sales FROM (
+        |  SELECT CAST(sum(quantity * list_price * 100) AS BIGINT) AS total_sales_c,
+        |    count(quantity * list_price) AS total_cnt FROM (
         |    SELECT ss_quantity AS quantity, ss_list_price AS list_price
         |    FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
         |    WHERE d_year BETWEEN 2020 AND 2022
@@ -469,7 +476,8 @@ object TpcdsQueries1 {
         |  WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
         |    AND d_week_seq = 154
         |  GROUP BY i_brand, i_class, i_category
-        |  HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)) this_year
+        |  HAVING CAST(sum(ss_quantity * ss_list_price) * 100 AS BIGINT)
+        |    * (SELECT total_cnt FROM avg_sales) > (SELECT total_sales_c FROM avg_sales)) this_year
         |JOIN (
         |  SELECT 'store' AS channel, i_brand, i_class, i_category,
         |    sum(ss_quantity * ss_list_price) AS sales, count(*) AS number_sales
@@ -479,7 +487,8 @@ object TpcdsQueries1 {
         |  WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
         |    AND d_week_seq = 102
         |  GROUP BY i_brand, i_class, i_category
-        |  HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)) last_year
+        |  HAVING CAST(sum(ss_quantity * ss_list_price) * 100 AS BIGINT)
+        |    * (SELECT total_cnt FROM avg_sales) > (SELECT total_sales_c FROM avg_sales)) last_year
         |ON this_year.i_brand = last_year.i_brand
         |  AND this_year.i_class = last_year.i_class
         |  AND this_year.i_category = last_year.i_category
@@ -718,7 +727,8 @@ object TpcdsQueries1 {
         |FROM ssales
         |WHERE i_color = 'red'
         |GROUP BY c_last_name, c_first_name, s_store_name
-        |HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+        |HAVING CAST(sum(netpaid) * 100 AS BIGINT) * 20 * (SELECT count(netpaid) FROM ssales)
+        |  > (SELECT CAST(sum(netpaid * 100) AS BIGINT) FROM ssales)
         |ORDER BY c_last_name, c_first_name, s_store_name
         |LIMIT 100""".stripMargin),
 
@@ -743,7 +753,8 @@ object TpcdsQueries1 {
         |FROM ssales
         |WHERE i_color = 'navy'
         |GROUP BY c_last_name, c_first_name, s_store_name
-        |HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+        |HAVING CAST(sum(netpaid) * 100 AS BIGINT) * 20 * (SELECT count(netpaid) FROM ssales)
+        |  > (SELECT CAST(sum(netpaid * 100) AS BIGINT) FROM ssales)
         |ORDER BY c_last_name, c_first_name, s_store_name
         |LIMIT 100""".stripMargin),
 

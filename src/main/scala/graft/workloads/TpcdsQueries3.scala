@@ -454,7 +454,7 @@ object TpcdsQueries3 {
     ("q81",
       """WITH customer_total_return AS (
         |  SELECT cr_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
-        |    sum(cr_return_amt) AS ctr_total_return
+        |    CAST(sum(cr_return_amt * 100) AS BIGINT) AS ctr_total_return_c
         |  FROM catalog_returns
         |  JOIN date_dim ON cr_returned_date_sk = d_date_sk
         |  JOIN customer_address ON cr_returning_addr_sk = ca_address_sk
@@ -462,15 +462,17 @@ object TpcdsQueries3 {
         |  GROUP BY cr_customer_sk, ca_state)
         |SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
         |  ca_street_or_city, ca_state_out, ca_zip_out,
-        |  CAST(ctr_total_return * 100 AS BIGINT) AS return_cents
+        |  ctr_total_return_c AS return_cents
         |FROM customer_total_return ctr1
         |JOIN customer_dim ON ctr1.ctr_customer_sk = c_customer_sk
         |JOIN (SELECT ca_address_sk, ca_city AS ca_street_or_city, ca_state AS ca_state_out,
         |        ca_zip AS ca_zip_out FROM customer_address) addr
         |  ON c_address_sk = addr.ca_address_sk
-        |WHERE ctr1.ctr_total_return > (
-        |    SELECT avg(ctr_total_return) * 1.2 FROM customer_total_return ctr2
-        |    WHERE ctr1.ctr_state = ctr2.ctr_state)
+        |WHERE ctr1.ctr_total_return_c * 10 * (
+        |    SELECT count(*) FROM customer_total_return ctr2
+        |    WHERE ctr1.ctr_state = ctr2.ctr_state) > (
+        |    SELECT CAST(sum(ctr_total_return_c) AS BIGINT) * 12 FROM customer_total_return ctr3
+        |    WHERE ctr1.ctr_state = ctr3.ctr_state)
         |ORDER BY c_customer_id, return_cents
         |LIMIT 100""".stripMargin),
 
