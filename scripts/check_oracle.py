@@ -26,23 +26,21 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("Int64")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
-def reconcile(got: pd.DataFrame, exp: pd.DataFrame):
-    """Unify per-column dtypes when one engine returned int and the other
-    float (e.g. DuckDB HUGEINT sums arrive as float64): ints stay exact
-    unless the float side is genuinely fractional."""
+def dtype_mismatches(got: pd.DataFrame, exp: pd.DataFrame):
+    """The driver's gate hashes raw values, so an Int64-vs-float64 column
+    (e.g. a DuckDB HUGEINT sum arriving as float64) is a hard FAIL there.
+    This mirror must be at least as strict: report every per-column dtype
+    divergence instead of silently unifying widths (the old `reconcile()`
+    masked exactly the q14a/rq1 HUGEINT bug family two rounds running).
+    Fix the query, not the checker: CAST integer sums to BIGINT in the
+    shared SQL text so both engines emit int64."""
+    bad = []
     for c in got.columns:
-        a, b = str(got[c].dtype), str(exp[c].dtype)
-        if a == b:
-            continue
-        if {a, b} <= {"Int64", "float64"}:
-            fdf = got if a == "float64" else exp
-            f = fdf[c].dropna()
-            if (f == f.round()).all() and (f.abs() < 2**53).all():
-                fdf[c] = fdf[c].round().astype("Int64")
-            else:
-                idf = got if a == "Int64" else exp
-                idf[c] = idf[c].astype("float64")
-    return got, exp
+        if c in exp.columns:
+            a, b = str(got[c].dtype), str(exp[c].dtype)
+            if a != b:
+                bad.append(f"{c}: spark={a} oracle={b}")
+    return bad
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -62,9 +60,12 @@ def main(sf_dir, out_dir):
             exp = norm(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        got, exp = reconcile(got, exp)
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1; continue
+        dt = dtype_mismatches(got, exp)
+        if dt:
+            print(f"FAIL {name}: dtype mismatch — {'; '.join(dt)}")
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue

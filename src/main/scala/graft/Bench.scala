@@ -26,18 +26,29 @@ object Bench {
     // optional name-substring filters (dev iteration; driver passes none)
     val cat = SparkEntry.catalog.filter(q =>
       args.isEmpty || args.exists(q.name.contains))
+    // Median-of-N per query (default 3, SPARK_GRAFT_BENCH_REPS=1 for dev
+    // loops): single-pass timings on this class of VM swing ±20%+ and
+    // have manufactured phantom multi-x regressions on untouched queries;
+    // the median absorbs one bad rep without hiding a real slowdown.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = cat.map { q =>
-      val t0 = System.nanoTime()
-      val ok = try { q.build(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Isolation between queries: any cache/persist a query created is
-      // charged to that query and must not squat on executor memory for
-      // the rest of the run (outside the timed window).
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      (q.name, dt, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { q.build(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Isolation between reps/queries: any cache/persist a query
+        // created is charged to that query and must not squat on executor
+        // memory for the rest of the run (outside the timed window).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (dt, ok)
+      }
+      // A throw on ANY rep fails the query — never masquerade as success.
+      val ok = times.forall(_._2)
+      val med = times.map(_._1).sorted.apply(reps / 2)
+      (q.name, med, ok)
     }
     // Failed queries are reported as -1 AND listed in "failed" — a throw
     // must never masquerade as a fast success.

@@ -386,7 +386,8 @@ object TpcdsQueries1 {
         |    FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
         |    WHERE d_year BETWEEN 2020 AND 2022) u)
         |SELECT channel, i_brand, i_class, i_category,
-        |  CAST(sum(sales) * 100 AS BIGINT) AS sales_cents, sum(number_sales) AS number_sales
+        |  CAST(sum(sales) * 100 AS BIGINT) AS sales_cents,
+        |  CAST(sum(number_sales) AS BIGINT) AS number_sales
         |FROM (
         |  SELECT 'store' AS channel, i_brand, i_class, i_category,
         |    sum(ss_quantity * ss_list_price) AS sales, count(*) AS number_sales
