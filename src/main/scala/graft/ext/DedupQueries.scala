@@ -77,6 +77,20 @@ object DedupQueries {
       "dd04_simhash",
       "SimHash near-dup pairs: 64-bit signatures, 9-chunk pigeonhole bucketing, Hamming ≤ 8 verification",
       (s, dir) => {
+        // guard: 7-bit chunks have only 128 distinct values, so chunk
+        // buckets hold ~n/128 docs each and candidates grow ~9n²/128
+        // (SCALING.md) — refuse corpora where that quadratic term
+        // dominates instead of silently burning a cluster. dd07's
+        // 14-bit chunks (2^14 values) are the scale path.
+        val simhashCap = s.conf.getOption("graft.ext.simhash64MaxDocs")
+          .map(_.toLong).getOrElse(100000L)
+        val nDocs = docs(s, dir).count()
+        require(nDocs <= simhashCap,
+          s"dd04_simhash buckets 64-bit signatures into 9 chunks of 7-8 " +
+            s"bits (128-256 values each): at $nDocs docs > cap $simhashCap " +
+            "the ~9n^2/128 candidate stream dominates. Use dd07_simhash_wide " +
+            "(14-bit chunks) at scale, or raise spark.conf " +
+            "graft.ext.simhash64MaxDocs to override.")
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
           .withColumn("h", xxhash64(col("tok")))
@@ -114,6 +128,12 @@ object DedupQueries {
           .distinct()
           .orderBy(col("a_id"), col("b_id"))
       },
+      // No DuckDB value oracle: the per-token hash is Spark's xxhash64,
+      // which DuckDB lacks (its hash() is a different algorithm), and a
+      // portable md5 reformulation would need per-bit hex-digit CASE
+      // extraction x 64 bits x all tokens — not a credible oracle.
+      // Parity is spec-gated instead (DedupSpec pins the pair set
+      // against planted near-duplicates).
       None),
 
     CatalogQuery(
@@ -142,6 +162,7 @@ object DedupQueries {
         TextOps.simhashWidePairs(tok, "doc_id", words = 2, radius = 8)
           .orderBy(col("a_id"), col("b_id"))
       },
+      // No DuckDB value oracle — same xxhash64 portability wall as dd04.
       None),
 
     CatalogQuery(

@@ -49,7 +49,24 @@ object TextQueries {
           .select(col("doc_id"), col("pred_lang"), col("labeled_lang"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some {
+        val langs = lexicons.keys.toSeq.sorted
+        val scoreCols = langs.map { l =>
+          val arr = lexicons(l).map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')), $arr)) AS score_$l"
+        }
+        val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+        val arms = langs.map(l => s"WHEN score_$l = best THEN '$l'").mkString(" ")
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang AS labeled_lang, ${scoreCols.mkString(",\n    ")}
+           |  FROM documents),
+           |ranked AS (SELECT *, $best AS best FROM scored)
+           |SELECT doc_id,
+           |  CASE WHEN best > 0 THEN (CASE $arms END) ELSE 'und' END AS pred_lang,
+           |  labeled_lang
+           |FROM ranked
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     CatalogQuery(
       "tx02_quality_score",
@@ -99,18 +116,32 @@ object TextQueries {
 
     CatalogQuery(
       "tx04_fingerprint",
-      "Document fingerprint: min rolling hash over 4-token windows (winnowing-style), plus collision summary",
+      "Document fingerprint: min window-hash over 4-token shingles (winnowing-style), plus collision summary",
       (s, dir) => {
         // row-generated windows + min-agg: the whole pipeline stays in
-        // codegen (higher-order transform lambdas run interpreted)
+        // codegen (higher-order transform lambdas run interpreted).
+        // md5 as the window hash: engine-portable (DuckDB computes the
+        // identical digest, so this is value-oracled) and its hex form
+        // min-selects identically to a numeric min
         val fp = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 4)
           .groupBy(col("doc_id"))
-          .agg(min(xxhash64(col("_el"))).as("fingerprint"))
+          .agg(min(md5(col("_el"))).as("fingerprint"))
         fp.groupBy(col("fingerprint"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
           .orderBy(col("first_doc"))
       },
-      None),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(CASE
+             |    WHEN len(regexp_split_to_array(trim(text), '\s+')) < 4
+             |      THEN [trim(text)]
+             |    ELSE list_transform(
+             |      range(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+             |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+3], ' '))
+             |    END) AS el
+             |  FROM documents),
+             |fp AS (SELECT doc_id, min(md5(el)) AS fingerprint FROM sh GROUP BY doc_id)
+             |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
+             |FROM fp GROUP BY fingerprint ORDER BY first_doc""".stripMargin)),
 
     CatalogQuery(
       "tx05_heavy_hitters",

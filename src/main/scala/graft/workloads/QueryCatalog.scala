@@ -7,7 +7,7 @@ import graft.ext
 object QueryCatalog {
   def all: Seq[CatalogQuery] =
     RelationalQueries.all ++ MiscQueries.all ++ GraphQueries.all ++ EventQueries.all ++ TypedQueries.all ++
-      RetailCatalog.all ++ TpcdsOracle.all ++
+      RetailCatalog.all ++ TpcdsOracle.all ++ ImpalaQueries.all ++
       ext.DedupQueries.all ++ ext.SimilarityQueries.all ++ ext.TextQueries.all ++
       ext.MultimodalQueries.all
 }

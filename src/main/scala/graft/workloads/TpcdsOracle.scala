@@ -10,11 +10,15 @@ import graft.datagen.RetailData
   * must match Spark value-for-value — a strictly stronger check than
   * TpcdsSpec's checksum stability.
   *
-  * Excluded by design: only the decimal-division-membership family
-  * (q4/q11/q31/q74), covered by derived `_exact` variants below; the
-  * verbatim forms remain checksum-gated. Every other catalog query is
-  * value-oracled — DECIMAL averages are stated in exact-cents DOUBLE
-  * form in the catalog text itself (see `names` note).
+  * The decimal-division-membership family (q4/q11/q31/q74) is covered
+  * three ways: derived `_exact` variants below; true verbatim oracles
+  * for q4/q11/q74 whose DuckDB side emulates Spark's HALF_UP decimal
+  * division in HUGEINT (see `emulatedForm`); and q31 — which OUTPUTS
+  * the decimal quotients, not just a membership test on them — stays
+  * checksum-gated with the impossibility documented at `emulatedForm`.
+  * Every other catalog query is value-oracled — DECIMAL averages are
+  * stated in exact-cents DOUBLE form in the catalog text itself (see
+  * `names` note).
   */
 object TpcdsOracle {
 
@@ -51,6 +55,46 @@ object TpcdsOracle {
     * turning row membership into a value-checkable predicate. */
   private val exactNames = Seq("q4", "q11", "q31", "q74")
 
+  /** Spark's derived division type for the growth predicates, measured
+    * on Spark 4.1 (tools.SchemaProbe): DECIMAL(26,2)/(26,2) — the
+    * q4/q11 `sum(ext_list - ext_discount)` totals — divides at
+    * DECIMAL(38,12); DECIMAL(25,2)/(25,2) — q74's `sum(net_paid)` —
+    * at DECIMAL(38,13). Rounding is HALF_UP (probed at an exact tie:
+    * 0.01/2e10 → 1E-12, where HALF_EVEN would give 0). */
+  private val emulatedScales: Map[String, Int] =
+    Map("q4" -> 12, "q11" -> 12, "q74" -> 13)
+
+  /** DuckDB-only oracle for a verbatim growth query: year totals as
+    * exact BIGINT cents, and each `a/b > c/d` ratio comparison replaced
+    * by the integer form of Spark's HALF_UP quotient at `scale` —
+    * round_half_up(a/b, S) = (2·a·10^S + b) div (2·b) for positive b
+    * (guaranteed by the `year_total > 0` predicates; a 0 numerator
+    * rounds to 0 under both). DuckDB evaluates the 10^S product in
+    * HUGEINT, which is exactly why this form cannot be the shared text:
+    * 2·a·10^12 overflows Spark's BIGINT. The Spark side runs the
+    * verbatim text; this emulation reproduces its decimal semantics
+    * bit-for-bit, upgrading q4/q11/q74 from checksum-only to
+    * value-oracled. q31 stays checksum-gated: it OUTPUTS the
+    * DECIMAL(38,12) quotients, and DuckDB cannot round-trip decimal128
+    * columns through the driver's pandas comparator (they arrive as
+    * object/float64, a dtype mismatch by construction). */
+  private[workloads] def emulatedForm(sql: String, scale: Int): String = {
+    val pow = "1" + "0" * scale
+    val cents = sql
+      .replaceAll(
+        """sum\((.*?)\) AS year_total""",
+        "CAST(sum($1) * 100 AS BIGINT) AS year_total")
+      .replaceAll("""sum\((.*?)\), '([csw])'""", "CAST(sum($1) * 100 AS BIGINT), '$2'")
+    val ratio =
+      ("""(?s)(\w+)\.year_total / (\w+)\.year_total(\s*)>""" +
+        """(\s*)(\w+)\.year_total / (\w+)\.year_total""").r
+    ratio.replaceAllIn(cents, m => scala.util.matching.Regex.quoteReplacement(
+      s"(2 * CAST(${m.group(1)}.year_total AS HUGEINT) * $pow + ${m.group(2)}.year_total)" +
+        s" // (2 * ${m.group(2)}.year_total)" + m.group(3) + ">" + m.group(4) +
+        s"(2 * CAST(${m.group(5)}.year_total AS HUGEINT) * $pow + ${m.group(6)}.year_total)" +
+        s" // (2 * ${m.group(6)}.year_total)"))
+  }
+
   private[workloads] def exactForm(sql: String): String = sql
     .replaceAll(
       """sum\((.*?)\) AS (year_total|store_sales|web_sales)""",
@@ -74,5 +118,13 @@ object TpcdsOracle {
       s"TPC-DS 1.4 $name, growth ratios reformulated integer-exact [DuckDB-oracled]",
       (s, _) => { RetailData.views(s); s.sql(sql) },
       Some(RetailData.duckOracle(RetailQueries.duckDialect(sql))))
+  } ++ emulatedScales.toSeq.sortBy(_._1).map { case (name, scale) =>
+    val sql = TpcdsCatalog.byName(name)
+    CatalogQuery(
+      s"tpcds_$name",
+      s"TPC-DS 1.4 $name VERBATIM [DuckDB oracle emulates Spark's " +
+        s"DECIMAL(38,$scale) HALF_UP division in HUGEINT]",
+      (s, _) => { RetailData.views(s); s.sql(sql) },
+      Some(RetailData.duckOracle(emulatedForm(sql, scale))))
   }
 }

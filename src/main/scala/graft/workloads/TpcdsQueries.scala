@@ -22,7 +22,9 @@ object TpcdsCatalog {
   val defs: Seq[(String, String)] =
     TpcdsQueries1.defs ++ TpcdsQueries2.defs ++ TpcdsQueries3.defs
 
-  val byName: Map[String, String] = defs.toMap
+  /** Resolves both the TPC-DS names and the ImpalaKit variants, so a
+    * benchmark built from a grouping can mix the two catalogs. */
+  val byName: Map[String, String] = defs.toMap ++ ImpalaQueries.byName
 
   /** Multi-CTE giants staged out of the default execution set — each
     * makes 3+ full passes over every sales channel (q14: cross-channel
@@ -36,14 +38,14 @@ object TpcdsCatalog {
   /** Queries in the default execution set (98 of 104). */
   val runnable: Seq[String] = defs.map(_._1).filterNot(heavy)
 
-  // ImpalaKit groupings (reference ImpalaKitQueries.scala:1465-1469).
-  val interactive: Seq[String] =
-    Seq("q19", "q42", "q52", "q55", "q63", "q68", "q73", "q98")
-  val reporting: Seq[String] =
-    Seq("q3", "q7", "q27", "q43", "q53", "q89")
-  val deepAnalytic: Seq[String] =
-    Seq("q34", "q46", "q59", "q65", "q79", "qSsMax")
-  val impalaKit: Seq[String] = interactive ++ reporting ++ deepAnalytic
+  // ImpalaKit groupings (reference ImpalaKitQueries.scala:1465-1469):
+  // these point at the Impala-dialect variants, exactly as the
+  // reference's groupings do — the plain q-name TPC-DS transcriptions
+  // stay in `runnable`.
+  val interactive: Seq[String] = ImpalaQueries.interactive
+  val reporting: Seq[String] = ImpalaQueries.reporting
+  val deepAnalytic: Seq[String] = ImpalaQueries.deepAnalytic
+  val impalaKit: Seq[String] = ImpalaQueries.impalaKit
 }
 
 /** TPC-DS suite, checksum-gated (HashResults: order-independent sum of

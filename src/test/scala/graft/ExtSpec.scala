@@ -56,6 +56,17 @@ class ExtSpec extends SparkSpec {
     assert(got.filter(col("a_id") >= col("b_id")).count() == 0)
   }
 
+  test("dd04 simhash: corpus-size guard refuses quadratic blowup, points at dd07") {
+    spark.conf.set("graft.ext.simhash64MaxDocs", "10")
+    try {
+      val e = intercept[IllegalArgumentException](run("dd04_simhash"))
+      assert(e.getMessage.contains("dd07_simhash_wide"),
+        s"guard message should point at the scale path: ${e.getMessage}")
+    } finally spark.conf.unset("graft.ext.simhash64MaxDocs")
+    // with the cap back at its default the query runs
+    assert(run("dd04_simhash").count() > 0)
+  }
+
   test("dd07 wide simhash: pigeonhole bucketing is LOSSLESS vs brute force") {
     val tok = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
