@@ -43,6 +43,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
   }
 
+  test("impala_q19: surrogate-key partition filter pushed to the fact scan, dims broadcast") {
+    val plan = planOf(run("impala_q19"))
+    // the dialect's point: the sk range prunes the fact scan directly,
+    // without waiting for the date_dim join
+    assert(plan.contains("GreaterThanOrEqual(ss_sold_date_sk,670)")
+      && plan.contains("LessThanOrEqual(ss_sold_date_sk,699)"),
+      s"sk range not pushed to store_sales scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a 30-day fact slice joining 5 small dims must broadcast them all:\n$plan")
+  }
+
+  test("impala_orig_q59: MAPJOIN hints broadcast store and date_dim") {
+    val plan = planOf(run("impala_orig_q59"))
+    assert(plan.contains("BroadcastHashJoin"), s"hint ignored:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE only materializes codegen stages at execution: run first,
     // then read the final plan ("*(n)" marks codegen stages)
