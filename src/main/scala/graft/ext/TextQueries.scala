@@ -144,6 +144,114 @@ object TextQueries {
              |FROM fp GROUP BY fingerprint ORDER BY first_doc""".stripMargin)),
 
     CatalogQuery(
+      "tx06_ngram_repetition",
+      "Gopher-style repetition filter: per-doc bigram duplicate fraction + top-bigram fraction, flag threshold",
+      (s, dir) => {
+        // bigram rows -> per-(doc,bigram) counts -> per-doc stats. Two
+        // shuffles on doc_id-prefixed keys; partial aggregation does the
+        // heavy lifting map-side, so this scales linearly in corpus size.
+        val cnt = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 2)
+          .groupBy(col("doc_id"), col("_el"))
+          .agg(count(lit(1)).as("c"))
+        cnt.groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).cast("long").as("n_bigrams"),
+            count(lit(1)).cast("long").as("n_distinct"),
+            max(col("c")).cast("long").as("top_count"))
+          .select(
+            col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_count"),
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6).as("dup_frac"),
+            round(col("top_count").cast("double") / col("n_bigrams"), 6).as("top_frac"))
+          .withColumn("flagged",
+            (col("dup_frac") > 0.06 || col("top_frac") > 0.08).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(CASE
+             |    WHEN len(regexp_split_to_array(trim(text), '\s+')) < 2
+             |      THEN [trim(text)]
+             |    ELSE list_transform(
+             |      range(1, len(regexp_split_to_array(trim(text), '\s+'))),
+             |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+1], ' '))
+             |    END) AS el
+             |  FROM documents),
+             |cnt AS (SELECT doc_id, el, count(*) AS c FROM sh GROUP BY doc_id, el),
+             |m AS (SELECT doc_id,
+             |        CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |        CAST(count(*) AS BIGINT) AS n_distinct,
+             |        CAST(max(c) AS BIGINT) AS top_count
+             |      FROM cnt GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, n_distinct, top_count,
+             |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6) AS dup_frac,
+             |  round(CAST(top_count AS DOUBLE) / n_bigrams, 6) AS top_frac,
+             |  CAST(round(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6) > 0.06
+             |    OR round(CAST(top_count AS DOUBLE) / n_bigrams, 6) > 0.08 AS BIGINT) AS flagged
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx07_stratified_sample",
+      "Deterministic hash-based stratified sampling: per-source keep rates via md5 bucket (data-mixture weighting)",
+      (s, dir) => {
+        // one scan, no shuffle, no RNG: membership is a pure function of
+        // doc_id, so the sample is reproducible across runs and engines
+        // and re-runs touch exactly the same rows (critical for resumable
+        // 100 TB pipeline stages).
+        val bucket = substring(
+          md5(concat(lit("smpl:"), col("doc_id").cast("string"))), 1, 4)
+        val tier = substring(col("source"), 4, 10).cast("int") % 3
+        val thr = when(tier === 0, lit("zzzz"))   // keep all
+          .when(tier === 1, lit("8000"))          // ~50%
+          .otherwise(lit("2000"))                 // ~12.5%
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            tier.cast("long").as("tier"), bucket.as("bucket"), thr.as("thr"))
+          .filter(col("bucket") < col("thr"))
+          .select(col("doc_id"), col("source"), col("tier"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS tier,
+             |  substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+             |FROM documents
+             |WHERE substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+             |  CASE CAST(substr(source, 4) AS INT) % 3
+             |    WHEN 0 THEN 'zzzz' WHEN 1 THEN '8000' ELSE '2000' END
+             |ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx08_decontamination",
+      "Eval-set decontamination: corpus docs sharing any 4-token shingle with the held-out set (doc_id < 20)",
+      (s, dir) => {
+        // the eval shingle set is small by construction (eval benchmarks
+        // are KBs, the corpus is TBs), so it broadcasts and the overlap
+        // check is a map-side hash join over one corpus scan.
+        val ev = TextOps
+          .wordShingleRows(docs(s, dir).filter(col("doc_id") < 20), "doc_id", "text", 4)
+          .select(col("_el")).distinct()
+        TextOps
+          .wordShingleRows(docs(s, dir).filter(col("doc_id") >= 20), "doc_id", "text", 4)
+          .join(broadcast(ev), "_el")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("_el")).cast("long").as("n_overlap"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(CASE
+             |    WHEN len(regexp_split_to_array(trim(text), '\s+')) < 4
+             |      THEN [trim(text)]
+             |    ELSE list_transform(
+             |      range(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+             |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+3], ' '))
+             |    END) AS el
+             |  FROM documents),
+             |ev AS (SELECT DISTINCT el FROM sh WHERE doc_id < 20)
+             |SELECT s.doc_id, CAST(count(DISTINCT s.el) AS BIGINT) AS n_overlap
+             |FROM sh s JOIN ev ON s.el = ev.el
+             |WHERE s.doc_id >= 20
+             |GROUP BY s.doc_id
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    CatalogQuery(
       "tx05_heavy_hitters",
       "Frequent-token sketch: Misra-Gries heavy hitters (k=20, mergeable Aggregator, <=k counters per map task)",
       (s, dir) => {

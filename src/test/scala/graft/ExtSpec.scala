@@ -208,6 +208,48 @@ class ExtSpec extends SparkSpec {
     assert(total == nDocs)
   }
 
+  test("tx06 repetition metrics: internally consistent and flag matches thresholds") {
+    val rows = run("tx06_ngram_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, dist, top) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dist <= total && top <= total && top >= 1)
+      val dup = r.getDouble(4); val topF = r.getDouble(5)
+      assert(dup >= 0.0 && dup < 1.0 && topF > 0.0 && topF <= 1.0)
+      assert(r.getLong(6) == (if (dup > 0.06 || topF > 0.08) 1L else 0L))
+    }
+  }
+
+  test("tx07 stratified sample: tier-0 keeps all, lower tiers subsample, deterministic") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .withColumn("tier", substring(col("source"), 4, 10).cast("int") % 3)
+    val totals = docs.groupBy("tier").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val kept = run("tx07_stratified_sample").groupBy("tier").count().collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(kept(0) == totals(0)) // 'zzzz' threshold keeps every tier-0 doc
+    // md5 buckets are uniform: ~50% and ~12.5% with wide tolerance at spec sf
+    assert(kept(1) > 0 && kept(1) < totals(1))
+    assert(kept.getOrElse(2, 0L) < totals(2) / 2)
+    val a = run("tx07_stratified_sample").collect().map(_.getLong(0))
+    val b = run("tx07_stratified_sample").collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+  }
+
+  test("tx08 decontamination: every flagged doc truly shares a shingle with the eval set") {
+    val flagged = run("tx08_decontamination").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent ground truth via the distinct-shingle path (wordShingles,
+    // not wordShingleRows) — different machinery, same semantics
+    val sh = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 4)).as("sh"))
+    val ev = sh.filter(col("doc_id") < 20).select("sh").distinct()
+    val truth = sh.filter(col("doc_id") >= 20).join(ev, "sh")
+      .groupBy("doc_id").agg(countDistinct("sh").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == truth)
+  }
+
   test("mm01 media features: histogram mass equals payload byte count") {
     val bad = run("mm01_media_features")
       .filter(col("feature_mass") =!= col("n_bytes")).count()
