@@ -22,6 +22,40 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** dd06's edge set, shared with dd08's clustering: all embedding pairs
+    * with cosine ≥ 0.4 (unordered; callers sort). Engine-identical to the
+    * DuckDB oracle because both sides normalize and dot in DOUBLE. */
+  private def embeddingNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    import graft.functions.VectorOps
+    // normalize once per vector (O(n)), so each of the O(n²) pair
+    // evaluations is a single codegen'd dot product
+    val e = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        VectorOps.normalize(col("embedding").cast("array<double>")).as("nv"))
+    // guard: this baseline is quadratic BY DESIGN; refuse corpora
+    // where the pair count would blow up instead of silently
+    // burning a cluster (the scale path is ss02's LSH bucketing)
+    val cap = s.conf.getOption("graft.ext.allPairsMaxRows")
+      .map(_.toLong).getOrElse(200000L)
+    val n = e.count()
+    require(n <= cap,
+      s"dd06_embedding_neardup is the O(n²) exact baseline: corpus has " +
+        s"$n rows > cap $cap. Use ss02 (LSH) at scale, or raise " +
+        "spark.conf graft.ext.allPairsMaxRows to override.")
+    // the cosine test lives INSIDE the join condition: the
+    // nested-loop join then evaluates it on the in-flight row pair
+    // and only materializes output rows for true near-dups — with
+    // it as a post-join filter, every one of the O(n²) pairs copies
+    // two 64-double arrays into an output row first (the dominant
+    // cost is that memory traffic, not the dot products)
+    val cos = VectorOps.dot(col("a.nv"), col("b.nv"))
+    e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") && cos >= 0.4)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(cos * 1e6).cast("long").as("cos_e6"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -168,37 +202,7 @@ object DedupQueries {
     CatalogQuery(
       "dd06_embedding_neardup",
       "Embedding-cosine near-dup pairs (cosine ≥ 0.4), brute-force baseline; ss02 is the LSH scale path",
-      (s, dir) => {
-        graft.functions.VectorOps.register(s)
-        import graft.functions.VectorOps
-        // normalize once per vector (O(n)), so each of the O(n²) pair
-        // evaluations is a single codegen'd dot product
-        val e = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"),
-            VectorOps.normalize(col("embedding").cast("array<double>")).as("nv"))
-        // guard: this baseline is quadratic BY DESIGN; refuse corpora
-        // where the pair count would blow up instead of silently
-        // burning a cluster (the scale path is ss02's LSH bucketing)
-        val cap = s.conf.getOption("graft.ext.allPairsMaxRows")
-          .map(_.toLong).getOrElse(200000L)
-        val n = e.count()
-        require(n <= cap,
-          s"dd06_embedding_neardup is the O(n²) exact baseline: corpus has " +
-            s"$n rows > cap $cap. Use ss02 (LSH) at scale, or raise " +
-            "spark.conf graft.ext.allPairsMaxRows to override.")
-        // the cosine test lives INSIDE the join condition: the
-        // nested-loop join then evaluates it on the in-flight row pair
-        // and only materializes output rows for true near-dups — with
-        // it as a post-join filter, every one of the O(n²) pairs copies
-        // two 64-double arrays into an output row first (the dominant
-        // cost is that memory traffic, not the dot products)
-        val cos = VectorOps.dot(col("a.nv"), col("b.nv"))
-        e.as("a").join(e.as("b"),
-            col("a.vec_id") < col("b.vec_id") && cos >= 0.4)
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-            round(cos * 1e6).cast("long").as("cos_e6"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, dir) => embeddingNearDupPairs(s, dir).orderBy(col("a_id"), col("b_id")),
       // value-level DuckDB oracle: both engines normalize as
       // x / sqrt(dot(v,v)) and dot left-to-right in DOUBLE, so the
       // cosines are IEEE-identical and round(*1e6) compares exactly;
@@ -216,5 +220,73 @@ object DedupQueries {
              |FROM n a JOIN n b ON a.vec_id < b.vec_id
              |WHERE list_dot_product(a.nv, b.nv) >= 0.4
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    CatalogQuery(
+      "dd08_dedup_clusters",
+      "Near-dup cluster assignment: connected components over dd06's cosine pairs (iterative min-label propagation; canonical = min vec_id)",
+      (s, dir) => {
+        val pairs = embeddingNearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+        // undirected: propagate labels along both edge directions
+        val edges = pairs
+          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("src", "dst").persist()
+        try {
+          // Pregel-style min-label propagation. Each round is one shuffle
+          // join edges⋈labels + one aggregation; rounds needed = component
+          // diameter, and near-dup clusters are star-like (diameter ≤ ~3),
+          // so the driver loop runs O(1) distributed passes — this is the
+          // standard connected-components shape at cluster scale, not a
+          // driver-side algorithm. localCheckpoint truncates the growing
+          // lineage each round (blocks are context-cleaned when the round's
+          // RDD is dropped; Bench/driver also clear caches per query).
+          var labels = edges.select(col("src").as("v")).distinct()
+            .select(col("v"), col("v").as("lbl"))
+            .localCheckpoint(true)
+          var converged = false
+          var iters = 0
+          while (!converged && iters < 25) {
+            val cand = edges.join(labels, edges("src") === labels("v"))
+              .groupBy(col("dst")).agg(min(col("lbl")).as("cand"))
+            val next = labels.join(cand, labels("v") === cand("dst"), "left")
+              .select(labels("v"),
+                least(labels("lbl"), coalesce(col("cand"), labels("lbl"))).as("lbl"))
+              .localCheckpoint(true)
+            val changed = next.as("n")
+              .join(labels.as("o"), col("n.v") === col("o.v"))
+              .filter(col("n.lbl") =!= col("o.lbl")).count()
+            labels = next
+            converged = changed == 0
+            iters += 1
+          }
+          require(converged,
+            s"dd08 label propagation did not converge within $iters rounds")
+          labels
+            .select(col("v").as("vec_id"), col("lbl").cast("long").as("component"))
+            .orderBy(col("vec_id"))
+        } finally edges.unpersist(blocking = false)
+      },
+      // the recursive CTE materializes full reachability then takes the
+      // min — fine at oracle scale; the Spark side is the scale path
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id,
+             |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+             |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |    END AS nv
+             |  FROM e),
+             |p AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.nv, b.nv) >= 0.4),
+             |ed AS (SELECT a_id AS s, b_id AS d FROM p
+             |       UNION ALL SELECT b_id, a_id FROM p),
+             |verts AS (SELECT DISTINCT s AS v FROM ed),
+             |reach(v, x) AS (
+             |  SELECT v, v FROM verts
+             |  UNION
+             |  SELECT r.v, ed.d FROM reach r JOIN ed ON ed.s = r.x)
+             |SELECT v AS vec_id, CAST(min(x) AS BIGINT) AS component
+             |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin)),
   )
 }

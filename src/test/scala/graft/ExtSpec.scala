@@ -99,6 +99,24 @@ class ExtSpec extends SparkSpec {
     assert(got.count() == truthN)
   }
 
+  test("dd08 components match a driver-side union-find over the dd06 pair set") {
+    val pairs = run("dd06_embedding_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    val got = run("dd08_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("ss01 brute-force ANN returns exactly 5 ranked neighbors per query") {
     val got = run("ss01_ann_bruteforce").cache()
     val counts = got.groupBy("q_id").count().collect()
