@@ -247,14 +247,14 @@ object DedupQueries {
           while (!converged && iters < 25) {
             val cand = edges.join(labels, edges("src") === labels("v"))
               .groupBy(col("dst")).agg(min(col("lbl")).as("cand"))
-            val next = labels.join(cand, labels("v") === cand("dst"), "left")
-              .select(labels("v"),
+            // carry (old, new) through one join so the convergence count
+            // reads the checkpointed blocks instead of re-joining labels
+            val merged = labels.join(cand, labels("v") === cand("dst"), "left")
+              .select(labels("v"), labels("lbl").as("prev"),
                 least(labels("lbl"), coalesce(col("cand"), labels("lbl"))).as("lbl"))
               .localCheckpoint(true)
-            val changed = next.as("n")
-              .join(labels.as("o"), col("n.v") === col("o.v"))
-              .filter(col("n.lbl") =!= col("o.lbl")).count()
-            labels = next
+            val changed = merged.filter(col("lbl") < col("prev")).count()
+            labels = merged.select(col("v"), col("lbl"))
             converged = changed == 0
             iters += 1
           }

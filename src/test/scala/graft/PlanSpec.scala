@@ -134,6 +134,34 @@ class PlanSpec extends SparkSpec {
       s"rank filter not pushed into the window:\n$plan")
   }
 
+  test("tx07: stratified sample is one scan — no join, no aggregate, one exchange at most") {
+    val df = run("tx07_stratified_sample")
+    val plan = planOf(df)
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"sampling must be a pure scan+filter:\n$plan")
+    // the only allowed exchange is the final ORDER BY's range partitioning
+    // (formatted explain lists each node twice: "Exchange (4)" in the tree
+    // and "(4) Exchange" in the detail — count tree entries only)
+    val exchanges = "Exchange \\(".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"unexpected shuffles ($exchanges):\n$plan")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"), s"unpruned scan reads text: $readSchema")
+  }
+
+  test("tx08: eval shingle set joins via broadcast — the corpus never shuffles for the probe") {
+    val plan = planOf(run("tx08_decontamination"))
+    assert(plan.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$plan")
+  }
+
+  test("tx06: repetition metrics keep partial (map-side) aggregation") {
+    val plan = planOf(run("tx06_ngram_repetition"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no map-side partial aggregation:\n$plan")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"unpruned documents scan: $readSchema")
+  }
+
   test("tpcds q14a: repeated cross-channel CTE scans reuse exchanges") {
     // cross_items/avg_sales appear once per channel; without exchange
     // reuse the same aggregation subtree executes 3x over the facts
