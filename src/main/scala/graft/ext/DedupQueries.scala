@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.CatalogQuery
@@ -288,5 +289,56 @@ object DedupQueries {
              |  SELECT r.v, ed.d FROM reach r JOIN ed ON ed.s = r.x)
              |SELECT v AS vec_id, CAST(min(x) AS BIGINT) AS component
              |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin)),
+
+    CatalogQuery(
+      "dd09_chunk_dedup",
+      "Paragraph-level exact dedup: corpus-wide keep-first over non-overlapping 20-token chunks (boilerplate removal)",
+      (s, dir) => {
+        // The paragraph-dedup stage of a web-corpus pipeline, reframed
+        // over newline-free synthetic text as fixed 20-token chunks:
+        // identical chunks across the corpus are boilerplate; only the
+        // first occurrence (by doc_id, then position) survives. The
+        // chunk loop is transform(sequence(...)) over the token array —
+        // row-generation, not a UDF — and keep-first is one window
+        // partitioned by chunk CONTENT, so the shuffle key is the
+        // content hash: duplicates co-locate, partitions stay balanced
+        // at any corpus size, and there is no global sort.
+        val arr = TextOps.tokens(col("text"))
+        val chunks = docs(s, dir)
+          .select(col("doc_id"), arr.as("arr"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(arr) / 20.0) as int) - 1)," +
+              " i -> concat_ws(' ', slice(arr, i * 20 + 1, 20)))")))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_pos"),
+            col("col").as("chunk_text"))
+        val w = Window.partitionBy(col("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_pos"))
+        chunks.withColumn("rn", row_number().over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dupes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, u.p AS chunk_pos, u.t AS chunk_text
+             |  FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(0, CAST(ceil(len(arr) / 20.0) AS BIGINT)),
+             |        i -> {'p': i, 't': array_to_string(arr[i*20+1 : i*20+20], ' ')})) AS u
+             |    FROM tok)),
+             |rk AS (
+             |  SELECT doc_id, chunk_pos,
+             |    row_number() OVER (PARTITION BY chunk_text
+             |      ORDER BY doc_id, chunk_pos) AS rn
+             |  FROM ch)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
+             |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -191,5 +191,54 @@ object SimilarityQueries {
               graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
       },
       None),
+
+    CatalogQuery(
+      "ss04_ann_filtered",
+      "Filtered vector search: exact top-5 cosine neighbors restricted to docs with lang='en' (metadata predicate from the documents table)",
+      (s, dir) => {
+        // The production \"filtered ANN\" shape: the metadata predicate
+        // prunes the corpus BEFORE any scoring, so selectivity directly
+        // cuts the scored-pair stream. The filter arrives via a 1:1
+        // co-keyed join (vec_id = doc_id) — at 100 TB both sides
+        // shuffle once on the shared key (or are co-bucketed by it),
+        // and only surviving vectors meet the broadcast query set.
+        val lang = Tables.table(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        val e = embeddings(s, dir)
+        val filtered = e.join(lang, "vec_id")
+        val q = broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")))
+        topNeighbors(
+          q.join(filtered, col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
+      },
+      // exact: same IEEE-identical cosine argument as ss01; queries are
+      // NOT themselves filtered (a non-en query still searches en docs)
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id,
+             |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+             |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |    END AS nv
+             |  FROM e),
+             |f AS (
+             |  SELECT n.vec_id, n.nv FROM n
+             |  JOIN documents d ON d.doc_id = n.vec_id AND d.lang = 'en'),
+             |scored AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             |    list_dot_product(q.nv, c.nv) AS cos
+             |  FROM n q JOIN f c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT q_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+             |  FROM scored)
+             |SELECT q_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+             |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+             |FROM ranked WHERE rk <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
   )
 }

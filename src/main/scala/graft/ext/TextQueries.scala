@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.CatalogQuery
@@ -250,6 +251,96 @@ object TextQueries {
              |WHERE s.doc_id >= 20
              |GROUP BY s.doc_id
              |ORDER BY s.doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx09_pii_redact",
+      "PII detection + redaction stats: email/IPv4/phone regex counts and redacted length (synthesized deterministic PII)",
+      (s, dir) => {
+        // The corpus is synthetic and PII-free, so the query first
+        // splices a deterministic contact string (a pure function of
+        // doc_id) into each doc — the detection/redaction pipeline then
+        // has known-nonzero work to verify. Patterns are chosen in the
+        // regex subset where Java (Spark) and RE2 (DuckDB) agree.
+        // Per-row expressions only: no shuffle, linear scan, codegen.
+        val body = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" phone 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+        val ipRe = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+        val phoneRe = "\\d{3}-\\d{4}"
+        val redacted = regexp_replace(regexp_replace(regexp_replace(body,
+          emailRe, "[EMAIL]"), ipRe, "[IP]"), phoneRe, "[PHONE]")
+        docs(s, dir).select(
+          col("doc_id"),
+          regexp_count(body, lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(body, lit(ipRe)).cast("long").as("n_ip"),
+          regexp_count(body, lit(phoneRe)).cast("long").as("n_phone"),
+          length(redacted).cast("long").as("redacted_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH synth AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+             |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+             |      || ' phone 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(body, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(body, '\d+\.\d+\.\d+\.\d+')) AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(body, '\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+             |  CAST(length(regexp_replace(regexp_replace(regexp_replace(body,
+             |    '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+             |    '\d+\.\d+\.\d+\.\d+', '[IP]', 'g'),
+             |    '\d{3}-\d{4}', '[PHONE]', 'g')) AS BIGINT) AS redacted_len
+             |FROM synth ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx10_tfidf_terms",
+      "TF-IDF top-5 terms per doc (integer-scaled idf = N*1000 div df, so both engines rank identically)",
+      (s, dir) => {
+        // Classic TF-IDF with the idf in INTEGER arithmetic:
+        // score = tf * (N*1000 div df). log-idf would hit the one
+        // operation (ln) whose last-ulp rounding the two engines don't
+        // guarantee to agree on; the integer form ranks the same way
+        // and is exactly portable. Shape: one explode + two keyed
+        // aggregations (both with map-side partials) + a per-doc
+        // window whose partitions are bounded by doc length.
+        val n = docs(s, dir).count()
+        val tf = docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df, "term")
+          .withColumn("score", col("tf") * expr(s"(${n}L * 1000) div df"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("rank"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    CAST(tf.tf * ((n.n * 1000) // df.df) AS BIGINT) AS score
+             |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, term, score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, term) AS rank
+             |  FROM scored)
+             |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY doc_id, rank""".stripMargin)),
 
     CatalogQuery(
       "tx05_heavy_hitters",

@@ -9,5 +9,5 @@ object QueryCatalog {
     RelationalQueries.all ++ MiscQueries.all ++ GraphQueries.all ++ EventQueries.all ++ TypedQueries.all ++
       RetailCatalog.all ++ TpcdsOracle.all ++ ImpalaQueries.all ++
       ext.DedupQueries.all ++ ext.SimilarityQueries.all ++ ext.TextQueries.all ++
-      ext.MultimodalQueries.all
+      ext.PipelineQueries.all ++ ext.MultimodalQueries.all
 }

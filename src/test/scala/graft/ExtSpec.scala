@@ -268,6 +268,103 @@ class ExtSpec extends SparkSpec {
     assert(flagged == truth)
   }
 
+  test("dd09 chunk dedup: counts are consistent and kept-total equals distinct chunk texts") {
+    val got = run("dd09_chunk_dedup")
+    assert(got.filter(col("n_kept") + col("n_dupes") =!= col("n_chunks")).count() == 0)
+    // per-doc chunk count = ceil(n_tokens / 20), recomputed independently
+    val expChunks = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        ceil(size(TextOps.tokens(col("text"))) / 20.0).cast("long").as("exp"))
+    val mismatched = got.join(expChunks, "doc_id")
+      .filter(col("n_chunks") =!= col("exp")).count()
+    assert(mismatched == 0)
+    // corpus-wide: kept chunks = number of DISTINCT chunk texts (keep-first
+    // retains exactly one occurrence per distinct content)
+    val totKept = got.agg(sum("n_kept")).head.getLong(0)
+    val distinctTexts = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("arr"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(arr) / 20.0) as int) - 1)," +
+          " i -> concat_ws(' ', slice(arr, i * 20 + 1, 20)))")).as("t"))
+      .distinct().count()
+    assert(totKept == distinctTexts)
+  }
+
+  test("dp01 concat-chunks packing: offsets are contiguous within each bucket") {
+    val got = run("dp01_concat_chunks")
+    // within a bucket ordered by doc_id, each doc starts where the
+    // previous ended — the defining invariant of concat-then-chunk
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+    val bad = got.withColumn("prev_end", lag(col("off") + col("n_tok"), 1, 0L).over(w))
+      .filter(col("off") =!= col("prev_end")).count()
+    assert(bad == 0)
+    // chunk spans follow from offsets, and every doc lands in >= 1 chunk
+    assert(got.filter(col("n_seqs") < 1).count() == 0)
+    assert(got.filter(col("last_chunk") - col("first_chunk") + 1 =!= col("n_seqs")).count() == 0)
+  }
+
+  test("dp02 train split: splits partition the corpus and are deterministic") {
+    val got = run("dp02_train_split").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.table(spark, sfDir, "documents").count()
+    assert(got.values.sum == total)
+    assert(got.keySet == Set("train", "val", "test"))
+    // hash membership is a pure function of doc_id: re-running yields
+    // the identical partition sizes
+    val again = run("dp02_train_split").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // the split is roughly 90/5/5 (binomial tolerance at sf0.001: n=500)
+    assert(got("train") > total * 7 / 10, s"train too small: $got")
+  }
+
+  test("tx09 pii redact: every synthesized contact is found and redaction shrinks text") {
+    val got = run("tx09_pii_redact")
+    assert(got.filter(col("n_email") < 1 || col("n_ip") < 1 || col("n_phone") < 1).count() == 0)
+    // redacted length is strictly less than the synthesized body length
+    // (every [EMAIL]/[IP]/[PHONE] tag is shorter than what it replaced)
+    val withLen = got.join(
+      Tables.table(spark, sfDir, "documents").select(col("doc_id"), length(col("text")).as("tl")),
+      "doc_id")
+    assert(withLen.filter(col("redacted_len") >= col("tl") + 60).count() == 0)
+  }
+
+  test("ss04 filtered ANN: every neighbor satisfies the metadata predicate") {
+    val langs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id").as("neighbor_id"), col("lang"))
+    val got = run("ss04_ann_filtered")
+    assert(got.count() == 50) // 10 queries x exact top-5
+    val nonEn = got.join(langs, "neighbor_id").filter(col("lang") =!= "en").count()
+    assert(nonEn == 0)
+    // the filtered top-1 can never beat the unfiltered top-1
+    val unf = run("ss01_ann_bruteforce").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos_e6").as("best"))
+    val bad = got.filter(col("rank") === 1).join(unf, "q_id")
+      .filter(col("cos_e6") > col("best")).count()
+    assert(bad == 0)
+  }
+
+  test("tx10 tf-idf: scores recompute exactly and ranks are dense per doc") {
+    val got = run("tx10_tfidf_terms")
+    // ranks are 1..k dense per doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rank")
+    assert(got.withColumn("rn", row_number().over(w))
+      .filter(col("rn") =!= col("rank")).count() == 0)
+    // independent recomputation of every output score
+    val d = Tables.table(spark, sfDir, "documents")
+    val n = d.count()
+    val tf = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val exp = tf.join(df, "term")
+      .withColumn("exp_score", col("tf") * expr(s"(${n}L * 1000) div df"))
+      .select("doc_id", "term", "exp_score")
+    assert(got.join(exp, Seq("doc_id", "term"))
+      .filter(col("score") =!= col("exp_score")).count() == 0)
+  }
+
   test("mm01 media features: histogram mass equals payload byte count") {
     val bad = run("mm01_media_features")
       .filter(col("feature_mass") =!= col("n_bytes")).count()
