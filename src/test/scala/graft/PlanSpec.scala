@@ -173,6 +173,63 @@ class PlanSpec extends SparkSpec {
       s"no exchange reuse in the multi-channel plan:\n$plan")
   }
 
+  test("dd09: chunk-dedup window shuffles on chunk CONTENT, not doc id") {
+    val plan = planOf(run("dd09_chunk_dedup"))
+    // the keep-first window must partition by chunk_text — that is the
+    // property that co-locates duplicates and balances partitions at
+    // any corpus size (a doc_id-keyed window would not dedup at all)
+    assert(plan.contains("hashpartitioning(chunk_text"),
+      s"window not keyed by chunk content:\n$plan")
+    assert(!plan.contains("Join"), s"dedup needs no join:\n$plan")
+  }
+
+  test("dp01: packing cumsum is one bucket-keyed window — no global sort before it") {
+    val plan = planOf(run("dp01_concat_chunks"))
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"cumsum window not partitioned by bucket:\n$plan")
+    // exactly two exchanges: the window's hash partitioning and the
+    // final ORDER BY's range partitioning — nothing else may shuffle
+    val exchanges = "Exchange \\(".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"packing is scan + window only:\n$plan")
+  }
+
+  test("dp02: train split is scan + one aggregate, zero joins, text column pruned") {
+    val plan = planOf(run("dp02_train_split"))
+    assert(!plan.contains("Join"), s"split needs no join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"aggregate lost map-side partials:\n$plan")
+  }
+
+  test("tx09: PII pipeline is a pure per-row scan — at most the ORDER BY exchange") {
+    val plan = planOf(run("tx09_pii_redact"))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"redaction must be scan + project:\n$plan")
+    val exchanges = "Exchange \\(".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"unexpected shuffles ($exchanges):\n$plan")
+  }
+
+  test("ss04: metadata filter prunes before scoring; queries broadcast") {
+    val plan = planOf(run("ss04_ann_filtered"))
+    // the lang predicate must be pushed to the documents parquet scan,
+    // not evaluated after the vectors are already scored
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"lang filter not pushed to the documents scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query set should broadcast against the filtered corpus:\n$plan")
+    assert(plan.contains("partial_topkbyscore"),
+      s"top-k must stay a bounded aggregation:\n$plan")
+  }
+
+  test("tx10: tf-idf aggregations keep map-side partials; window bounded by doc") {
+    val plan = planOf(run("tx10_tfidf_terms"))
+    assert(plan.contains("partial_count"),
+      s"token counting lost map-side partials:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"top-terms window should partition by doc_id:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
