@@ -100,5 +100,82 @@ object PipelineQueries {
              |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
              |  CAST(min(doc_id) AS BIGINT) AS first_doc
              |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    CatalogQuery(
+      "dp03_curriculum_buckets",
+      "Curriculum length-bucketing: fixed token-length boundaries (32/64/96) per source, with per-bucket token totals",
+      (s, dir) => {
+        // fixed boundaries, not ntile(): quantile bucketing needs a
+        // global sort (or an approx-percentile pre-pass) and re-buckets
+        // old docs whenever new data arrives; fixed thresholds are one
+        // scan + one aggregate and stable across corpus versions —
+        // what a resumable curriculum schedule actually wants.
+        val nTok = size(TextOps.tokens(col("text"))).cast("long")
+        val bucket = when(nTok < 32, "xs").when(nTok < 64, "s")
+          .when(nTok < 96, "m").otherwise("l")
+        docs(s, dir)
+          .select(col("source"), bucket.as("bucket"), nTok.as("n_tok"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+            min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT source,
+             |  CASE WHEN n_tok < 32 THEN 'xs' WHEN n_tok < 64 THEN 's'
+             |       WHEN n_tok < 96 THEN 'm' ELSE 'l' END AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             |  CAST(min(n_tok) AS BIGINT) AS min_tok,
+             |  CAST(max(n_tok) AS BIGINT) AS max_tok
+             |FROM t GROUP BY source, bucket ORDER BY source, bucket""".stripMargin)),
+
+    CatalogQuery(
+      "dp04_epoch_mixture",
+      "Data-mixture up/down-weighting: per-tier epoch repeat factors (2.5x / 1x / 0.25x) via integer repeats + deterministic hash fraction",
+      (s, dir) => {
+        // Mixture weighting as a materialized epoch list: repeat factor
+        // f = integer part + Bernoulli(frac) — but the Bernoulli draw is
+        // `md5(doc_id) < threshold`, not an RNG, so every re-run (and
+        // every engine) materializes the IDENTICAL epoch assignment.
+        // tx07 is the downsampling half of mixture control; this is the
+        // upsampling half. Row growth is the repeat factor itself (the
+        // intended output), and the explode is row-generation inside
+        // codegen — no shuffle until the final ORDER BY.
+        val tier = substring(col("source"), 4, 10).cast("int") % 3
+        val h = substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4)
+        val frac = when(tier === 0, lit("8000"))   // +0.5
+          .when(tier === 1, lit("0000"))           // +0
+          .otherwise(lit("4000"))                  // +0.25
+        val reps = when(tier === 0, 2).when(tier === 1, 1).otherwise(0) +
+          when(frac > h, 1).otherwise(0)
+        docs(s, dir)
+          .select(col("doc_id"), col("source"), tier.cast("long").as("tier"),
+            reps.as("reps"))
+          .filter(col("reps") > 0)
+          .select(col("doc_id"), col("source"), col("tier"),
+            explode(sequence(lit(1), col("reps"))).as("epoch"))
+          .select(col("doc_id"), col("source"), col("tier"),
+            col("epoch").cast("long").as("epoch"))
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, source, CAST(substr(source, 4) AS INT) % 3 AS tier,
+             |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, source, tier,
+             |    CASE tier WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+             |      + CASE WHEN (CASE tier WHEN 0 THEN '8000' WHEN 1 THEN '0000'
+             |          ELSE '4000' END) > h THEN 1 ELSE 0 END AS reps
+             |  FROM a),
+             |x AS (SELECT doc_id, source, tier, unnest(range(1, reps + 1)) AS epoch
+             |      FROM r WHERE reps > 0)
+             |SELECT doc_id, source, CAST(tier AS BIGINT) AS tier,
+             |  CAST(epoch AS BIGINT) AS epoch
+             |FROM x ORDER BY doc_id, epoch""".stripMargin)),
   )
 }

@@ -319,6 +319,34 @@ class ExtSpec extends SparkSpec {
     assert(got("train") > total * 7 / 10, s"train too small: $got")
   }
 
+  test("dp03 curriculum buckets: buckets partition the corpus and respect boundaries") {
+    val got = run("dp03_curriculum_buckets")
+    val total = Tables.table(spark, sfDir, "documents").count()
+    assert(got.agg(sum("n_docs")).head.getLong(0) == total)
+    // every bucket's min/max stays inside its declared boundary
+    val bounds = Map("xs" -> (0L, 31L), "s" -> (32L, 63L), "m" -> (64L, 95L), "l" -> (96L, Long.MaxValue))
+    got.collect().foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("bucket"))
+      assert(r.getAs[Long]("min_tok") >= lo && r.getAs[Long]("max_tok") <= hi,
+        s"bucket ${r.getAs[String]("bucket")} out of bounds: $r")
+    }
+  }
+
+  test("dp04 epoch mixture: repeat counts match tier weights and are deterministic") {
+    val got = run("dp04_epoch_mixture")
+    val perDoc = got.groupBy("doc_id", "tier").agg(count(lit(1)).as("n"))
+    // tier 0 -> 2 or 3 epochs; tier 1 -> exactly 1; tier 2 -> 1 (0-rep docs absent)
+    assert(perDoc.filter(col("tier") === 0 && (col("n") < 2 || col("n") > 3)).count() == 0)
+    assert(perDoc.filter(col("tier") === 1 && col("n") =!= 1).count() == 0)
+    assert(perDoc.filter(col("tier") === 2 && col("n") =!= 1).count() == 0)
+    // expected-rate sanity: tier-0 docs average ~2.5 epochs, tier-2 keeps ~25%
+    val t0 = perDoc.filter(col("tier") === 0)
+    val avg0 = t0.agg(avg("n")).head.getDouble(0)
+    assert(avg0 > 2.1 && avg0 < 2.9, s"tier-0 average $avg0 not ~2.5")
+    // determinism: an identical second run materializes the identical rows
+    assert(run("dp04_epoch_mixture").exceptAll(got).count() == 0)
+  }
+
   test("tx09 pii redact: every synthesized contact is found and redaction shrinks text") {
     val got = run("tx09_pii_redact")
     assert(got.filter(col("n_email") < 1 || col("n_ip") < 1 || col("n_phone") < 1).count() == 0)
