@@ -101,6 +101,24 @@ object EventsStream {
       }
   }
 
+  /** Stream-static enrichment: the streaming events join a static
+    * customer dimension (broadcast — the stream side never shuffles
+    * for the join, and the static side is re-read per micro-batch
+    * without any streaming state), then a watermarked tumbling
+    * aggregate by market segment. Batch twin: e06_stream_enrich. */
+  def enrichedSegmentCounts(spark: SparkSession, events: DataFrame,
+      dir: String): DataFrame = {
+    val dim = broadcast(graft.sources.Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    events
+      .withWatermark("ts", "2 hours")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("c_mktsegment"),
+        col("n"), col("total_value"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding hour. Both sides carry watermarks
     * so the join state is bounded; the range condition bounds how long

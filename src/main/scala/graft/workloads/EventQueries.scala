@@ -135,5 +135,29 @@ object EventQueries {
              |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
+
+    CatalogQuery(
+      "e06_stream_enrich",
+      "Stream-static enrichment: events joined to the customer dimension (broadcast), hourly counts by market segment",
+      (s, dir) => {
+        // batch twin of EventsStream.enrichedSegmentCounts: the
+        // dimension is static and small relative to the stream, so the
+        // join must broadcast — the stream side never shuffles for the
+        // enrichment, only for the windowed aggregate.
+        val dim = broadcast(Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        ev(s, dir)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("total_value"))
+          .select(col("window.start").as("hour_start"), col("c_mktsegment"),
+            col("n"), col("total_value"))
+          .orderBy(col("hour_start"), col("c_mktsegment"))
+      },
+      Some(s"""SELECT date_trunc('hour', ts) AS hour_start, c_mktsegment,
+             |  count(*) AS n, ${Parity.dsumSql("value", 2)} AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1, 2
+             |ORDER BY hour_start, c_mktsegment""".stripMargin)),
   )
 }

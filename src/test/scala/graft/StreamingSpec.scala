@@ -55,6 +55,27 @@ class StreamingSpec extends SparkSpec {
     assert(expected > 0)
   }
 
+  test("stream-static enrichment matches the batch join, closed windows only") {
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.enrichedSegmentCounts(spark, stream, sfDir),
+      "enrich_test", OutputMode.Append())
+    // the batch twin over the same fixture; append mode withholds
+    // windows the final watermark has not closed, so compare on the
+    // windows the stream actually emitted — counts must agree exactly
+    val dim = Tables.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = Tables.events(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("bn"))
+      .select(col("window.start").as("hour_start"), col("c_mktsegment"), col("bn"))
+    assert(got.count() > 0)
+    val mismatched = got.join(batch, Seq("hour_start", "c_mktsegment"), "left")
+      .filter(col("n") =!= col("bn")).count()
+    assert(mismatched == 0)
+  }
+
   test("mapGroupsWithState running totals equal batch per-user totals") {
     val stream = EventsStream.readEvents(spark, sfDir)
     val got = EventsStream.runToMemory(spark,
