@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure the pipeline operators at corpus scales far above
+  * the bench fixture (sf0.1 = 5k docs) to show the shuffle structure —
+  * not constants — is what carries to cluster scale.
+  *
+  * Usage: runMain graft.tools.PipelineHeadroom <nDocs> [query...]
+  *
+  * Generates an nDocs-row `documents` table under
+  * /tmp/graft-headroom-<nDocs>/ with every value a pure hash of
+  * (doc_id, position) — same no-RNG-state property as the datagen
+  * package — plus
+  * ~2% planted exact duplicates so dedup operators have real work,
+  * then times each named catalog query (default: the document-table
+  * ops that matter at scale) against that directory.
+  */
+object PipelineHeadroom {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val names =
+      if (args.length > 1) args.tail.toSeq
+      else Seq("dd09_chunk_dedup", "dp01_concat_chunks", "dp02_train_split",
+        "dp03_curriculum_buckets", "dp04_epoch_mixture", "tx09_pii_redact",
+        "tx10_tfidf_terms", "tx02_quality_score", "tx07_stratified_sample")
+    val dir = s"/tmp/graft-headroom-$n"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
+        "window", "order", "data", "column", "join", "small", "customer",
+        "query", "big", "group", "stream", "the", "a")
+      val vocabArr = array(vocab.map(lit): _*)
+      // ~30-130 tokens per doc, every token a pure hash of (doc_id, i);
+      // ~2% of docs copy the previous doc's text EXACTLY (planted dups)
+      def textFor(id: org.apache.spark.sql.Column) = concat_ws(" ",
+        transform(
+          sequence(lit(0), (pmod(hash(id, lit("len")), lit(100)) + 30).cast("int")),
+          i => element_at(vocabArr, (pmod(hash(id, i), lit(vocab.size)) + 1).cast("int"))))
+      val docs = spark.range(n).toDF("doc_id")
+        .withColumn("eff_id",
+          when(pmod(hash(col("doc_id"), lit("dup")), lit(50)) === 0 && col("doc_id") > 0,
+            col("doc_id") - 1).otherwise(col("doc_id")))
+        .withColumn("text", textFor(col("eff_id")))
+        .withColumn("lang", element_at(array(Seq("en", "es", "de", "fr", "zh").map(lit): _*),
+          (pmod(hash(col("doc_id"), lit("lang")), lit(5)) + 1).cast("int")))
+        .withColumn("source", concat(lit("src"),
+          pmod(hash(col("doc_id"), lit("src")), lit(10)).cast("string")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      println(s"GENERATED $n docs at $dir")
+    }
+
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"HEADROOM $name%-24s n=$n rows=$rows%-9d ${dt}%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
