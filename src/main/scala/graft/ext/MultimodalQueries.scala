@@ -84,5 +84,45 @@ object MultimodalQueries {
           .orderBy(col("wide"))
       },
       None),
+
+    CatalogQuery(
+      "mm03_frame_sample",
+      "Video-style frame sampling: 16-byte frames at stride 4, per-frame md5, per-doc dedup summary",
+      (s, dir) => {
+        // The frame-sample stage of a video pipeline over the opaque
+        // payload: cut fixed-width frames, keep every 4th, hash each.
+        // All binary slicing + hashing runs as row-generation inside
+        // codegen (no UDF, no decode) — the stride means a 100 TB
+        // corpus reads everything but HASHES only a quarter, and the
+        // per-frame md5 is what a real pipeline stores for cross-video
+        // frame dedup. md5-over-bytes is engine-portable, so unlike
+        // mm01/mm02 (xxhash64 metadata) this one is value-oracled: the
+        // payloads are ASCII text bytes, making Spark's binary substr
+        // and DuckDB's VARCHAR substr slice identical bytes.
+        mediaTable(s, dir)
+          .withColumn("nf", floor(length(col("payload")) / lit(16)).cast("long"))
+          .withColumn("fr", when(col("nf") > 0, expr(
+            "transform(sequence(0, cast(nf as int) - 1, 4)," +
+              " i -> md5(substr(payload, i * 16 + 1, 16)))"))
+            .otherwise(array().cast("array<string>")))
+          .select(col("doc_id"), col("nf").as("n_frames"),
+            size(col("fr")).cast("long").as("n_sampled"),
+            size(array_distinct(col("fr"))).cast("long").as("n_distinct"),
+            element_at(col("fr"), 1).as("first_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(floor(length(text) / 16) AS BIGINT) AS n_frames,
+             |    CASE WHEN length(text) >= 16 THEN
+             |      list_transform(range(0, CAST(floor(length(text) / 16) AS BIGINT), 4),
+             |        i -> md5(substr(text, CAST(i*16+1 AS INT), 16)))
+             |    ELSE [] END AS fr
+             |  FROM documents)
+             |SELECT doc_id, n_frames,
+             |  CAST(len(fr) AS BIGINT) AS n_sampled,
+             |  CAST(len(list_distinct(fr)) AS BIGINT) AS n_distinct,
+             |  fr[1] AS first_md5
+             |FROM f ORDER BY doc_id""".stripMargin)),
   )
 }

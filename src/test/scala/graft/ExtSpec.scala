@@ -393,6 +393,15 @@ class ExtSpec extends SparkSpec {
       .filter(col("score") =!= col("exp_score")).count() == 0)
   }
 
+  test("mm03 frame sample: stride-4 count arithmetic and hash totality") {
+    val got = run("mm03_frame_sample")
+    // frames 0, 4, 8, ... below n_frames -> ceil(n_frames / 4) sampled
+    assert(got.filter(col("n_frames") > 0 &&
+      col("n_sampled") =!= expr("(n_frames + 3) div 4")).count() == 0)
+    assert(got.filter(col("n_frames") > 0 && col("first_md5").isNull).count() == 0)
+    assert(got.filter(col("n_distinct") > col("n_sampled")).count() == 0)
+  }
+
   test("mm01 media features: histogram mass equals payload byte count") {
     val bad = run("mm01_media_features")
       .filter(col("feature_mass") =!= col("n_bytes")).count()
