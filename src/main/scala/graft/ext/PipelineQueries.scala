@@ -22,6 +22,9 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** dp05's typed row: (doc, its hash bucket, its token count). */
+  case class DocTok(doc_id: Long, bucket: Long, n_tok: Long)
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -177,5 +180,52 @@ object PipelineQueries {
              |SELECT doc_id, source, CAST(tier AS BIGINT) AS tier,
              |  CAST(epoch AS BIGINT) AS epoch
              |FROM x ORDER BY doc_id, epoch""".stripMargin)),
+
+    CatalogQuery(
+      "dp05_greedy_pack",
+      "Doc-boundary bin packing: greedy sequential fill of 256-token bins per bucket (flatMapSortedGroups)",
+      (s, dir) => {
+        // dp01's concat-then-chunk SPLITS docs across chunk boundaries;
+        // this variant respects them: docs fill a bin until the next
+        // one would overflow, then a new bin starts (an over-capacity
+        // doc gets its own bin). That carry-the-fill state is genuinely
+        // sequential — the documented last-resort tier of the custom-op
+        // ladder — so it runs as flatMapSortedGroups: one shuffle on
+        // bucket, each group's iterator is SORTED by doc_id and
+        // streamed (never materialized), state is two longs. Buckets
+        // bound the sequential span exactly as in dp01; the packing is
+        // deterministic, so DuckDB reproduces it with a recursive CTE.
+        import s.implicits._
+        val t = docs(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 8).as("bucket"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .as[DocTok]
+        t.groupByKey(_.bucket)
+          .flatMapSortedGroups(col("doc_id")) { (_, docsIt) =>
+            var bin = 0L; var fill = 0L; var first = true
+            docsIt.map { d =>
+              if (first) { fill = d.n_tok; first = false }
+              else if (fill + d.n_tok <= 256) fill += d.n_tok
+              else { bin += 1; fill = d.n_tok }
+              (d.doc_id, d.bucket, d.n_tok, bin)
+            }
+          }
+          .toDF("doc_id", "bucket", "n_tok", "bin")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, doc_id % 8 AS bucket,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS idx
+             |  FROM documents),
+             |pk(bucket, idx, doc_id, n_tok, bin, fill) AS (
+             |  SELECT bucket, idx, doc_id, n_tok, 0, n_tok FROM t WHERE idx = 1
+             |  UNION ALL
+             |  SELECT t.bucket, t.idx, t.doc_id, t.n_tok,
+             |    CASE WHEN pk.fill + t.n_tok <= 256 THEN pk.bin ELSE pk.bin + 1 END,
+             |    CASE WHEN pk.fill + t.n_tok <= 256 THEN pk.fill + t.n_tok ELSE t.n_tok END
+             |  FROM pk JOIN t ON t.bucket = pk.bucket AND t.idx = pk.idx + 1)
+             |SELECT doc_id, bucket, n_tok, CAST(bin AS BIGINT) AS bin
+             |FROM pk ORDER BY doc_id""".stripMargin)),
   )
 }

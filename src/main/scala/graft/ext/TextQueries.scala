@@ -343,6 +343,37 @@ object TextQueries {
              |ORDER BY doc_id, rank""".stripMargin)),
 
     CatalogQuery(
+      "tx11_bpe_pairs",
+      "BPE vocabulary training, step 1: corpus-wide character-pair frequencies, top-20 merge candidates",
+      (s, dir) => {
+        // The first merge iteration of byte-pair-encoding tokenizer
+        // training: count adjacent character pairs inside every word,
+        // rank the merge candidates. Two row-generating explodes (both
+        // codegen) collapsing into one partial-aggregated count; the
+        // final top-20 is a TakeOrderedAndProject, not a global sort.
+        // (Full BPE iterates this with a re-tokenize between rounds;
+        // each round is exactly this query shape over the corpus.)
+        docs(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, cast(length(tok) as int) - 1)," +
+              " i -> substr(tok, i, 2))")).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT unnest(list_transform(range(1, length(tok)),
+             |    i -> substr(tok, CAST(i AS INT), 2))) AS pair
+             |  FROM tok WHERE length(tok) >= 2)
+             |SELECT pair, CAST(count(*) AS BIGINT) AS n
+             |FROM pairs GROUP BY pair
+             |ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    CatalogQuery(
       "tx05_heavy_hitters",
       "Frequent-token sketch: Misra-Gries heavy hitters (k=20, mergeable Aggregator, <=k counters per map task)",
       (s, dir) => {

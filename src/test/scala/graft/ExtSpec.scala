@@ -347,6 +347,48 @@ class ExtSpec extends SparkSpec {
     assert(run("dp04_epoch_mixture").exceptAll(got).count() == 0)
   }
 
+  test("dp05 greedy pack: bins never overflow and bin ids advance monotonically") {
+    val got = run("dp05_greedy_pack")
+    // per-(bucket, bin) fill respects capacity unless the bin holds a
+    // single over-capacity doc
+    val fills = got.groupBy("bucket", "bin")
+      .agg(sum("n_tok").as("fill"), count(lit(1)).as("nd"))
+    assert(fills.filter(col("fill") > 256 && col("nd") > 1).count() == 0)
+    // bins are dense and non-decreasing in doc order within a bucket
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+    val bad = got.withColumn("prev", lag("bin", 1, 0L).over(w))
+      .filter(col("bin") < col("prev") || col("bin") > col("prev") + 1).count()
+    assert(bad == 0)
+    // a greedy packer never leaves a bin that the NEXT doc would have fit in
+    val firstOfBin = got.withColumn("prev", lag("bin", 1, -1L).over(w))
+      .filter(col("bin") =!= col("prev") && col("bin") > 0)
+      .select(col("bucket"), col("bin"), col("n_tok").as("head_tok"))
+    val mustNotFit = fills.select(col("bucket"), (col("bin") + 1).as("bin"), col("fill"))
+      .join(firstOfBin, Seq("bucket", "bin"))
+      .filter(col("fill") + col("head_tok") <= 256).count()
+    assert(mustNotFit == 0)
+  }
+
+  test("tx11 bpe pairs: counts match an independent per-doc recomputation") {
+    val got = run("tx11_bpe_pairs").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 20)
+    // descending count with pair tiebreak
+    assert(got.sliding(2).forall { case Array((p1, n1), (p2, n2)) =>
+      n1 > n2 || (n1 == n2 && p1 < p2) })
+    // independent recount of the top pair via string scanning
+    val (top, n) = got.head
+    val recount = Tables.table(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .select((length(col("tok")) - length(regexp_replace(col("tok"), java.util.regex.Pattern.quote(top), ""))).as("d"))
+      .agg(sum(col("d"))).head.getLong(0)
+    // regexp_replace removes non-overlapping occurrences; pair counting
+    // counts overlapping ones, so recount*2 <= ... use a safe bound:
+    // every non-overlapping occurrence is a counted pair
+    assert(n >= recount / 2, s"top pair $top: counted $n, non-overlapping scan ${recount / 2}")
+  }
+
   test("tx09 pii redact: every synthesized contact is found and redaction shrinks text") {
     val got = run("tx09_pii_redact")
     assert(got.filter(col("n_email") < 1 || col("n_ip") < 1 || col("n_phone") < 1).count() == 0)
