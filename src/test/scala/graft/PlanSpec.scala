@@ -230,6 +230,31 @@ class PlanSpec extends SparkSpec {
       s"top-terms window should partition by doc_id:\n$plan")
   }
 
+  test("dp05: greedy packing is one bucket shuffle feeding a streamed sorted group") {
+    val plan = planOf(run("dp05_greedy_pack"))
+    // the sequential fill must ride ONE exchange (the bucket hash) plus
+    // the final ORDER BY — any more means the typed path re-shuffled
+    val exchanges = "Exchange \\(".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n$plan")
+    assert(plan.contains("MapGroups"), s"typed sorted-groups node missing:\n$plan")
+  }
+
+  test("tx11: BPE pair counting keeps partial aggregation and bounded top-k") {
+    val plan = planOf(run("tx11_bpe_pairs"))
+    assert(plan.contains("partial_count"),
+      s"pair counting lost map-side partials:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a global sort:\n$plan")
+  }
+
+  test("mm03: frame sampling is a pure scan — no shuffle before the final sort") {
+    val plan = planOf(run("mm03_frame_sample"))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"frame sampling must be scan + generate:\n$plan")
+    val exchanges = "Exchange \\(".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"unexpected shuffles ($exchanges):\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
