@@ -108,6 +108,13 @@ object RunBenchmark {
         registryBench.get.asInstanceOf[workloads.TpcdsBenchmark].queries
       case "catalog" => SparkEntry.catalog.map(c =>
         new core.Query(c.name, c.build(spark, sfDir), c.description))
+      case "pipeline" =>
+        // the LLM-data-pipeline suite (SURVEY par.2.14): dedup,
+        // similarity, text analysis, packing/splitting, multimodal
+        (ext.DedupQueries.all ++ ext.SimilarityQueries.all ++
+          ext.TextQueries.all ++ ext.PipelineQueries.all ++
+          ext.MultimodalQueries.all).map(c =>
+          new core.Query(c.name, c.build(spark, sfDir), c.description))
       case "binary-join" =>
         // the reference's RunBinaryJoin drives its modified-Spark
         // hypercube multi-way-join executor with broadcast disabled
