@@ -389,6 +389,21 @@ class ExtSpec extends SparkSpec {
     assert(n >= recount / 2, s"top pair $top: counted $n, non-overlapping scan ${recount / 2}")
   }
 
+  test("tx12 bm25: results are term-bearing docs in strict score order") {
+    val got = run("tx12_bm25_search").collect()
+    assert(got.length == 10)
+    val scores = got.map(_.getLong(1))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
+    // every returned doc really contains at least one query term
+    val ids = got.map(_.getLong(0)).toSeq
+    val bearing = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(ids: _*))
+      .filter(array_intersect(TextOps.tokens(col("text")),
+        array(lit("spark"), lit("merge"), lit("window"))) =!= array().cast("array<string>"))
+      .count()
+    assert(bearing == 10)
+  }
+
   test("tx09 pii redact: every synthesized contact is found and redaction shrinks text") {
     val got = run("tx09_pii_redact")
     assert(got.filter(col("n_email") < 1 || col("n_ip") < 1 || col("n_phone") < 1).count() == 0)

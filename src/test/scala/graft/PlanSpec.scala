@@ -255,6 +255,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"unexpected shuffles ($exchanges):\n$plan")
   }
 
+  test("tx12: BM25 stats broadcast back to the scan; top-10 is bounded") {
+    val plan = planOf(run("tx12_bm25_search"))
+    // the 1-row stats aggregate must broadcast — per-doc scoring never
+    // shuffles — and the top-10 must not be a global sort
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"stats row not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 planned as a full sort:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
