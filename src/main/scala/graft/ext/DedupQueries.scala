@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.CatalogQuery
@@ -299,10 +298,13 @@ object DedupQueries {
         // identical chunks across the corpus are boilerplate; only the
         // first occurrence (by doc_id, then position) survives. The
         // chunk loop is transform(sequence(...)) over the token array —
-        // row-generation, not a UDF — and keep-first is one window
-        // partitioned by chunk CONTENT, so the shuffle key is the
-        // content hash: duplicates co-locate, partitions stay balanced
-        // at any corpus size, and there is no global sort.
+        // row-generation, not a UDF. Keep-first is a min-of-struct
+        // AGGREGATION keyed by chunk content, deliberately NOT a
+        // row_number() window: a window cannot partial-aggregate, so a
+        // boilerplate chunk with millions of copies would funnel every
+        // copy onto one reducer; min(struct) combines map-side and the
+        // reducer sees one pre-folded row per content per map task —
+        // skew-proof at any duplication factor.
         val arr = TextOps.tokens(col("text"))
         val chunks = docs(s, dir)
           .select(col("doc_id"), arr.as("arr"))
@@ -311,13 +313,17 @@ object DedupQueries {
               " i -> concat_ws(' ', slice(arr, i * 20 + 1, 20)))")))
           .select(col("doc_id"), col("pos").cast("long").as("chunk_pos"),
             col("col").as("chunk_text"))
-        val w = Window.partitionBy(col("chunk_text"))
-          .orderBy(col("doc_id"), col("chunk_pos"))
-        chunks.withColumn("rn", row_number().over(w))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dupes"))
+        val winners = chunks
+          .groupBy(col("chunk_text"))
+          .agg(min(struct(col("doc_id"), col("chunk_pos"))).as("first"))
+          .groupBy(col("first.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_kept"))
+        chunks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"))
+          .join(winners, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dupes"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH tok AS (

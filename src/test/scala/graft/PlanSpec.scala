@@ -173,14 +173,17 @@ class PlanSpec extends SparkSpec {
       s"no exchange reuse in the multi-channel plan:\n$plan")
   }
 
-  test("dd09: chunk-dedup window shuffles on chunk CONTENT, not doc id") {
+  test("dd09: keep-first is a partial-aggregated min, never a content window") {
     val plan = planOf(run("dd09_chunk_dedup"))
-    // the keep-first window must partition by chunk_text — that is the
-    // property that co-locates duplicates and balances partitions at
-    // any corpus size (a doc_id-keyed window would not dedup at all)
+    // keep-first must shuffle on chunk CONTENT (co-locates duplicates)…
     assert(plan.contains("hashpartitioning(chunk_text"),
-      s"window not keyed by chunk content:\n$plan")
-    assert(!plan.contains("Join"), s"dedup needs no join:\n$plan")
+      s"keep-first not keyed by chunk content:\n$plan")
+    // …as an AGGREGATION with map-side partials — a row_number() window
+    // cannot partial-aggregate, so a boilerplate chunk with millions of
+    // copies would funnel them all onto one reducer
+    assert(plan.contains("partial_min"),
+      s"min-of-struct lost map-side partials:\n$plan")
+    assert(!plan.contains("Window"), s"skew-prone window in dedup:\n$plan")
   }
 
   test("dp01: packing cumsum is one bucket-keyed window — no global sort before it") {
