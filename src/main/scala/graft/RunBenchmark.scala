@@ -111,9 +111,7 @@ object RunBenchmark {
       case "pipeline" =>
         // the LLM-data-pipeline suite (SURVEY par.2.14): dedup,
         // similarity, text analysis, packing/splitting, multimodal
-        (ext.DedupQueries.all ++ ext.SimilarityQueries.all ++
-          ext.TextQueries.all ++ ext.PipelineQueries.all ++
-          ext.MultimodalQueries.all).map(c =>
+        workloads.QueryCatalog.pipeline.map(c =>
           new core.Query(c.name, c.build(spark, sfDir), c.description))
       case "binary-join" =>
         // the reference's RunBinaryJoin drives its modified-Spark

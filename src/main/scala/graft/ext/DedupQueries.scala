@@ -318,8 +318,12 @@ object DedupQueries {
           .agg(min(struct(col("doc_id"), col("chunk_pos"))).as("first"))
           .groupBy(col("first.doc_id").as("doc_id"))
           .agg(count(lit(1)).as("n_kept"))
-        chunks.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"))
+        // per-doc chunk totals need no explode at all: ceil(|tokens|/20)
+        // straight off the base table, so the corpus is EXPLODED once
+        // (the dominant cost), not twice with different groupings
+        docs(s, dir)
+          .select(col("doc_id"),
+            ceil(size(arr) / 20.0).cast("long").as("n_chunks"))
           .join(winners, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_chunks"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),

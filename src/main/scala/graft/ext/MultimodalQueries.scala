@@ -108,7 +108,10 @@ object MultimodalQueries {
           .select(col("doc_id"), col("nf").as("n_frames"),
             size(col("fr")).cast("long").as("n_sampled"),
             size(array_distinct(col("fr"))).cast("long").as("n_distinct"),
-            element_at(col("fr"), 1).as("first_md5"))
+            // try_element_at, not element_at: under ANSI mode (Spark 4
+            // default) element_at throws on the empty frame list of a
+            // sub-16-byte payload; the oracle's fr[1] yields NULL there
+            try_element_at(col("fr"), lit(1)).as("first_md5"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH f AS (

@@ -307,8 +307,12 @@ object TextQueries {
         // guarantee to agree on; the integer form ranks the same way
         // and is exactly portable. Shape: one explode + two keyed
         // aggregations (both with map-side partials) + a per-doc
-        // window whose partitions are bounded by doc length.
-        val n = docs(s, dir).count()
+        // window whose partitions are bounded by doc length. N arrives
+        // as a broadcast 1-row aggregate (the tx12 pattern), NOT a
+        // driver-side count() — a .count() in the builder would run a
+        // full corpus scan at plan-construction time, outside the
+        // measured query.
+        val n1 = docs(s, dir).agg(count(lit(1)).as("n"))
         val tf = docs(s, dir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
@@ -316,8 +320,8 @@ object TextQueries {
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term"))
-        tf.join(df, "term")
-          .withColumn("score", col("tf") * expr(s"(${n}L * 1000) div df"))
+        tf.join(df, "term").crossJoin(broadcast(n1))
+          .withColumn("score", col("tf") * expr("(n * 1000) div df"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select(col("doc_id"), col("rank"), col("term"), col("score"))

@@ -71,9 +71,12 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("bn"))
       .select(col("window.start").as("hour_start"), col("c_mktsegment"), col("bn"))
     assert(got.count() > 0)
-    val mismatched = got.join(batch, Seq("hour_start", "c_mktsegment"), "left")
-      .filter(col("n") =!= col("bn")).count()
-    assert(mismatched == 0)
+    // inner join + count equality: a left join would let a fabricated
+    // window slip through (n =!= NULL is NULL, not true)
+    val joined = got.join(batch, Seq("hour_start", "c_mktsegment"))
+    assert(joined.count() == got.count(),
+      "stream emitted a window the batch twin never produced")
+    assert(joined.filter(col("n") =!= col("bn")).count() == 0)
   }
 
   test("mapGroupsWithState running totals equal batch per-user totals") {
