@@ -239,8 +239,14 @@ object DedupQueries {
           // driver-side algorithm. localCheckpoint truncates the growing
           // lineage each round (blocks are context-cleaned when the round's
           // RDD is dropped; Bench/driver also clear caches per query).
-          var labels = edges.select(col("src").as("v")).distinct()
-            .select(col("v"), col("v").as("lbl"))
+          // seed with the 1-hop minimum (one aggregation) rather than
+          // identity labels: it is exactly identity-init plus the first
+          // propagation round, so the loop starts a round ahead and the
+          // identity-init distinct-shuffle disappears (every vertex
+          // appears as dst because edges carry both directions)
+          var labels = edges.groupBy(col("dst"))
+            .agg(min(col("src")).as("mn"))
+            .select(col("dst").as("v"), least(col("dst"), col("mn")).as("lbl"))
             .localCheckpoint(true)
           var converged = false
           var iters = 0
