@@ -10,6 +10,9 @@ import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import check_dtypes
+
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
@@ -49,6 +52,14 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Dtype-parity sweep runs FIRST, in the same process: a HUGEINT /
+    # DECIMAL oracle output can pass today's value compare and still fail
+    # the driver's raw-value hash after a data change, so it is a hard
+    # failure here by construction (a query flagged below needs a CAST in
+    # the shared SQL text, not a checker tweak).
+    print("== dtype sweep ==")
+    dtype_rc = check_dtypes.main(sf_dir, f"{out_dir}/oracle_sql.json")
+    print("== value compare ==")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         res_dir = f"{out_dir}/{name}"
@@ -82,8 +93,9 @@ def main(sf_dir, out_dir):
     for name in sorted(have - set(oracle)):
         n = pq.read_table(f"{out_dir}/{name}").num_rows
         print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(have - set(oracle))} rows-only")
-    return 1 if n_fail else 0
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(have - set(oracle))} rows-only"
+          + ("" if dtype_rc == 0 else " — AND dtype sweep FAILED (see top)"))
+    return 1 if (n_fail or dtype_rc) else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
