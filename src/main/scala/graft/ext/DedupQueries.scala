@@ -109,7 +109,7 @@ object DedupQueries {
 
     CatalogQuery(
       "dd04_simhash",
-      "SimHash near-dup pairs: 64-bit signatures, 9-chunk pigeonhole bucketing, Hamming ≤ 8 verification",
+      "SimHash near-dup pairs: 64-bit md5-segment signatures, 9-chunk pigeonhole bucketing, Hamming ≤ 8 verification",
       (s, dir) => {
         // guard: 7-bit chunks have only 128 distinct values, so chunk
         // buckets hold ~n/128 docs each and candidates grow ~9n²/128
@@ -127,48 +127,14 @@ object DedupQueries {
             "graft.ext.simhash64MaxDocs to override.")
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .withColumn("h", xxhash64(col("tok")))
-        // One aggregation pass computes all 64 bit-counters.
-        val bitSums = (0 until 64).map { b =>
-          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"_b$b")
-        }
-        val sig = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-          .withColumn("simhash",
-            (0 until 64).map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-              .reduce(_ + _))
-          .select(col("doc_id"), col("simhash"))
-        // Pigeonhole: to GUARANTEE a shared chunk for Hamming ≤ 8 the
-        // 64 bits must split into 9 chunks (8 differing bits can touch
-        // at most 8 of them) — 8 chunks of 7 bits + one of 8.
-        val chunkDefs = (0 until 9).map { c =>
-          val start = c * 7
-          val width = if (c == 8) 8 else 7
-          (c, start, (1L << width) - 1)
-        }
-        val chunks = sig.select(col("doc_id"), col("simhash"),
-          explode(array(chunkDefs.map { case (c, start, mask) =>
-            struct(lit(c).as("c"), expr(s"(simhash >> $start) & $mask").as("v"))
-          }: _*)).as("ch"))
-          .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
-        chunks.as("x").join(chunks.as("y"),
-            col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-            expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
-          // filter BEFORE distinct: the Hamming test is a cheap codegen'd
-          // bit_count on rows already in hand, while distinct is a shuffle
-          // — at scale the candidate stream is >>100× the true-pair set
-          .filter(col("hamming") <= 8)
-          .distinct()
+        TextOps.simhashPairs(tok, "doc_id", segments = 2, radius = 8)
           .orderBy(col("a_id"), col("b_id"))
       },
-      // No DuckDB value oracle: the per-token hash is Spark's xxhash64,
-      // which DuckDB lacks (its hash() is a different algorithm), and a
-      // portable md5 reformulation would need per-bit hex-digit CASE
-      // extraction x 64 bits x all tokens — not a credible oracle.
-      // Parity is spec-gated instead (DedupSpec pins the pair set
-      // against planted near-duplicates).
-      None),
+      // Value oracle: the signature bits come from md5 (engine-portable)
+      // as 32-bit segments, so DuckDB reproduces signatures, chunk keys
+      // and Hamming distances exactly; the SQL text is generated from
+      // the same chunk geometry as the Spark plan (TextOps.simhashOracleSql).
+      Some(TextOps.simhashOracleSql(segments = 2, radius = 8))),
 
     CatalogQuery(
       "dd05_ngram_jaccard",
@@ -189,15 +155,15 @@ object DedupQueries {
 
     CatalogQuery(
       "dd07_simhash_wide",
-      "Wide SimHash near-dup: 128-bit signatures, 9 pigeonhole chunks of 14 bits - dd04's scale path (2^14-value chunks cut false candidates ~128x)",
+      "Wide SimHash near-dup: 128-bit signatures, 9 pigeonhole chunks of 14-15 bits - dd04's scale path (2^14-value chunks cut false candidates ~128x)",
       (s, dir) => {
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        TextOps.simhashWidePairs(tok, "doc_id", words = 2, radius = 8)
+        TextOps.simhashPairs(tok, "doc_id", segments = 4, radius = 8)
           .orderBy(col("a_id"), col("b_id"))
       },
-      // No DuckDB value oracle — same xxhash64 portability wall as dd04.
-      None),
+      // Same generated md5-segment oracle as dd04, at 128 bits.
+      Some(TextOps.simhashOracleSql(segments = 4, radius = 8))),
 
     CatalogQuery(
       "dd06_embedding_neardup",
@@ -314,9 +280,14 @@ object DedupQueries {
         val arr = TextOps.tokens(col("text"))
         val chunks = docs(s, dir)
           .select(col("doc_id"), arr.as("arr"))
+          // size(arr) >= 1 always (split(trim(..)) never yields an empty
+          // array), but guard anyway: sequence(0, -1) would NOT be empty
+          // (Spark steps DOWN, giving [0, -1] = two bogus chunks)
           .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, cast(ceil(size(arr) / 20.0) as int) - 1)," +
-              " i -> concat_ws(' ', slice(arr, i * 20 + 1, 20)))")))
+            "CASE WHEN size(arr) > 0 THEN " +
+              "transform(sequence(0, cast(ceil(size(arr) / 20.0) as int) - 1)," +
+              " i -> concat_ws(' ', slice(arr, i * 20 + 1, 20))) " +
+              "ELSE CAST(array() AS array<string>) END")))
           .select(col("doc_id"), col("pos").cast("long").as("chunk_pos"),
             col("col").as("chunk_text"))
         val winners = chunks

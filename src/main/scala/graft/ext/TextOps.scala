@@ -174,76 +174,88 @@ object TextOps {
       .distinct()
   }
 
-  /** Wide (multi-word) SimHash near-dup pairs: `words`×64-bit
-    * signatures, pigeonhole bucketing, exact Hamming verification.
+  /** SimHash near-dup machinery: `segments`×32-bit signatures,
+    * pigeonhole chunk bucketing, exact Hamming verification.
     *
-    * This is the scale path for dd04's collision math: Hamming ≤ r
-    * needs r+1 chunks (r differing bits can touch at most r of them),
-    * and chunk VALUE SPACE is what bounds false candidates — 9 chunks
-    * of a 64-bit signature are only 7 bits wide (2⁷ values → ~9·n²/2⁷
-    * candidate pairs), while 9 chunks of a 128-bit signature are 14
-    * bits wide (2¹⁴ values → 128× fewer collisions for the same plan
-    * shape). The per-token cost doubles (two xxhash seeds instead of
-    * one); everything stays codegen.
+    * Signatures are built from 32-BIT SEGMENTS of one md5 digest per
+    * token (segment k = hex digits [8k+1, 8k+8]), not 64-bit words,
+    * for engine portability: every intermediate stays an unsigned
+    * value < 2³², so the IDENTICAL integer arithmetic runs in DuckDB
+    * (whose BIGINT refuses `1 << 63`) and dd04/dd07 get full value
+    * oracles. md5 over ASCII tokens digests identically in both
+    * engines; one digest yields up to 128 signature bits.
     *
-    * Returns (a_id, b_id, hamming) for pairs at Hamming ≤ radius over
-    * the full `64·words`-bit signature. Bucketing is LOSSLESS (the
-    * pigeonhole guarantee, asserted against brute force in ExtSpec).
+    * Collision math (dd04 vs dd07): Hamming ≤ r needs r+1 chunks (r
+    * differing bits touch at most r of them), and chunk VALUE SPACE
+    * bounds false candidates — 9 chunks of a 64-bit signature are 7-8
+    * bits wide (2⁷ values → ~9·n²/2⁷ candidate pairs), while 9 chunks
+    * of a 128-bit signature are 14-15 bits (2¹⁴ values → ~128× fewer
+    * collisions for the same plan shape). Everything stays codegen.
     */
-  /** Per-id `words`×64-bit SimHash signatures as `_sig0.._sigN`
-    * columns — per-word token hashes from independent xxhash seeds,
-    * all bit counters in ONE aggregation pass. */
-  def simhashWideSignatures(
+  /** Per-id SimHash signatures as 32-bit columns `_sig0.._sigN`;
+    * all `32·segments` bit counters in ONE aggregation pass. */
+  def simhashSignatures(
       tok: DataFrame, // (idCol, "tok") token rows
       idCol: String,
-      words: Int): DataFrame = {
-    require(words >= 1)
-    val hashed = tok.select(col(idCol) +: (0 until words).map(w =>
-      xxhash64(col("tok"), lit(w)).as(s"_h$w")): _*)
-    val bitSums = for (w <- 0 until words; b <- 0 until 64) yield
-      sum(when(expr(s"(_h$w >> $b) & 1") === 1, 1).otherwise(-1)).as(s"_w${w}b$b")
+      segments: Int): DataFrame = {
+    require(segments >= 1 && segments <= 4, "one md5 digest = 128 bits max")
+    val hashed = tok.select(col(idCol) +: (0 until segments).map(k =>
+      conv(substring(md5(col("tok")), 8 * k + 1, 8), 16, 10)
+        .cast("long").as(s"_h$k")): _*)
+    val bitSums = for (k <- 0 until segments; b <- 0 until 32) yield
+      sum(when(expr(s"((_h$k >> $b) & 1) = 1"), 1).otherwise(-1)).as(s"_k${k}b$b")
     hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol) +: (0 until words).map { w =>
-        (0 until 64).map(b => when(col(s"_w${w}b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as(s"_sig$w")
+      .select(col(idCol) +: (0 until segments).map { k =>
+        (0 until 32).map(b => when(col(s"_k${k}b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as(s"_sig$k")
       }: _*)
   }
 
-  def simhashWidePairs(
-      tok: DataFrame, // (idCol, "tok") token rows
-      idCol: String,
-      words: Int,
-      radius: Int): DataFrame = {
-    require(words >= 1 && radius >= 0)
-    val nBits = 64 * words
-    val nChunks = radius + 1
-    val sig = simhashWideSignatures(tok, idCol, words)
-    // chunk boundaries partition [0, nBits); width nBits/nChunks with
-    // the remainder spread over the leading chunks
+  /** Chunk geometry shared by the Spark plan and the DuckDB oracle:
+    * `radius+1` chunks partition [0, 32·segments) with the remainder
+    * widening the leading chunks; each chunk extraction is emitted as
+    * a SQL fragment valid in BOTH dialects (only `>> & | *` over
+    * values < 2³², never a 64-bit assembly). */
+  private def chunkStarts(nBits: Int, nChunks: Int): Seq[Int] = {
     val base = nBits / nChunks
-    val starts = (0 until nChunks).scanLeft(0) { (s, c) =>
+    (0 until nChunks).scanLeft(0) { (s, c) =>
       s + base + (if (c < nBits % nChunks) 1 else 0)
     }
-    def chunkExpr(c: Int): Column = {
-      val start = starts(c); val end = starts(c + 1); val width = end - start
-      val loWord = start / 64; val hiWord = (end - 1) / 64
-      val off = start % 64
-      if (loWord == hiWord)
-        expr(s"(_sig$loWord >> $off) & ${(1L << width) - 1}")
-      else {
-        // spans two words: low bits from loWord, high bits from hiWord
-        val loBits = 64 - off
-        expr(s"((_sig$loWord >> $off) & ${(1L << loBits) - 1}) | " +
-          s"((_sig$hiWord & ${(1L << (width - loBits)) - 1}) << $loBits)")
-      }
+  }
+
+  private def chunkFrag(starts: Seq[Int], c: Int): String = {
+    val start = starts(c); val end = starts(c + 1); val width = end - start
+    val loSeg = start / 32; val hiSeg = (end - 1) / 32
+    val off = start % 32
+    if (loSeg == hiSeg)
+      s"((_sig$loSeg >> $off) & ${(1L << width) - 1})"
+    else {
+      // spans two segments: low bits from loSeg, high bits from hiSeg
+      val loBits = 32 - off
+      s"(((_sig$loSeg >> $off) & ${(1L << loBits) - 1}) | " +
+        s"((_sig$hiSeg & ${(1L << (width - loBits)) - 1}) << $loBits))"
     }
-    val chunks = sig.select(col(idCol) +: (0 until words).map(w => col(s"_sig$w")) :+
+  }
+
+  /** (a_id, b_id, hamming) pairs at Hamming ≤ radius over the full
+    * `32·segments`-bit signature. Bucketing is LOSSLESS (the pigeonhole
+    * guarantee, asserted against brute force in ExtSpec). */
+  def simhashPairs(
+      tok: DataFrame, // (idCol, "tok") token rows
+      idCol: String,
+      segments: Int,
+      radius: Int): DataFrame = {
+    require(segments >= 1 && radius >= 0)
+    val nChunks = radius + 1
+    val sig = simhashSignatures(tok, idCol, segments)
+    val starts = chunkStarts(32 * segments, nChunks)
+    val chunks = sig.select(col(idCol) +: (0 until segments).map(k => col(s"_sig$k")) :+
       explode(array((0 until nChunks).map(c =>
-        struct(lit(c).as("c"), chunkExpr(c).as("v"))): _*)).as("ch"): _*)
-      .select(col(idCol) +: (0 until words).map(w => col(s"_sig$w")) :+
+        struct(lit(c).as("c"), expr(chunkFrag(starts, c)).as("v"))): _*)).as("ch"): _*)
+      .select(col(idCol) +: (0 until segments).map(k => col(s"_sig$k")) :+
         col("ch.c").as("c") :+ col("ch.v").as("v"): _*)
-    val ham = (0 until words).map(w =>
-      expr(s"bit_count(x._sig$w ^ y._sig$w)")).reduce(_ + _).cast("long")
+    val ham = (0 until segments).map(k =>
+      expr(s"bit_count(x._sig$k ^ y._sig$k)")).reduce(_ + _).cast("long")
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -251,6 +263,42 @@ object TextOps {
         ham.as("hamming"))
       .filter(col("hamming") <= radius)
       .distinct()
+  }
+
+  /** DuckDB oracle for `simhashPairs` over whitespace tokens of
+    * `documents.text` — generated from the SAME chunk geometry as the
+    * Spark plan, so the two can never drift. `xor` spelled as a
+    * function (DuckDB has no infix `^` for BIGINT xor). */
+  def simhashOracleSql(segments: Int, radius: Int): String = {
+    val nChunks = radius + 1
+    val starts = chunkStarts(32 * segments, nChunks)
+    val hcols = (0 until segments).map(k =>
+      s"('0x' || substr(md5(tok), ${8 * k + 1}, 8))::BIGINT AS _h$k").mkString(", ")
+    val bitsums = (for (k <- 0 until segments; b <- 0 until 32) yield
+      s"sum(CASE WHEN ((_h$k >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS _k${k}b$b")
+      .mkString(", ")
+    val sigs = (0 until segments).map { k =>
+      (0 until 32).map(b => s"CASE WHEN _k${k}b$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString("(", " + ", s")::BIGINT AS _sig$k")
+    }.mkString(", ")
+    val sigCols = (0 until segments).map(k => s"_sig$k").mkString(", ")
+    val chunkSel = (0 until nChunks).map(c =>
+      s"SELECT doc_id, $sigCols, $c AS c, ${chunkFrag(starts, c)} AS v FROM sig")
+      .mkString(" UNION ALL ")
+    val ham = (0 until segments).map(k => s"bit_count(xor(x._sig$k, y._sig$k))")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+       |h AS (SELECT doc_id, $hcols FROM tok),
+       |bs AS (SELECT doc_id, $bitsums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigs FROM bs),
+       |chunks AS ($chunkSel)
+       |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |  CAST($ham AS BIGINT) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+       |WHERE $ham <= $radius
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** A banded-LSH parameterization. */

@@ -44,8 +44,12 @@ object PipelineHeadroom {
           sequence(lit(0), (pmod(hash(id, lit("len")), lit(100)) + 30).cast("int")),
           i => element_at(vocabArr, (pmod(hash(id, i), lit(vocab.size)) + 1).cast("int"))))
       val docs = spark.range(n).toDF("doc_id")
+        // skip planting when doc_id-1 is itself flagged: its materialized
+        // text is textFor(doc_id-2), so copying textFor(doc_id-1) would
+        // duplicate no actual row and slightly overstate the dup rate
         .withColumn("eff_id",
-          when(pmod(hash(col("doc_id"), lit("dup")), lit(50)) === 0 && col("doc_id") > 0,
+          when(pmod(hash(col("doc_id"), lit("dup")), lit(50)) === 0 && col("doc_id") > 0 &&
+              pmod(hash(col("doc_id") - 1, lit("dup")), lit(50)) =!= 0,
             col("doc_id") - 1).otherwise(col("doc_id")))
         .withColumn("text", textFor(col("eff_id")))
         .withColumn("lang", element_at(array(Seq("en", "es", "de", "fr", "zh").map(lit): _*),

@@ -74,12 +74,12 @@ class ExtSpec extends SparkSpec {
       .select("a_id", "b_id", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // brute force over the SAME signatures: all pairs, exact Hamming
-    val sig = TextOps.simhashWideSignatures(tok, "doc_id", words = 2)
+    val sig = TextOps.simhashSignatures(tok, "doc_id", segments = 4)
     val truth = sig.as("x").join(sig.as("y"),
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        (expr("bit_count(x._sig0 ^ y._sig0)") +
-          expr("bit_count(x._sig1 ^ y._sig1)")).cast("long").as("hamming"))
+        (0 until 4).map(k => expr(s"bit_count(x._sig$k ^ y._sig$k)"))
+          .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == truth,
@@ -457,6 +457,20 @@ class ExtSpec extends SparkSpec {
       col("n_sampled") =!= expr("(n_frames + 3) div 4")).count() == 0)
     assert(got.filter(col("n_frames") > 0 && col("first_md5").isNull).count() == 0)
     assert(got.filter(col("n_distinct") > col("n_sampled")).count() == 0)
+  }
+
+  test("documents fixture is ASCII-only (mm03's byte/char oracle equivalence)") {
+    // mm03's value oracle equates Spark BYTE semantics (length/substr
+    // over the binary payload) with DuckDB CHARACTER semantics over the
+    // VARCHAR text. That only holds while every document is pure ASCII
+    // (1 byte = 1 char); this pins the assumption so a datagen change
+    // that emits multi-byte text fails HERE, not as a silent driver-gate
+    // hash divergence.
+    val nonAscii = Tables.table(spark, sfDir, "documents")
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text; mm03's byte-vs-char " +
+        "oracle equivalence no longer holds")
   }
 
   test("mm01 media features: histogram mass equals payload byte count") {
