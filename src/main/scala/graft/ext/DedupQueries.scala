@@ -56,6 +56,56 @@ object DedupQueries {
         round(cos * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Connected components over an undirected pair set (a_id, b_id) by
+    * Pregel-style iterative min-label propagation; returns (v, lbl)
+    * with lbl = min id reachable from v. Shared by dd08 (cosine pairs)
+    * and dd10 (LSH-verified Jaccard pairs).
+    *
+    * Each round is one shuffle join edges⋈labels + one aggregation;
+    * rounds needed = component diameter, and near-dup clusters are
+    * star-like (diameter ≤ ~3), so the driver loop runs O(1)
+    * distributed passes — this is the standard distributed
+    * connected-components shape at cluster scale, not a driver-side
+    * algorithm. localCheckpoint truncates the growing lineage each
+    * round (blocks are context-cleaned when the round's RDD is
+    * dropped; Bench/driver also clear caches per query). */
+  private def minLabelComponents(pairs: DataFrame, what: String): DataFrame = {
+    // undirected: propagate labels along both edge directions
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").persist()
+    try {
+      // seed with the 1-hop minimum (one aggregation) rather than
+      // identity labels: it is exactly identity-init plus the first
+      // propagation round, so the loop starts a round ahead and the
+      // identity-init distinct-shuffle disappears (every vertex
+      // appears as dst because edges carry both directions)
+      var labels = edges.groupBy(col("dst"))
+        .agg(min(col("src")).as("mn"))
+        .select(col("dst").as("v"), least(col("dst"), col("mn")).as("lbl"))
+        .localCheckpoint(true)
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 25) {
+        val cand = edges.join(labels, edges("src") === labels("v"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("cand"))
+        // carry (old, new) through one join so the convergence count
+        // reads the checkpointed blocks instead of re-joining labels
+        val merged = labels.join(cand, labels("v") === cand("dst"), "left")
+          .select(labels("v"), labels("lbl").as("prev"),
+            least(labels("lbl"), coalesce(col("cand"), labels("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        val changed = merged.filter(col("lbl") < col("prev")).count()
+        labels = merged.select(col("v"), col("lbl"))
+        converged = changed == 0
+        iters += 1
+      }
+      require(converged,
+        s"$what label propagation did not converge within $iters rounds")
+      labels
+    } finally edges.unpersist(blocking = false)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -191,51 +241,13 @@ object DedupQueries {
       "dd08_dedup_clusters",
       "Near-dup cluster assignment: connected components over dd06's cosine pairs (iterative min-label propagation; canonical = min vec_id)",
       (s, dir) => {
+        // pair source is dd06's capped all-pairs baseline — fine up to
+        // the cap; dd10 is the composed scale path (LSH candidates in,
+        // same propagation loop)
         val pairs = embeddingNearDupPairs(s, dir).select(col("a_id"), col("b_id"))
-        // undirected: propagate labels along both edge directions
-        val edges = pairs
-          .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-          .toDF("src", "dst").persist()
-        try {
-          // Pregel-style min-label propagation. Each round is one shuffle
-          // join edges⋈labels + one aggregation; rounds needed = component
-          // diameter, and near-dup clusters are star-like (diameter ≤ ~3),
-          // so the driver loop runs O(1) distributed passes — this is the
-          // standard connected-components shape at cluster scale, not a
-          // driver-side algorithm. localCheckpoint truncates the growing
-          // lineage each round (blocks are context-cleaned when the round's
-          // RDD is dropped; Bench/driver also clear caches per query).
-          // seed with the 1-hop minimum (one aggregation) rather than
-          // identity labels: it is exactly identity-init plus the first
-          // propagation round, so the loop starts a round ahead and the
-          // identity-init distinct-shuffle disappears (every vertex
-          // appears as dst because edges carry both directions)
-          var labels = edges.groupBy(col("dst"))
-            .agg(min(col("src")).as("mn"))
-            .select(col("dst").as("v"), least(col("dst"), col("mn")).as("lbl"))
-            .localCheckpoint(true)
-          var converged = false
-          var iters = 0
-          while (!converged && iters < 25) {
-            val cand = edges.join(labels, edges("src") === labels("v"))
-              .groupBy(col("dst")).agg(min(col("lbl")).as("cand"))
-            // carry (old, new) through one join so the convergence count
-            // reads the checkpointed blocks instead of re-joining labels
-            val merged = labels.join(cand, labels("v") === cand("dst"), "left")
-              .select(labels("v"), labels("lbl").as("prev"),
-                least(labels("lbl"), coalesce(col("cand"), labels("lbl"))).as("lbl"))
-              .localCheckpoint(true)
-            val changed = merged.filter(col("lbl") < col("prev")).count()
-            labels = merged.select(col("v"), col("lbl"))
-            converged = changed == 0
-            iters += 1
-          }
-          require(converged,
-            s"dd08 label propagation did not converge within $iters rounds")
-          labels
-            .select(col("v").as("vec_id"), col("lbl").cast("long").as("component"))
-            .orderBy(col("vec_id"))
-        } finally edges.unpersist(blocking = false)
+        minLabelComponents(pairs, "dd08")
+          .select(col("v").as("vec_id"), col("lbl").cast("long").as("component"))
+          .orderBy(col("vec_id"))
       },
       // the recursive CTE materializes full reachability then takes the
       // min — fine at oracle scale; the Spark side is the scale path
@@ -327,5 +339,37 @@ object DedupQueries {
              |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
              |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "dd10_dedup_clusters_lsh",
+      "Scale-path dedup clustering: MinHash-LSH candidates -> exact Jaccard >= 0.8 verify -> connected components -> keep-min canonical (no all-pairs stage anywhere)",
+      (s, dir) => {
+        // The composed 100 TB dedup pipeline in one query: shingle →
+        // banded MinHash LSH (linear candidate generation, dd03's exact
+        // machinery) → exact Jaccard verification on candidates only →
+        // min-label connected components (dd08's loop) → canonical =
+        // min doc_id. Unlike dd08, whose pair source is the capped
+        // quadratic all-pairs baseline, every stage here is linear in
+        // corpus size (candidates are bucket-capped), so the clustering
+        // is corpus-size-unbounded. Output lists only clustered docs
+        // (a join-side table, not a corpus copy); keep=1 marks the
+        // canonical member to retain.
+        val rows = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 3)
+        val pairs = TextOps.lshNearDupPairs(rows, "doc_id",
+            numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+            threshNum = 8, threshDen = 10)
+          .select(col("a_id"), col("b_id"))
+        minLabelComponents(pairs, "dd10")
+          .select(col("v").as("doc_id"), col("lbl").cast("long").as("cluster"),
+            (col("v") === col("lbl")).cast("long").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      // No DuckDB value oracle: the candidate stage is dd03's
+      // xxhash64-banded LSH (engine-specific, same wall as dd03/dd05).
+      // Parity is spec-gated twice in ExtSpec: the propagation output
+      // must equal an independent union-find over the SAME verified
+      // pair set, and on a planted-duplicate corpus every planted
+      // group must collapse to one cluster with the min doc_id kept.
+      None),
   )
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.CatalogQuery
@@ -40,13 +40,19 @@ object MultimodalQueries {
       features: Array[Long])
 
   /** Synthesize a media table from documents: payload = UTF-8 bytes
-    * (stand-in for image bytes), metadata derived deterministically. */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    * (stand-in for image bytes), metadata derived deterministically.
+    * Metadata hashes are md5-based (24 hex bits → int), not xxhash64:
+    * engine-portable, so mm01/mm02 carry full DuckDB value oracles. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    def dim(seed: Column) =
+      (pmod(conv(substring(md5(seed), 1, 6), 16, 10).cast("long"), lit(512)) + 64)
+        .cast("int")
     Tables.table(s, dir, "documents")
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
-        (pmod(xxhash64(col("doc_id")), lit(512)) + 64).cast("int").as("width"),
-        (pmod(xxhash64(col("doc_id"), lit(1)), lit(512)) + 64).cast("int").as("height"))
+        dim(col("doc_id").cast("string")).as("width"),
+        dim(concat(col("doc_id").cast("string"), lit("|h"))).as("height"))
+  }
 
   val all: Seq[CatalogQuery] = Seq(
 
@@ -69,7 +75,26 @@ object MultimodalQueries {
             concat_ws(",", col("features")).as("feature_csv"))
           .orderBy(col("doc_id"))
       },
-      None),
+      // Value oracle: the payload is the ASCII text's UTF-8 bytes (the
+      // fixture is pinned ASCII-only in ExtSpec, so byte == char), the
+      // codec stub is an 8-bucket byte histogram (bucket = code >> 5),
+      // and the metadata dims are md5-derived — all reproducible in
+      // DuckDB exactly.
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+             |      % 512 + 64 AS width,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|h'), 1, 6))::BIGINT
+             |      % 512 + 64 AS height,
+             |    list_transform(range(0, 8), b ->
+             |      len(list_filter(split(text, ''), ch -> ascii(ch) // 32 = b)))
+             |      AS features
+             |  FROM documents)
+             |SELECT doc_id, width, height,
+             |  CAST(len(text) AS BIGINT) AS n_bytes,
+             |  CAST(list_sum(features) AS BIGINT) AS feature_mass,
+             |  array_to_string(features, ',') AS feature_csv
+             |FROM m ORDER BY doc_id""".stripMargin)),
 
     CatalogQuery(
       "mm02_media_partition_stats",
@@ -83,7 +108,18 @@ object MultimodalQueries {
             round(col("avg_height"), 4).as("avg_height"))
           .orderBy(col("wide"))
       },
-      None),
+      // Same md5-derived dims as mm01; avg over exact small integers is
+      // sum/count in double on both engines, IEEE-identical
+      Some("""WITH m AS (
+             |  SELECT
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+             |      % 512 + 64 AS width,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|h'), 1, 6))::BIGINT
+             |      % 512 + 64 AS height
+             |  FROM documents)
+             |SELECT width > 300 AS wide, CAST(count(*) AS BIGINT) AS n,
+             |  round(avg(height), 4) AS avg_height
+             |FROM m GROUP BY wide ORDER BY wide""".stripMargin)),
 
     CatalogQuery(
       "mm03_frame_sample",

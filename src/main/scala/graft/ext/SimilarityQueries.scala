@@ -55,12 +55,25 @@ object SimilarityQueries {
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (table, sig) index rows — one narrow pass over the vectors. */
-  private[ext] def sigRows(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("v"),
-        explode(array((0 until NTables).map(t =>
-          struct(lit(t).as("t"), tableSig(col("v"), t).as("sig"))): _*)).as("ts"))
-      .select(col("vec_id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+  /** (table, sig) index rows.
+    *
+    * Deliberately a union of NTables flat projections, NOT
+    * `explode(array(struct(...)))`: Generate re-evaluates its input
+    * array expression per OUTPUT row, so the 48 plane dots ran 8×+ per
+    * vector — measured 77 s for one 500k-vector pass vs 3.8 s stacked
+    * (cheap generator inputs hide the blowup; 48 codegen'd dots do
+    * not). Each union branch column-prunes to its own table's 6 dots,
+    * so total signature work is unchanged and every branch is one flat
+    * whole-stage-codegen span. The branches re-scan the narrow
+    * (vec_id, embedding) columns; a standing index amortizes even that
+    * via the persistent AnnIndex build. */
+  private[ext] def sigRows(df: DataFrame): DataFrame = {
+    val flat = df.select(col("vec_id") +: col("v") +:
+      (0 until NTables).map(t => tableSig(col("v"), t).as(s"_s$t")): _*)
+    (0 until NTables).map(t => flat.select(col("vec_id"), col("v"),
+        lit(t).as("t"), col(s"_s$t").as("sig")))
+      .reduce(_ union _)
+  }
 
   /** Pre-normalized vectors: pair scoring becomes one codegen'd dot. */
   private[ext] def embeddings(s: SparkSession, dir: String): DataFrame = {

@@ -452,5 +452,47 @@ object TextQueries {
             col("col.count").as("est_count"))
       },
       None),
+
+    CatalogQuery(
+      "tx05b_heavy_hitters_exact",
+      "Deterministic heavy-hitter twin: MG sketch survivors recounted exactly, kept iff count*(k+1) > N — the guaranteed-survivor set, merge-order-free",
+      (s, dir) => {
+        // tx05's raw sketch output is merge-order dependent (borderline
+        // survivors and estimated counts shift with partitioning), so it
+        // is spec-gated. This twin IS value-oracled: Misra-Gries
+        // guarantees every term with frequency > N/(k+1) survives the
+        // sketch under ANY merge order, so survivors → exact recount →
+        // keep iff count·(k+1) > N yields exactly the frequency->N/(k+1)
+        // set, which DuckDB computes directly without a sketch. The
+        // recount is a broadcast semi-join (≤k tokens) so the corpus
+        // never shuffles; the recount groupBy partial-aggregates to ≤k
+        // rows per map task. k=28 sits just below the fixture's ~29-word
+        // vocabulary so the sketch genuinely evicts AND the N/29
+        // frequency floor (~3.45%) keeps a non-empty survivor set.
+        val k = 28
+        val tok = docs(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        val mg = udaf(new graft.functions.Sketches.MisraGries(k))
+        val survivors = tok.agg(mg(col("tok")).as("sketch"))
+          .select(explode(col("sketch.items")).as("it"))
+          .select(col("it.token").as("tok"))
+        val total = tok.agg(count(lit(1)).cast("long").as("n_total"))
+        tok.join(broadcast(survivors), Seq("tok"), "left_semi")
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).cast("long").as("exact_count"))
+          .crossJoin(broadcast(total))
+          .filter(col("exact_count") * (k + 1) > col("n_total"))
+          .select(col("tok").as("token"), col("exact_count"))
+          .orderBy(col("exact_count").desc, col("token"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+             |c AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact_count
+             |      FROM tok GROUP BY tok)
+             |SELECT token, exact_count FROM c, tot
+             |WHERE exact_count * 29 > n
+             |ORDER BY exact_count DESC, token""".stripMargin)),
   )
 }

@@ -64,24 +64,89 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `array<double> / scalar` (elementwise division) as a native codegen
+  * expression. Division, not multiply-by-reciprocal: the DuckDB value
+  * oracles compute `x / sqrt(dot(v,v))` and the two differ in the last
+  * ulp.
+  *
+  * Exists so `normalize` needs no `transform` lambda: a LambdaFunction
+  * instantiates fresh variable ids per call site, so identical
+  * normalize copies never compare equal and subexpression elimination
+  * cannot dedupe them — after projection collapse, a signature
+  * computation referencing the normalized vector 48 times evaluated
+  * the interpreted transform 48 times per row (measured 86 s for one
+  * pass over 500k vectors; ~2 s with this expression). Deterministic
+  * codegen subtrees are CSE-able and the loop stays in whole-stage
+  * codegen.
+  */
+case class ArrayDivide(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), " +
+          s"got ${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "array_div"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val f = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) / f; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, f) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $x.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $x.getDouble($i) / $f;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDivide =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
 
-  /** Register `array_dot` in the session's function registry (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `array_dot` / `array_div` in the session's function
+    * registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_div", exprs => ArrayDivide(exprs(0), exprs(1)), "scala_udf")
+  }
 
   /** Dot product column (requires register(spark) on the session). */
   def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
-  /** L2-normalize an array<double> column (one dot + one transform).
+  /** L2-normalize an array<double> column (one dot + one codegen'd
+    * elementwise division).
     * A zero vector stays zero (instead of NaN from 0/0): cosine against
     * anything is then 0, so it drops out of similarity thresholds
     * rather than sorting first under NaN-is-largest semantics or
     * blowing up ANSI casts downstream. */
   def normalize(v: Column): Column = {
     val n = sqrt(dot(v, v))
-    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+    when(n === 0.0, v)
+      .otherwise(call_function("array_div", v, n))
   }
 
   /** Cosine via pre-normalization: cosine(a, b) = dot(norm(a), norm(b)).

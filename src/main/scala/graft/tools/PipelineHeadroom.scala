@@ -24,7 +24,13 @@ object PipelineHeadroom {
       if (args.length > 1) args.tail.toSeq
       else Seq("dd09_chunk_dedup", "dp01_concat_chunks", "dp02_train_split",
         "dp03_curriculum_buckets", "dp04_epoch_mixture", "tx09_pii_redact",
-        "tx10_tfidf_terms", "tx02_quality_score", "tx07_stratified_sample")
+        "tx10_tfidf_terms", "tx02_quality_score", "tx07_stratified_sample",
+        // ANN / clustering family over the generated embeddings table;
+        // dd08 is INCLUDED EXPECTING REFUSAL — its pair source is the
+        // capped all-pairs baseline and the guard firing at 100× is the
+        // documented behavior (dd10 is the uncapped scale path)
+        "ss01_ann_bruteforce", "ss02_ann_lsh", "ss03_ann_ivf",
+        "ss04_ann_filtered", "dd08_dedup_clusters", "dd10_dedup_clusters_lsh")
     val dir = s"/tmp/graft-headroom-$n"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -61,13 +67,35 @@ object PipelineHeadroom {
       docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       println(s"GENERATED $n docs at $dir")
     }
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      // 64-dim float vectors, one per doc (vec_id = doc_id), every
+      // component a pure hash in [-1, 1] — same fixture shape as the
+      // driver's embeddings table, 100× the bench row count
+      val emb = spark.range(n).toDF("vec_id")
+        .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+          i => ((pmod(hash(col("vec_id"), i), lit(2001)) - 1000) / 1000.0)
+            .cast("float")))
+        .withColumn("label",
+          pmod(hash(col("vec_id"), lit("label")), lit(10)).cast("int"))
+      emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      println(s"GENERATED $n embeddings at $dir")
+    }
 
     names.foreach { name =>
       val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"HEADROOM $name%-24s n=$n rows=$rows%-9d ${dt}%.2f s")
+      try {
+        val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"HEADROOM $name%-24s n=$n rows=$rows%-9d ${dt}%.2f s")
+      } catch {
+        // corpus-size guards (dd04, dd06/dd08) refusing 100× input is
+        // correct documented behavior — report, don't crash the sweep
+        case e: IllegalArgumentException =>
+          println(s"REFUSED  $name ${e.getMessage.takeWhile(_ != ':')}")
+      }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -126,5 +126,82 @@ object TpcdsOracle {
         s"DECIMAL(38,$scale) HALF_UP division in HUGEINT]",
       (s, _) => { RetailData.views(s); s.sql(sql) },
       Some(RetailData.duckOracle(emulatedForm(sql, scale))))
+  } :+ q31Verbatim
+
+  /** q31's verbatim semantics value-gated through a string render.
+    *
+    * Unlike q4/q11/q74, q31 OUTPUTS its DECIMAL(38,13) quotients, and
+    * decimal columns cannot cross the driver's pandas comparator
+    * (Spark parquet decimal128 → object, DuckDB decimal → float64 — a
+    * dtype mismatch by construction; see the q31 note on
+    * `emulatedForm`). Casting the four ratio columns to STRING on the
+    * Spark side keeps every quotient digit (BigDecimal plain render at
+    * full scale 13 — plain for any value ≥ 1e-7, and quarterly sales
+    * ratios are nowhere near that edge) while the DuckDB side renders
+    * its HUGEINT-emulated HALF_UP quotients to the identical string
+    * (`q // 10^13 || '.' || lpad(q % 10^13, 13)`, valid because every
+    * surviving row's denominators are > 0 by the growth predicates and
+    * the generated sales totals are nonnegative). Comparison becomes
+    * dtype-stable without changing a digit of the verbatim decimal
+    * semantics. */
+  private def q31Verbatim: CatalogQuery = {
+    val p = "10000000000000" // 10^13: Spark's derived division scale
+    def quot(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN (2 * CAST($num AS HUGEINT) * $p + $den) // (2 * $den) END"
+    def render(q: String) =
+      s"CAST($q // $p AS VARCHAR) || '.' || lpad(CAST($q % $p AS VARCHAR), 13, '0')"
+    val oracle =
+      s"""WITH ss AS (
+         |  SELECT ca_county, d_qoy, d_year,
+         |    CAST(sum(ss_ext_sales_price) * 100 AS BIGINT) AS store_sales
+         |  FROM store_sales
+         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         |  JOIN customer_address ON ss_addr_sk = ca_address_sk
+         |  GROUP BY ca_county, d_qoy, d_year),
+         |ws AS (
+         |  SELECT ca_county, d_qoy, d_year,
+         |    CAST(sum(ws_ext_sales_price) * 100 AS BIGINT) AS web_sales
+         |  FROM web_sales
+         |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+         |  JOIN customer_address ON ws_bill_addr_sk = ca_address_sk
+         |  GROUP BY ca_county, d_qoy, d_year),
+         |j AS (
+         |  SELECT ss1.ca_county, ss1.d_year,
+         |    ws1.web_sales AS w1, ws2.web_sales AS w2, ws3.web_sales AS w3,
+         |    ss1.store_sales AS s1, ss2.store_sales AS s2, ss3.store_sales AS s3
+         |  FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+         |  WHERE ss1.d_qoy = 1 AND ss1.d_year = 2021
+         |    AND ss1.ca_county = ss2.ca_county AND ss2.d_qoy = 2 AND ss2.d_year = 2021
+         |    AND ss2.ca_county = ss3.ca_county AND ss3.d_qoy = 3 AND ss3.d_year = 2021
+         |    AND ss1.ca_county = ws1.ca_county AND ws1.d_qoy = 1 AND ws1.d_year = 2021
+         |    AND ws1.ca_county = ws2.ca_county AND ws2.d_qoy = 2 AND ws2.d_year = 2021
+         |    AND ws1.ca_county = ws3.ca_county AND ws3.d_qoy = 3 AND ws3.d_year = 2021),
+         |q AS (
+         |  SELECT ca_county, d_year,
+         |    ${quot("w2", "w1")} AS qw12,
+         |    ${quot("s2", "s1")} AS qs12,
+         |    ${quot("w3", "w2")} AS qw23,
+         |    ${quot("s3", "s2")} AS qs23
+         |  FROM j)
+         |SELECT ca_county, d_year,
+         |  ${render("qw12")} AS web_q1_q2_increase,
+         |  ${render("qs12")} AS store_q1_q2_increase,
+         |  ${render("qw23")} AS web_q2_q3_increase,
+         |  ${render("qs23")} AS store_q2_q3_increase
+         |FROM q WHERE qw12 > qs12 AND qw23 > qs23
+         |ORDER BY ca_county""".stripMargin
+    CatalogQuery(
+      "tpcds_q31_verbatim",
+      "TPC-DS 1.4 q31 VERBATIM, DECIMAL(38,13) ratio outputs value-gated as strings [DuckDB HUGEINT HALF_UP emulation]",
+      (s, _) => {
+        RetailData.views(s)
+        s.sql(TpcdsCatalog.byName("q31")).selectExpr(
+          "ca_county", "d_year",
+          "CAST(web_q1_q2_increase AS STRING) AS web_q1_q2_increase",
+          "CAST(store_q1_q2_increase AS STRING) AS store_q1_q2_increase",
+          "CAST(web_q2_q3_increase AS STRING) AS web_q2_q3_increase",
+          "CAST(store_q2_q3_increase AS STRING) AS store_q2_q3_increase")
+      },
+      Some(RetailData.duckOracle(oracle)))
   }
 }

@@ -87,6 +87,67 @@ class ExtSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture has no wide-simhash near-dups")
   }
 
+  test("dd10 clusters equal an independent union-find over the same verified pair set") {
+    // the propagation loop's output must match a second, structurally
+    // different implementation (driver-side union-find with
+    // min-root-wins) run over the IDENTICAL LSH-verified pair set
+    val rows = TextOps.wordShingleRows(
+      Tables.table(spark, sfDir, "documents"), "doc_id", "text", 3)
+    val pairs = TextOps.lshNearDupPairs(rows, "doc_id",
+        numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+        threshNum = 8, threshDen = 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no LSH-verified near-dup pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    // attach the larger root under the smaller: every root stays the
+    // component's min id, matching dd10's keep-min semantics
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val expected = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(v => (v, find(v))).toMap
+    val got = run("dd10_dedup_clusters_lsh")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    assert(got.map { case (v, (c, _)) => (v, c) }.toMap == expected)
+    // keep flag marks exactly the canonical (min) member of each cluster
+    got.foreach { case (v, (c, keep)) =>
+      assert((keep == 1L) == (v == c), s"doc $v cluster $c keep $keep")
+    }
+  }
+
+  test("dd10 end-to-end: planted duplicate groups collapse to one cluster each") {
+    // identical texts have identical shingle sets -> identical minhash
+    // signatures -> same LSH buckets with probability 1, so planted
+    // exact-duplicate groups are GUARANTEED to cluster; filler docs use
+    // disjoint vocabularies (Jaccard 0) and must stay singletons
+    // (absent: dd10 lists only clustered docs)
+    val dir = java.nio.file.Files.createTempDirectory("dd10-planted").toString
+    val groups = Map(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta",
+      20L -> "one two three four five six seven eight",
+      30L -> "red green blue cyan magenta yellow black white")
+    val members = Seq(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L)
+    val fillers = (100L until 140L).map(i =>
+      (i, (0 until 8).map(j => s"f${i}w$j").mkString(" ")))
+    import spark.implicits._
+    (members.map { case (id, g) => (id, groups(g)) } ++ fillers)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dd10_dedup_clusters_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      members.map { case (id, g) => (id, g) }.toSet,
+      s"clusters diverged: ${got.toSeq.sortBy(_._1)}")
+    assert(got.filter(_._3 == 1L).map(_._1).toSet == Set(10L, 20L, 30L))
+  }
+
   test("dd06 embedding near-dup matches brute-force count and threshold") {
     val got = run("dd06_embedding_neardup")
     assert(got.filter(col("cos_e6") < 400000).count() == 0)
