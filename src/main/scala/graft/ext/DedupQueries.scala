@@ -155,7 +155,14 @@ object DedupQueries {
             threshNum = 8, threshDen = 10)
           .orderBy(col("a_id"), col("b_id"))
       },
-      None),
+      // Value oracle: minhash now derives from a 31-bit md5 segment with
+      // (a·h+b) mod 2^31-1 rehashes and tuple-string buckets — every
+      // stage engine-portable, so DuckDB reproduces candidates AND the
+      // exact-Jaccard verification (TextOps.lshPairsOracleSql, generated
+      // from the same parameters).
+      Some(TextOps.lshPairsOracleSql(TextOps.wordShingleSql(3),
+        numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+        threshNum = 8, threshDen = 10))),
 
     CatalogQuery(
       "dd04_simhash",
@@ -201,7 +208,10 @@ object DedupQueries {
             threshNum = 8, threshDen = 10)
           .orderBy(col("a_id"), col("b_id"))
       },
-      None),
+      // same generated md5/mod-p oracle as dd03, over char 5-grams
+      Some(TextOps.lshPairsOracleSql(TextOps.charNgramSql(5),
+        numHashes = 36, rowsPerBand = 6, maxBucketSize = 50,
+        threshNum = 8, threshDen = 10))),
 
     CatalogQuery(
       "dd07_simhash_wide",
@@ -364,12 +374,14 @@ object DedupQueries {
             (col("v") === col("lbl")).cast("long").as("keep"))
           .orderBy(col("doc_id"))
       },
-      // No DuckDB value oracle: the candidate stage is dd03's
-      // xxhash64-banded LSH (engine-specific, same wall as dd03/dd05).
-      // Parity is spec-gated twice in ExtSpec: the propagation output
-      // must equal an independent union-find over the SAME verified
-      // pair set, and on a planted-duplicate corpus every planted
-      // group must collapse to one cluster with the min doc_id kept.
-      None),
+      // Value oracle: recursive-CTE reachability over the SAME
+      // engine-portable LSH pair chain as dd03's oracle. Parity is also
+      // spec-gated twice in ExtSpec: the propagation output must equal
+      // an independent union-find over the same verified pair set, and
+      // on a planted-duplicate corpus every planted group must collapse
+      // to one cluster with the min doc_id kept.
+      Some(TextOps.lshClustersOracleSql(TextOps.wordShingleSql(3),
+        numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+        threshNum = 8, threshDen = 10))),
   )
 }

@@ -38,12 +38,20 @@ object SimilarityQueries {
   private[ext] val TableBits = 6
   private[ext] val NTables = 8
 
-  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5). */
-  private[ext] def planeVal(j: Int, i: Int): Double = {
+  /** 16-bit integer numerator of hyperplane component (j, i): the
+    * component is `bits/65536 − 1/2`, a dyadic rational that both a
+    * Scala double literal and a DuckDB SQL expression reproduce
+    * EXACTLY — which is what lets the ss02 oracle re-derive the same
+    * sign bits (`ss02OracleSql`). */
+  private[ext] def planeBits(j: Int, i: Int): Int = {
     var h = (j.toLong * 1315423911L) ^ (i.toLong * 2654435761L)
     h ^= (h >>> 13); h *= 0x5bd1e9955bd1e995L; h ^= (h >>> 31)
-    ((h & 0xffffL).toDouble / 65536.0) - 0.5
+    (h & 0xffffL).toInt
   }
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5). */
+  private[ext] def planeVal(j: Int, i: Int): Double =
+    planeBits(j, i).toDouble / 65536.0 - 0.5
 
   private[ext] def planeCol(j: Int): Column =
     array((0 until Dim).map(i => lit(planeVal(j, i))): _*)
@@ -73,6 +81,48 @@ object SimilarityQueries {
     (0 until NTables).map(t => flat.select(col("vec_id"), col("v"),
         lit(t).as("t"), col(s"_s$t").as("sig")))
       .reduce(_ union _)
+  }
+
+  /** DuckDB value oracle for ss02, generated from the same plane
+    * constants, table geometry and top-k tiebreak as the Spark plan.
+    * Each plane component is emitted as `bits/65536 − 0.5` (exact in
+    * both engines); the per-table signature is the same
+    * sum-of-sign-bits; candidates join on (t, sig); dedup + rank
+    * mirror `distinct()` + `TopKByScore`'s (cos DESC, id ASC). */
+  private[ext] def ss02OracleSql: String = {
+    def planeLit(j: Int): String =
+      (0 until Dim).map(i => s"${planeBits(j, i)}.0/65536.0 - 0.5")
+        .mkString("[", ", ", "]")
+    def sigSql(t: Int): String =
+      (0 until TableBits).map { j =>
+        s"CASE WHEN list_dot_product(nv, ${planeLit(t * TableBits + j)}) >= 0 " +
+          s"THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val sigUnion = (0 until NTables).map(t =>
+      s"SELECT vec_id, nv, $t AS t, ${sigSql(t)} AS sig FROM n")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+       |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    END AS nv
+       |  FROM e),
+       |sigs AS ($sigUnion),
+       |q AS (SELECT vec_id AS q_id, nv AS qv, t, sig FROM sigs WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT DISTINCT q.q_id, s.vec_id AS neighbor_id,
+       |    list_dot_product(q.qv, s.nv) AS cos
+       |  FROM q JOIN sigs s ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+       |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rk <= $K
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** Pre-normalized vectors: pair scoring becomes one codegen'd dot. */
@@ -154,7 +204,11 @@ object SimilarityQueries {
               graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos"))
             .distinct())
       },
-      None),
+      // Value oracle: the hyperplanes are dyadic rationals rendered
+      // exactly in SQL, the sign test is an IEEE-exact comparison on
+      // the same left-to-right dot (dd06/ss01 precedent), so DuckDB
+      // re-derives the identical buckets, candidates and ranking.
+      Some(ss02OracleSql)),
 
     CatalogQuery(
       "ss03_ann_ivf",

@@ -119,25 +119,36 @@ object TextOps {
 
   /** Per-id minhash signature row (`numHashes` `_mh<i>` columns).
     *
-    * One strong hash per element, then numHashes cheap universal-hash
-    * rehashes (odd-constant multiply-add on int64, wrapping): ~30×
-    * fewer hash evaluations than hashing each element per seed, and
-    * the multiply-adds stay inside codegen. Wrapping arithmetic needs
-    * a custom expression because ANSI mode raises on long overflow.
-    */
+    * One strong hash per element — a 31-bit md5 segment — then
+    * `numHashes` cheap universal-hash rehashes `(a·h + b) mod 2³¹−1`:
+    * ~30× fewer digests than hashing each element per seed, and the
+    * rehashes are plain codegen'd multiply-mod. Everything stays below
+    * 2⁶² so the ARITHMETIC IS ENGINE-PORTABLE (no wrapping, no ANSI
+    * overflow, no HUGEINT): DuckDB reproduces the signatures, band
+    * buckets and candidate pairs exactly, which is what gives
+    * dd03/dd05/dd10 full value oracles (`lshPairsOracleSql`). */
+  private val MersenneP = 2147483647L // 2^31 - 1
+
+  private def mixConst(i: Int, salt: Long): Long = {
+    var z = i.toLong * 0x9e3779b97f4a7c15L + salt
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** Universal-hash multiplier for rehash i, in [1, p-1]. */
+  private[ext] def uhA(i: Int): Long =
+    (mixConst(i, 0x51ab5f1cL) & Long.MaxValue) % (MersenneP - 1) + 1
+  /** Universal-hash offset for rehash i, in [0, p-1]. */
+  private[ext] def uhB(i: Int): Long =
+    (mixConst(i, 0x7e21L) & Long.MaxValue) % MersenneP
+
   private def signatures(rows: DataFrame, idCol: String,
       numHashes: Int): DataFrame = {
-    graft.functions.HashOps.register(rows.sparkSession)
-    val exploded = rows.select(col(idCol), xxhash64(col("_el")).as("_h"))
-    def mixConst(i: Int, salt: Long): Long = {
-      var z = i.toLong * 0x9e3779b97f4a7c15L + salt
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      (z ^ (z >>> 31)) | 1L // odd multiplier
-    }
+    val exploded = rows.select(col(idCol),
+      (conv(substring(md5(col("_el")), 1, 8), 16, 10).cast("long")
+        .bitwiseAND(lit(Int.MaxValue.toLong))).as("_h"))
     val mhAggs = (0 until numHashes).map { i =>
-      min(graft.functions.HashOps.mulAdd(col("_h"),
-        mixConst(i, 0x51ab5f1cL), mixConst(i, 0x7e21))).as(s"_mh$i")
+      min((col("_h") * lit(uhA(i)) + lit(uhB(i))) % lit(MersenneP)).as(s"_mh$i")
     }
     exploded.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
   }
@@ -151,9 +162,12 @@ object TextOps {
       maxBucketSize: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val nBands = numHashes / rowsPerBand
+    // bucket key = the band's minhash tuple rendered as a string — no
+    // re-hash at all, so the key is reproducible in any engine (the
+    // tuple IS the LSH identity; hashing it again only saved key bytes)
     val bandStructs = (0 until nBands).map { b =>
-      val bandHashInputs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"_mh$i")) :+ lit(b)
-      struct(lit(b).as("band"), xxhash64(bandHashInputs: _*).as("bucket"))
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"_mh$i"))
+      struct(lit(b).as("band"), concat_ws(",", bandCols: _*).as("bucket"))
     }
     val buckets = mh
       .select(col(idCol), explode(array(bandStructs: _*)).as("_bb"))
@@ -300,6 +314,97 @@ object TextOps {
        |WHERE $ham <= $radius
        |ORDER BY a_id, b_id""".stripMargin
   }
+
+  /** DuckDB `sh` CTE body matching `wordShingleRows(n)` over
+    * `documents.text` (short docs yield their whole trimmed text). */
+  def wordShingleSql(n: Int): String =
+    s"""SELECT doc_id, unnest(CASE
+       |    WHEN len(regexp_split_to_array(trim(text), '\\s+')) < $n
+       |      THEN [trim(text)]
+       |    ELSE list_transform(
+       |      range(1, len(regexp_split_to_array(trim(text), '\\s+')) - ${n - 2}),
+       |      i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+${n - 1}], ' '))
+       |    END) AS el
+       |  FROM documents""".stripMargin
+
+  /** DuckDB `sh` CTE body matching `charNgramRows(n)` over
+    * `documents.text` (short texts yield themselves; raw text, no trim,
+    * exactly like the Spark side). */
+  def charNgramSql(n: Int): String =
+    s"""SELECT doc_id, unnest(CASE
+       |    WHEN len(text) < $n THEN [text]
+       |    ELSE list_transform(range(1, len(text) - ${n - 2}),
+       |      i -> substr(text, i, $n))
+       |    END) AS el
+       |  FROM documents""".stripMargin
+
+  /** The CTE chain reproducing `lshNearDupPairs` in DuckDB — same md5
+    * segment, same (a·h+b) mod p rehash constants, same string bucket
+    * keys, same bucket cap, same integer-arithmetic Jaccard filter —
+    * ending in a `pairs(a_id, b_id, inter, uni)` CTE. Generated from
+    * the identical parameters as the Spark plan so they cannot drift. */
+  private def lshCtes(shingleSql: String, numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int, threshNum: Int, threshDen: Int): String = {
+    require(numHashes % rowsPerBand == 0)
+    val nBands = numHashes / rowsPerBand
+    val mhs = (0 until numHashes).map(i =>
+      s"min((h * ${uhA(i)} + ${uhB(i)}) % $MersenneP) AS _mh$i").mkString(", ")
+    val bands = (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"_mh$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""sh AS ($shingleSql),
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(el), 1, 8))::BIGINT & 2147483647 AS h FROM sh),
+       |mh AS (SELECT doc_id, $mhs FROM h GROUP BY doc_id),
+       |bk AS ($bands),
+       |ok AS (SELECT band, bucket FROM bk GROUP BY band, bucket
+       |       HAVING count(*) <= $maxBucketSize),
+       |szd AS (SELECT bk.* FROM bk JOIN ok USING (band, bucket)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM szd x JOIN szd y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |             AND x.doc_id < y.doc_id),
+       |dsh AS (SELECT DISTINCT doc_id, el FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+       |iv AS (SELECT c.a_id, c.b_id, count(*) AS inter
+       |       FROM cand c
+       |       JOIN dsh x ON x.doc_id = c.a_id
+       |       JOIN dsh y ON y.doc_id = c.b_id AND y.el = x.el
+       |       GROUP BY c.a_id, c.b_id),
+       |pairs AS (SELECT iv.a_id, iv.b_id,
+       |    CAST(inter AS BIGINT) AS inter,
+       |    CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+       |  FROM iv
+       |  JOIN sz sa ON sa.doc_id = iv.a_id
+       |  JOIN sz sb ON sb.doc_id = iv.b_id
+       |  WHERE inter * $threshDen >= (sa.n + sb.n - inter) * $threshNum)""".stripMargin
+  }
+
+  /** Full DuckDB value oracle for an `lshNearDupPairs` catalog entry. */
+  def lshPairsOracleSql(shingleSql: String, numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int, threshNum: Int, threshDen: Int): String =
+    s"""WITH ${lshCtes(shingleSql, numHashes, rowsPerBand, maxBucketSize, threshNum, threshDen)}
+       |SELECT a_id, b_id, inter, uni FROM pairs
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** DuckDB value oracle for dd10: connected components (recursive-CTE
+    * reachability, as in dd08's oracle) over the same verified pair
+    * set, keep-min canonical. */
+  def lshClustersOracleSql(shingleSql: String, numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int, threshNum: Int, threshDen: Int): String =
+    s"""WITH RECURSIVE ${lshCtes(shingleSql, numHashes, rowsPerBand, maxBucketSize, threshNum, threshDen)},
+       |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |       UNION ALL SELECT b_id, a_id FROM pairs),
+       |verts AS (SELECT DISTINCT s AS v FROM ed),
+       |reach(v, x) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT r.v, ed.d FROM reach r JOIN ed ON ed.s = r.x)
+       |SELECT v AS doc_id, CAST(min(x) AS BIGINT) AS cluster,
+       |  CAST(CASE WHEN v = min(x) THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
 
   /** A banded-LSH parameterization. */
   case class LshConfig(numHashes: Int, rowsPerBand: Int) {
