@@ -82,6 +82,39 @@ class PlanSpec extends SparkSpec {
     assert(codegenLines.exists(_.contains("*(")), s"array_dot outside codegen:\n$plan")
   }
 
+  test("ss01: ArrayDivide (normalize) participates in codegen; no lambda transform") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val df = run("ss01_ann_bruteforce")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // normalize must be the codegen'd array_div expression — the old
+    // transform() lambda ran interpreted AND defeated subexpression
+    // elimination (fresh LambdaFunction variable ids per call site), so
+    // collapsed projections re-evaluated it per referencing expression
+    assert(plan.contains("array_div"), s"expression missing:\n$plan")
+    val lines = plan.linesIterator.filter(_.contains("array_div")).toSeq
+    assert(lines.exists(_.contains("*(")), s"array_div outside codegen:\n$plan")
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted lambda re-entered the normalize path:\n$plan")
+  }
+
+  test("ss02: signature pass is a union of flat projections, not a Generate") {
+    // Generate re-evaluates its input array expression per OUTPUT row;
+    // routing the 48 plane dots through explode(array(struct(...)))
+    // measured 77 s vs 3.8 s for one 500k-vector pass (SCALING.md).
+    // topNeighbors' posexplode of the tiny top-k array is the ONLY
+    // generator this plan may contain.
+    val plan = planOf(run("ss02_ann_lsh"))
+    val nGen = plan.linesIterator.count(l =>
+      l.contains("Generate (") || l.trim.startsWith("Generate"))
+    // 2 allowed: one per topNeighbors' posexplode consumer (the plan
+    // dedups via ReusedExchange; the signature path itself must be none)
+    assert(nGen <= 2, s"signature path regressed to a Generate ($nGen found):\n$plan")
+    assert(plan.contains("posexplode") || nGen == 0,
+      s"unexpected generator kind:\n$plan")
+    assert(plan.contains("Union"), s"expected union-stacked signatures:\n$plan")
+  }
+
   test("e01: window aggregation keys the shuffle by (window, event_type)") {
     val plan = planOf(run("e01_tumbling_window"))
     assert(plan.contains("HashAggregate"), plan)
