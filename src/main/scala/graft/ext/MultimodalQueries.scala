@@ -54,6 +54,14 @@ object MultimodalQueries {
         dim(concat(col("doc_id").cast("string"), lit("|h"))).as("height"))
   }
 
+  /** The one DuckDB rendering of `dim(seed)` above — interpolated into
+    * BOTH mm oracles so the derivation can't drift between them and the
+    * Scala column (the generate-from-one-geometry rule). */
+  private def dimSql(seedSql: String): String =
+    s"('0x' || substr(md5($seedSql), 1, 6))::BIGINT % 512 + 64"
+  private val widthSql = dimSql("CAST(doc_id AS VARCHAR)")
+  private val heightSql = dimSql("CAST(doc_id AS VARCHAR) || '|h'")
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -80,15 +88,17 @@ object MultimodalQueries {
       // codec stub is an 8-bucket byte histogram (bucket = code >> 5),
       // and the metadata dims are md5-derived — all reproducible in
       // DuckDB exactly.
-      Some("""WITH m AS (
+      // the len(text)=0 guard matters: split('', '') is [''] in DuckDB
+      // (ascii('')=0 → a phantom count in bucket 0) while a 0-byte Spark
+      // payload histograms to all zeros
+      Some(s"""WITH m AS (
              |  SELECT doc_id, text,
-             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-             |      % 512 + 64 AS width,
-             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|h'), 1, 6))::BIGINT
-             |      % 512 + 64 AS height,
-             |    list_transform(range(0, 8), b ->
-             |      len(list_filter(split(text, ''), ch -> ascii(ch) // 32 = b)))
-             |      AS features
+             |    $widthSql AS width,
+             |    $heightSql AS height,
+             |    CASE WHEN len(text) = 0 THEN [0, 0, 0, 0, 0, 0, 0, 0]
+             |         ELSE list_transform(range(0, 8), b ->
+             |           len(list_filter(split(text, ''), ch -> ascii(ch) // 32 = b)))
+             |    END AS features
              |  FROM documents)
              |SELECT doc_id, width, height,
              |  CAST(len(text) AS BIGINT) AS n_bytes,
@@ -110,12 +120,10 @@ object MultimodalQueries {
       },
       // Same md5-derived dims as mm01; avg over exact small integers is
       // sum/count in double on both engines, IEEE-identical
-      Some("""WITH m AS (
+      Some(s"""WITH m AS (
              |  SELECT
-             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-             |      % 512 + 64 AS width,
-             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|h'), 1, 6))::BIGINT
-             |      % 512 + 64 AS height
+             |    $widthSql AS width,
+             |    $heightSql AS height
              |  FROM documents)
              |SELECT width > 300 AS wide, CAST(count(*) AS BIGINT) AS n,
              |  round(avg(height), 4) AS avg_height

@@ -89,33 +89,79 @@ case class ArrayDivide(left: Expression, right: Expression)
         s"$prettyName requires (array<double>, double), " +
           s"got ${l.simpleString} and ${r.simpleString}")
     }
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  /** Null elements propagate (as the transform() lambda this replaces
+    * did) — the output is nullable exactly when the input is. */
+  private def childContainsNull: Boolean = left.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = childContainsNull)
   override def prettyName: String = "array_div"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val f = b.asInstanceOf[Double]
     val n = x.numElements()
-    val out = new Array[Double](n)
-    var i = 0
-    while (i < n) { out(i) = x.getDouble(i) / f; i += 1 }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    if (childContainsNull && (0 until n).exists(x.isNullAt)) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (x.isNullAt(i)) null else x.getDouble(i) / f
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = x.getDouble(i) / f; i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, f) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val out = ctx.freshName("out")
-      s"""
-         |int $n = $x.numElements();
-         |double[] $out = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $x.getDouble($i) / $f;
-         |}
-         |${ev.value} =
-         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
-       """.stripMargin
+      val nulls = ctx.freshName("nulls")
+      val boxed = ctx.freshName("boxed")
+      if (childContainsNull)
+        // ADAPTIVE: parquet-sourced arrays are declared nullable even
+        // when no element ever is, so the common case must stay the
+        // primitive loop — only an actually-present null (which
+        // getDouble would silently read as 0.0) pays the boxed copy
+        s"""
+           |int $n = $x.numElements();
+           |double[] $out = new double[$n];
+           |int $nulls = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i)) { $nulls++; }
+           |  else { $out[$i] = $x.getDouble($i) / $f; }
+           |}
+           |if ($nulls == 0) {
+           |  ${ev.value} =
+           |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+           |} else {
+           |  Object[] $boxed = new Object[$n];
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    if (!$x.isNullAt($j)) { $boxed[$j] = (Object) $out[$j]; }
+           |  }
+           |  ${ev.value} =
+           |    new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+           |}
+         """.stripMargin
+      else
+        s"""
+           |int $n = $x.numElements();
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $x.getDouble($i) / $f;
+           |}
+           |${ev.value} =
+           |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

@@ -89,9 +89,15 @@ object PipelineHeadroom {
         println(f"HEADROOM $name%-24s n=$n rows=$rows%-9d ${dt}%.2f s")
       } catch {
         // corpus-size guards (dd04, dd06/dd08) refusing 100× input is
-        // correct documented behavior — report, don't crash the sweep
+        // correct documented behavior — report the FULL guard message
+        // (which cap fired, which scale-path sibling to use) so a
+        // genuine require() failure (e.g. CC non-convergence) is
+        // visibly different from a size refusal, and don't crash the
+        // rest of the sweep either way
         case e: IllegalArgumentException =>
-          println(s"REFUSED  $name ${e.getMessage.takeWhile(_ != ':')}")
+          val msg = Option(e.getMessage).getOrElse("")
+            .stripPrefix("requirement failed: ")
+          println(s"REFUSED  $name $msg")
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

@@ -520,24 +520,49 @@ class ExtSpec extends SparkSpec {
     assert(got.filter(col("n_distinct") > col("n_sampled")).count() == 0)
   }
 
-  test("documents fixture is ASCII-only (mm03's byte/char oracle equivalence)") {
-    // mm03's value oracle equates Spark BYTE semantics (length/substr
-    // over the binary payload) with DuckDB CHARACTER semantics over the
-    // VARCHAR text. That only holds while every document is pure ASCII
-    // (1 byte = 1 char); this pins the assumption so a datagen change
-    // that emits multi-byte text fails HERE, not as a silent driver-gate
-    // hash divergence.
-    val nonAscii = Tables.table(spark, sfDir, "documents")
-      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
-    assert(nonAscii == 0,
-      s"$nonAscii documents contain non-ASCII text; mm03's byte-vs-char " +
-        "oracle equivalence no longer holds")
+  test("documents fixture is printable-ASCII-only (oracle byte/char + tokenizer parity)") {
+    // Two oracle assumptions pinned at once. (1) mm03/mm01 equate Spark
+    // BYTE semantics (length/substr over the binary payload) with DuckDB
+    // CHARACTER semantics over the VARCHAR text — only true while every
+    // document is pure ASCII (1 byte = 1 char). (2) Every md5-token
+    // oracle (dd03/dd04/dd05/dd07/dd10/tx05b...) equates Java-regex \s
+    // (Spark split) with RE2 \s (DuckDB regexp_split_to_array) — Java's
+    // matches vertical tab \x0B, RE2's does not, so control characters
+    // outside \t\n\f\r would tokenize differently while still being
+    // "ASCII". Pin the corpus to printable ASCII + the four shared
+    // whitespace controls so either datagen drift fails HERE, not as a
+    // silent driver-gate hash divergence. Empty docs are excluded too
+    // (DuckDB split('','') is [''], a phantom histogram count — mm01's
+    // oracle guards it, but the fixture shouldn't rely on that).
+    val docs = Tables.table(spark, sfDir, "documents")
+    val bad = docs.filter(col("text").rlike("[^\\x20-\\x7E\\t\\n\\f\\r]")).count()
+    assert(bad == 0,
+      s"$bad documents contain non-printable-ASCII chars (or \\x0B); " +
+        "the byte/char and tokenizer oracle equivalences no longer hold")
+    assert(docs.filter(length(col("text")) === 0).count() == 0,
+      "fixture contains empty documents")
   }
 
   test("mm01 media features: histogram mass equals payload byte count") {
     val bad = run("mm01_media_features")
       .filter(col("feature_mass") =!= col("n_bytes")).count()
     assert(bad == 0)
+  }
+
+  test("ArrayDivide propagates null elements (nullable path) and divides exactly") {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
+    // nullable-element array: null slots must stay null (getDouble
+    // would silently read them as 0.0), non-null slots divide exactly
+    val r = Seq(Tuple1(Seq[java.lang.Double](3.0, null, 9.0))).toDF("v")
+      .selectExpr("array_div(CAST(v AS array<double>), 3.0D) AS d")
+      .collect()(0).getSeq[java.lang.Double](0)
+    assert(r == Seq(1.0, null, 3.0), s"got $r")
+    // non-nullable path: normalize(v) has unit norm
+    val n = Seq(Tuple1(Seq(3.0, 4.0))).toDF("v")
+      .select(graft.functions.VectorOps.normalize(col("v")).as("n"))
+      .collect()(0).getSeq[Double](0)
+    assert(n == Seq(0.6, 0.8), s"got $n")
   }
 
   test("typed AvgAggregator equals built-in avg") {
