@@ -383,5 +383,50 @@ object DedupQueries {
       Some(TextOps.lshClustersOracleSql(TextOps.wordShingleSql(3),
         numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
         threshNum = 8, threshDen = 10))),
+
+    CatalogQuery(
+      "dd11_incremental_dedup",
+      "Incremental ingestion dedup: new batch (doc_id % 5 = 4) probed against the standing corpus by content hash, then keep-first within the batch",
+      (s, dir) => {
+        // The ingestion-time shape of dd02: history is NEVER rescanned
+        // against itself — it folds once into a (content-hash → min id)
+        // index (at 100 TB that index is a standing bucketed table the
+        // daily batch joins into; here it's derived in-query). Both
+        // joins key on the content hash, so batch and index co-partition
+        // on the same shuffle key and no broadcast assumption is needed
+        // (an ingest batch can be arbitrarily large). Statuses:
+        // dup_history (content already ingested), dup_batch (first copy
+        // is earlier in this batch), new.
+        val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("chash"))
+        val batch = d.filter(pmod(col("doc_id"), lit(5)) === 4)
+        val hist = d.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+          .groupBy(col("chash")).agg(min(col("doc_id")).as("hist_id"))
+        val batchMin = batch
+          .groupBy(col("chash")).agg(min(col("doc_id")).as("batch_min"))
+        batch.join(hist, Seq("chash"), "left")
+          .join(batchMin, Seq("chash"), "left")
+          .select(col("doc_id"),
+            when(col("hist_id").isNotNull, lit("dup_history"))
+              .when(col("batch_min") < col("doc_id"), lit("dup_batch"))
+              .otherwise(lit("new")).as("status"),
+            when(col("hist_id").isNotNull, col("hist_id"))
+              .when(col("batch_min") < col("doc_id"), col("batch_min"))
+              .cast("long").as("dup_of"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, md5(text) AS chash FROM documents),
+             |b AS (SELECT * FROM d WHERE doc_id % 5 = 4),
+             |h AS (SELECT chash, min(doc_id) AS hist_id FROM d
+             |      WHERE doc_id % 5 <> 4 GROUP BY chash),
+             |bm AS (SELECT chash, min(doc_id) AS batch_min FROM b GROUP BY chash)
+             |SELECT b.doc_id,
+             |  CASE WHEN h.hist_id IS NOT NULL THEN 'dup_history'
+             |       WHEN bm.batch_min < b.doc_id THEN 'dup_batch'
+             |       ELSE 'new' END AS status,
+             |  CAST(CASE WHEN h.hist_id IS NOT NULL THEN h.hist_id
+             |       WHEN bm.batch_min < b.doc_id THEN bm.batch_min
+             |       END AS BIGINT) AS dup_of
+             |FROM b LEFT JOIN h USING (chash) LEFT JOIN bm USING (chash)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -148,6 +148,31 @@ class ExtSpec extends SparkSpec {
     assert(got.filter(_._3 == 1L).map(_._1).toSet == Set(10L, 20L, 30L))
   }
 
+  test("dd11 incremental dedup: history/batch statuses on a planted corpus") {
+    // batch = doc_id % 5 == 4. Plant: 4 copies history doc 1 (dup_history),
+    // 9 and 14 are copies of each other within the batch (keep-first: 9
+    // new, 14 dup_batch of 9), 19 unique (new), 24 copies history docs
+    // 2 and 7 (dup_of = the MIN history id, 2). History rows never appear.
+    val dir = java.nio.file.Files.createTempDirectory("dd11-planted").toString
+    val t = (i: Long) => s"text body number $i with some words"
+    val rows = Seq(
+      0L -> t(0), 1L -> t(1), 2L -> t(2), 3L -> t(3), 4L -> t(1),
+      6L -> t(6), 7L -> t(2), 8L -> t(8), 9L -> t(99), 11L -> t(11),
+      13L -> t(13), 14L -> t(99), 16L -> t(16), 19L -> t(19), 24L -> t(2))
+    import spark.implicits._
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dd11_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq.sortBy(_._1) == Seq(
+      (4L, "dup_history", 1L),
+      (9L, "new", -1L),
+      (14L, "dup_batch", 9L),
+      (19L, "new", -1L),
+      (24L, "dup_history", 2L)), s"got ${got.toSeq.sortBy(_._1)}")
+  }
+
   test("dd06 embedding near-dup matches brute-force count and threshold") {
     val got = run("dd06_embedding_neardup")
     assert(got.filter(col("cos_e6") < 400000).count() == 0)
