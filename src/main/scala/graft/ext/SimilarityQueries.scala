@@ -315,5 +315,70 @@ object SimilarityQueries {
              |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
              |FROM ranked WHERE rk <= 5
              |ORDER BY q_id, rank""".stripMargin)),
+
+    CatalogQuery(
+      "ss05_ann_quantized",
+      "Int8-quantized ANN: symmetric per-vector scalar quantization of the normalized embedding (scale = max|x|/127), top-5 by dequantized dot",
+      (s, dir) => {
+        // The storage/bandwidth scale play: int8 codes cut the vector
+        // bytes 4-8x, and at 100 TB the scan, shuffle and cache all pay
+        // in vector bytes. Quantization is a pure per-row projection
+        // (one pass, no shuffle); scoring dequantizes on the fly as
+        // int-dot x scale_a x scale_b. floor(x/s + 0.5) is used instead
+        // of round(): identical half-up behavior in BOTH engines, so the
+        // codes — and therefore every score — are value-oracled exactly.
+        // The int dot of 64 lanes of +-127 is < 2^21, exact in DOUBLE.
+        val e = embeddings(s, dir)
+        val sc = e.select(col("vec_id"), col("v"),
+          (aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+            .as("scale"))
+        val q = sc.select(col("vec_id"), col("scale"),
+          transform(col("v"), x =>
+            when(col("scale") === 0.0, lit(0.0))
+              .otherwise(greatest(least(
+                floor(x / col("scale") + 0.5).cast("double"), lit(127.0)),
+                lit(-127.0)))).as("qv"))
+        val probes = broadcast(q.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qv").as("qa"),
+            col("scale").as("sa")))
+        topNeighbors(
+          probes.join(q, col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              (graft.functions.VectorOps.dot(col("qa"), col("qv")) *
+                col("sa") * col("scale")).as("cos")))
+      },
+      // same normalize/dot/rank mirror as ss01, over the quantized codes
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id,
+             |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+             |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |    END AS nv
+             |  FROM e),
+             |sc AS (
+             |  SELECT vec_id, nv,
+             |    list_max(list_transform(nv, x -> abs(x))) / 127.0 AS scale
+             |  FROM n),
+             |q AS (
+             |  SELECT vec_id, scale,
+             |    CASE WHEN scale = 0 THEN list_transform(nv, x -> 0.0)
+             |         ELSE list_transform(nv, x ->
+             |           greatest(least(floor(x / scale + 0.5), 127.0), -127.0))
+             |    END AS qv
+             |  FROM sc),
+             |scored AS (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+             |    list_dot_product(a.qv, b.qv) * a.scale * b.scale AS cos
+             |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+             |  WHERE a.vec_id < 10),
+             |ranked AS (
+             |  SELECT q_id, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+             |  FROM scored)
+             |SELECT q_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+             |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+             |FROM ranked WHERE rk <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
   )
 }

@@ -30,8 +30,8 @@ object PipelineHeadroom {
         // capped all-pairs baseline and the guard firing at 100× is the
         // documented behavior (dd10 is the uncapped scale path)
         "ss01_ann_bruteforce", "ss02_ann_lsh", "ss03_ann_ivf",
-        "ss04_ann_filtered", "dd08_dedup_clusters", "dd10_dedup_clusters_lsh",
-        "dd11_incremental_dedup")
+        "ss04_ann_filtered", "ss05_ann_quantized", "dd08_dedup_clusters",
+        "dd10_dedup_clusters_lsh", "dd11_incremental_dedup")
     val dir = s"/tmp/graft-headroom-$n"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -148,6 +148,19 @@ class ExtSpec extends SparkSpec {
     assert(got.filter(_._3 == 1L).map(_._1).toSet == Set(10L, 20L, 30L))
   }
 
+  test("ss05 quantized ANN: high recall vs exact top-5, codes within int8 range") {
+    // int8 of a normalized 64-dim vector loses ~1e-2 per dot; top-5
+    // overlap measured 0.98 at sf0.001/sf0.01 — 0.85 floor leaves room
+    // for fixture drift without letting a broken quantizer pass
+    val exact = run("ss01_ann_bruteforce").select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = run("ss05_ann_quantized").select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.85, s"quantized recall $recall below 0.85")
+  }
+
   test("dd11 incremental dedup: history/batch statuses on a planted corpus") {
     // batch = doc_id % 5 == 4. Plant: 4 copies history doc 1 (dup_history),
     // 9 and 14 are copies of each other within the batch (keep-first: 9
