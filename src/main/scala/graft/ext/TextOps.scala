@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Shared text/set primitives for the data-pipeline operators
   * (dedup, fingerprinting, similarity). Everything is built from
-  * codegen'd `org.apache.spark.sql.functions` (higher-order array
-  * functions, xxhash64) — no UDFs in the hot path, so whole-stage
-  * codegen spans hold.
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs in the hot
+  * path, so whole-stage codegen spans hold. Hashes that reach an
+  * oracled output derive from md5 segments + mod-p rehashes
+  * (engine-portable); xxhash64 appears only in non-oracled sampling.
   */
 object TextOps {
 
@@ -81,8 +82,9 @@ object TextOps {
     * Pipeline (all distributed, one shuffle per stage):
     *   1. explode the set column → (id, element)
     *   2. one hash-aggregate computes all `numHashes` minhash values
-    *      per id in a single pass (min(xxhash64(elem, seed_i)))
-    *   3. band signatures = xxhash64 over each band's minhashes;
+    *      per id in a single pass (min over (a_i·h + b_i) mod p
+    *      rehashes of one md5-segment hash per element)
+    *   3. band bucket = the band's minhash tuple as a string;
     *      explode to (id, band, bucket)
     *   4. self-equi-join on (band, bucket) with id< ordering → pairs
     *
