@@ -49,9 +49,28 @@ object TextOps {
       n: Int): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
-    if (n == 1) return toks.select(col(idCol), col("_tok").as("_el"))
+    if (n == 1)
+      return df.select(col(idCol),
+        explode(tokens(col(textCol))).as("_el"))
+    // Skew guard: the lead-window pass below partitions by doc id, so
+    // ONE pathological document (a 100 TB web corpus will have a few)
+    // would sort and shingle entirely inside a single task. Refuse it
+    // in-flight — assert_true evaluates inside the same codegen'd scan,
+    // no extra corpus pass — and name the remedy. The token array is
+    // materialized by the projection, so the guard reads it for free.
+    val maxTokens = df.sparkSession.conf
+      .getOption("graft.ext.maxDocTokens").map(_.toLong).getOrElse(1000000L)
+    val guarded = df
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .filter(assert_true(size(col("_t")) <= maxTokens,
+        concat(lit("wordShingleRows: document "), col(idCol).cast("string"),
+          lit(" has "), size(col("_t")).cast("string"),
+          lit(s" tokens > graft.ext.maxDocTokens=$maxTokens; its shingle " +
+            "window pass would serialize in one task. Chunk oversized " +
+            "documents first (dd09-style fixed-size token windows), or " +
+            "raise spark.conf graft.ext.maxDocTokens."))).isNull)
+    val toks = guarded.select(col(idCol),
+      posexplode(col("_t")).as(Seq("_pos", "_tok")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
     val leads = (1 until n).map(j => lead(col("_tok"), j).over(w))
     val shingled = toks
@@ -209,17 +228,30 @@ object TextOps {
     * collisions for the same plan shape). Everything stays codegen.
     */
   /** Per-id SimHash signatures as 32-bit columns `_sig0.._sigN`;
-    * all `32·segments` bit counters in ONE aggregation pass. */
+    * all `32·segments` bit counters in ONE aggregation pass.
+    *
+    * Tokens are pre-aggregated to (id, tok) → cnt first, so each
+    * DISTINCT token per document is md5-digested exactly once and the
+    * bit counters sum ±cnt instead of ±1 per occurrence — identical
+    * signatures (the sums commute), but the digest count drops by the
+    * corpus duplication factor. The count agg combines map-side, so
+    * the extra aggregation costs one narrow (id, tok, cnt) shuffle and
+    * buys `segments` fewer md5 evaluations per repeated occurrence —
+    * the md5 is the dominant per-row cost at 4 segments (dd07). */
   def simhashSignatures(
       tok: DataFrame, // (idCol, "tok") token rows
       idCol: String,
       segments: Int): DataFrame = {
     require(segments >= 1 && segments <= 4, "one md5 digest = 128 bits max")
-    val hashed = tok.select(col(idCol) +: (0 until segments).map(k =>
-      conv(substring(md5(col("tok")), 8 * k + 1, 8), 16, 10)
-        .cast("long").as(s"_h$k")): _*)
+    val counted = tok.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("_cnt"))
+    val hashed = counted.select(col(idCol) +: col("_cnt") +:
+      (0 until segments).map(k =>
+        conv(substring(md5(col("tok")), 8 * k + 1, 8), 16, 10)
+          .cast("long").as(s"_h$k")): _*)
     val bitSums = for (k <- 0 until segments; b <- 0 until 32) yield
-      sum(when(expr(s"((_h$k >> $b) & 1) = 1"), 1).otherwise(-1)).as(s"_k${k}b$b")
+      sum(when(expr(s"((_h$k >> $b) & 1) = 1"), col("_cnt"))
+        .otherwise(-col("_cnt"))).as(s"_k${k}b$b")
     hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol) +: (0 until segments).map { k =>
         (0 until 32).map(b => when(col(s"_k${k}b$b") > 0, lit(1L << b)).otherwise(lit(0L)))

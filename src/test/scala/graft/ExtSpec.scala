@@ -67,6 +67,27 @@ class ExtSpec extends SparkSpec {
     assert(run("dd04_simhash").count() > 0)
   }
 
+  test("wordShingleRows: doc-length skew guard refuses a giant document in-flight") {
+    // one pathological document would serialize the whole lead-window
+    // shingle pass into a single task; the guard must fail the job with
+    // a message naming the chunking remedy, without an extra corpus pass
+    spark.conf.set("graft.ext.maxDocTokens", "5")
+    try {
+      val e = intercept[Exception] {
+        TextOps.wordShingleRows(
+          Tables.table(spark, sfDir, "documents"), "doc_id", "text", 3).count()
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+      val m = msgs(e)
+      assert(m.contains("maxDocTokens") && m.contains("dd09"),
+        s"guard message should name the conf and the chunking remedy: $m")
+    } finally spark.conf.unset("graft.ext.maxDocTokens")
+    // with the default ceiling the pass runs
+    assert(TextOps.wordShingleRows(
+      Tables.table(spark, sfDir, "documents"), "doc_id", "text", 3).count() > 0)
+  }
+
   test("dd07 wide simhash: pigeonhole bucketing is LOSSLESS vs brute force") {
     val tok = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
