@@ -125,6 +125,89 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ss03b fixed-centroid IVF: same plan shape as ss03 but the coarse
+  // quantizer is a DETERMINISTIC function of (bucket, dim) — dyadic-
+  // rational centroids derived from a hash mix, not a KMeans fit — so
+  // the whole query is value-oracle-able in DuckDB (ss02's precedent).
+  // Assignment uses the Euclidean-nearest form for unit vectors,
+  // argmax(v·c − ‖c‖²/2), with ‖c‖² computed IN-ENGINE from the same
+  // exact literals on both sides (identical left-to-right IEEE dots).
+  private[ext] val IvfCentroids = 16
+  private[ext] val IvfProbes = 4
+
+  /** 16-bit numerator of centroid component (c, i); the component is
+    * `bits/65536 − 1/2` — exact in both engines. Distinct mix constants
+    * from `planeBits` so IVF buckets don't correlate with ss02 tables. */
+  private[ext] def centroidBits(c: Int, i: Int): Int = {
+    var h = (c.toLong * 2246822519L) ^ (i.toLong * 3266489917L)
+    h ^= (h >>> 15); h *= 0x2545f4914f6cdd1dL; h ^= (h >>> 29)
+    (h & 0xffffL).toInt
+  }
+
+  private[ext] def centroidVal(c: Int, i: Int): Double =
+    centroidBits(c, i).toDouble / 65536.0 - 0.5
+
+  private[ext] def centroidCol(c: Int): Column =
+    array((0 until Dim).map(i => lit(centroidVal(c, i))): _*)
+
+  /** Per-vector array of all `IvfCentroids` assignment scores
+    * v·c − ‖c‖²/2, materialized as one projected column so downstream
+    * explodes read it as a bound reference (no Generate re-evaluation
+    * of the 16×64 dot products — the ss02 lesson). */
+  private[ext] def ivfScoreCol: Column = {
+    import graft.functions.VectorOps
+    array((0 until IvfCentroids).map { c =>
+      VectorOps.dot(col("v"), centroidCol(c)) -
+        VectorOps.dot(centroidCol(c), centroidCol(c)) / 2.0
+    }: _*)
+  }
+
+  /** DuckDB value oracle for ss03b — centroids emitted as the same
+    * dyadic rationals, assignment via list_position(cd, list_max(cd)),
+    * probe ranking (score DESC, bucket ASC) mirroring TopKByScore. */
+  private[ext] def ss03bOracleSql: String = {
+    def centLit(c: Int): String =
+      (0 until Dim).map(i => s"${centroidBits(c, i)}.0/65536.0 - 0.5")
+        .mkString("[", ", ", "]")
+    val cdList = (0 until IvfCentroids).map { c =>
+      s"list_dot_product(nv, ${centLit(c)}) - " +
+        s"list_dot_product(${centLit(c)}, ${centLit(c)})/2"
+    }.mkString("[", ", ", "]")
+    val probeUnion = (0 until IvfCentroids).map(c =>
+      s"SELECT vec_id AS q_id, nv AS qv, $c AS bucket, cd[${c + 1}] AS s " +
+        "FROM cd WHERE vec_id < 10")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+       |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    END AS nv
+       |  FROM e),
+       |cd AS (SELECT vec_id, nv, $cdList AS cd FROM n),
+       |a AS (SELECT vec_id, nv,
+       |    list_position(cd, list_max(cd)) - 1 AS bucket FROM cd),
+       |pq AS ($probeUnion),
+       |probes AS (
+       |  SELECT q_id, qv, bucket FROM (
+       |    SELECT q_id, qv, bucket,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, bucket) AS pr
+       |    FROM pq) WHERE pr <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |    list_dot_product(p.qv, a.nv) AS cos
+       |  FROM probes p JOIN a ON a.bucket = p.bucket AND a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+       |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rk <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Pre-normalized vectors: pair scoring becomes one codegen'd dot. */
   private[ext] def embeddings(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorOps.register(s)
@@ -266,6 +349,39 @@ object SimilarityQueries {
               graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
       },
       None),
+
+    CatalogQuery(
+      "ss03b_ann_ivf_fixed",
+      "IVF ANN with a fixed deterministic coarse quantizer: 16 hash-derived dyadic-rational centroids, queries probe 4 nearest by Euclidean form, exact re-rank inside - ss03's value-oracled twin",
+      (s, dir) => {
+        graft.functions.VectorOps.register(s)
+        val e = embeddings(s, dir)
+        // one projection materializes all 16 assignment scores; every
+        // downstream use (argmax assignment, probe explode) reads the
+        // bound column, so the 16×64-lit dots run once per vector
+        val scored = e.select(col("vec_id"), col("v"), ivfScoreCol.as("cd"))
+        val assigned = scored.select(col("vec_id"), col("v"),
+          (array_position(col("cd"), array_max(col("cd"))) - 1).as("bucket"))
+        // probe selection: 10 queries × 16 buckets → bounded top-4 agg,
+        // same (score DESC, id ASC) order as TopKByScore everywhere
+        val probeTopk = udaf(new TopKByScore(IvfProbes))
+        val probes = broadcast(scored.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            posexplode(col("cd")).as(Seq("bucket", "s")))
+          .groupBy(col("q_id"), col("qv"))
+          .agg(probeTopk(col("s"), col("bucket").cast("long")).as("pb"))
+          .select(col("q_id"), col("qv"), explode(col("pb.items.id")).as("bucket")))
+        topNeighbors(
+          probes.join(assigned, Seq("bucket"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
+      },
+      // Full value oracle: every centroid component is a dyadic rational
+      // rendered exactly in SQL; centroid norms are computed in-engine
+      // from the same literals; assignment, probe ranking and final
+      // ranking all mirror the Spark plan's arithmetic and tiebreaks.
+      Some(ss03bOracleSql)),
 
     CatalogQuery(
       "ss04_ann_filtered",
