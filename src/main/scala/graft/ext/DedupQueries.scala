@@ -86,7 +86,12 @@ object DedupQueries {
         .localCheckpoint(true)
       var converged = false
       var iters = 0
+      // dev-only per-round forensics (rounds vs time-per-round — the
+      // two candidate costs of an iterative CC at scale); inert unless
+      // SPARK_GRAFT_CC_LOG is set, which bench/verify never set
+      val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
       while (!converged && iters < 25) {
+        val t0 = if (ccLog) System.nanoTime() else 0L
         val cand = edges.join(labels, edges("src") === labels("v"))
           .groupBy(col("dst")).agg(min(col("lbl")).as("cand"))
         // carry (old, new) through one join so the convergence count
@@ -99,6 +104,8 @@ object DedupQueries {
         labels = merged.select(col("v"), col("lbl"))
         converged = changed == 0
         iters += 1
+        if (ccLog) println(f"[cc:$what] round $iters%2d: $changed%8d changed, " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }
       require(converged,
         s"$what label propagation did not converge within $iters rounds")

@@ -11,20 +11,72 @@ import graft.sources.Tables
   *
   * The Spark-side shape is the real thing — binary column + metadata
   * struct, `mapPartitions` batch processing with a case-class schema,
-  * partition-count preserved — while the codec itself is a STUB
-  * (`FakeCodec.decodeFeatures`): the container ships no image/audio
-  * libraries, so decode is a deterministic byte-histogram stand-in.
-  * Swapping in a real JNI/FFM decoder changes one function.
+  * partition-count preserved — and the codec (`MediaCodec`) now does a
+  * REAL image decode for the formats the JDK ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio`, pure JVM, no native deps):
+  * image payloads yield an 8-bucket luminance histogram over decoded
+  * pixels. Non-image payloads (the synthetic fixtures are UTF-8 text
+  * bytes, which never carry an image magic number) fall back to the
+  * deterministic byte histogram, which is what the DuckDB value oracle
+  * reproduces. Audio/video decode would slot into the same sniff →
+  * decode → fixed-width-features shape.
   */
 object MultimodalQueries {
 
-  /** Deterministic stand-in for an image/audio decoder. Real decode
-    * (JPEG→pixels, PCM→frames) would plug in here. */
-  object FakeCodec {
+  /** Per-partition media decoder. Format is sniffed from magic bytes so
+    * a mixed corpus (images + opaque blobs) takes the right path per
+    * row without a schema-level format column. */
+  object MediaCodec {
     val FeatureDim = 8
-    /** "Decode" = 8-bucket byte histogram — deterministic, shaped like
-      * a feature extractor (bytes in → fixed-width vector out). */
-    def decodeFeatures(payload: Array[Byte]): Array[Long] = {
+
+    private def isPng(p: Array[Byte]) = p.length >= 8 &&
+      (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+    private def isJpeg(p: Array[Byte]) = p.length >= 3 &&
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff
+    private def isGif(p: Array[Byte]) = p.length >= 6 &&
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+    private def isBmp(p: Array[Byte]) = p.length >= 14 &&
+      p(0) == 'B' && p(1) == 'M'
+    private def isImage(p: Array[Byte]) =
+      isPng(p) || isJpeg(p) || isGif(p) || isBmp(p)
+
+    /** Real decode for JDK-supported image formats: 8-bucket LUMINANCE
+      * histogram over decoded pixels (ITU-R BT.601 integer luma,
+      * bucket = luma >> 5). A corrupt image payload (magic matches,
+      * body doesn't decode) falls back to the byte histogram rather
+      * than failing the partition — at 100 TB some blobs WILL be
+      * truncated, and a poison row must not kill the stage. */
+    def decodeFeatures(payload: Array[Byte]): Array[Long] =
+      if (isImage(payload)) decodeImage(payload).getOrElse(byteHistogram(payload))
+      else byteHistogram(payload)
+
+    private[graft] def decodeImage(payload: Array[Byte]): Option[Array[Long]] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val h = new Array[Long](FeatureDim)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val luma = (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              h(luma >>> 5) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(h)
+        }
+      } catch { case _: java.io.IOException => None }
+
+    /** Non-image fallback: 8-bucket byte histogram (bucket = byte >> 5)
+      * — deterministic and DuckDB-reproducible, the oracle surface for
+      * the text-byte fixtures. */
+    private[graft] def byteHistogram(payload: Array[Byte]): Array[Long] = {
       val h = new Array[Long](FeatureDim)
       var i = 0
       while (i < payload.length) {
@@ -38,6 +90,21 @@ object MultimodalQueries {
   case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
   case class FeatureRow(doc_id: Long, width: Int, height: Int, n_bytes: Long,
       features: Array[Long])
+
+  /** The mm01 extraction stage, factored so specs can push REAL image
+    * payloads through the identical distributed path the catalog query
+    * uses (mapPartitions batch shape: one codec context per partition,
+    * not per row). */
+  def extractFeatures(media: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val f = MediaCodec.decodeFeatures(r.payload)
+        FeatureRow(r.doc_id, r.width, r.height, r.payload.length.toLong, f)
+      }
+    }
+  }
 
   /** Synthesize a media table from documents: payload = UTF-8 bytes
     * (stand-in for image bytes), metadata derived deterministically.
@@ -66,17 +133,11 @@ object MultimodalQueries {
 
     CatalogQuery(
       "mm01_media_features",
-      "Binary media column + metadata struct → per-partition batch feature extraction (stubbed codec)",
+      "Binary media column + metadata struct → per-partition batch feature extraction (magic-sniffing codec: real javax.imageio decode for PNG/BMP/GIF/JPEG payloads, byte histogram for opaque blobs)",
       (s, dir) => {
         import s.implicits._
         val media = mediaTable(s, dir).as[MediaRow]
-        media.mapPartitions { rows =>
-          // batch-shaped: one codec context per partition, not per row
-          rows.map { r =>
-            val f = FakeCodec.decodeFeatures(r.payload)
-            FeatureRow(r.doc_id, r.width, r.height, r.payload.length.toLong, f)
-          }
-        }.toDF()
+        extractFeatures(media).toDF()
           .select(col("doc_id"), col("width").cast("long").as("width"),
             col("height").cast("long").as("height"), col("n_bytes"),
             aggregate(col("features"), lit(0L), (a, x) => a + x).as("feature_mass"),
@@ -84,10 +145,12 @@ object MultimodalQueries {
           .orderBy(col("doc_id"))
       },
       // Value oracle: the payload is the ASCII text's UTF-8 bytes (the
-      // fixture is pinned ASCII-only in ExtSpec, so byte == char), the
-      // codec stub is an 8-bucket byte histogram (bucket = code >> 5),
-      // and the metadata dims are md5-derived — all reproducible in
-      // DuckDB exactly.
+      // fixture is pinned ASCII-only in ExtSpec, so byte == char), text
+      // payloads take the codec's non-image path — an 8-bucket byte
+      // histogram (bucket = code >> 5) — and the metadata dims are
+      // md5-derived — all reproducible in DuckDB exactly. (Image
+      // payloads would take the real-decode path, exercised in ExtSpec
+      // with a generated PNG; the fixture has none by construction.)
       // the len(text)=0 guard matters: split('', '') is [''] in DuckDB
       // (ascii('')=0 → a phantom count in bucket 0) while a 0-byte Spark
       // payload histograms to all zeros

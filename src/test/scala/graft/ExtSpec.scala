@@ -272,6 +272,27 @@ class ExtSpec extends SparkSpec {
     assert(mismatched == 0)
   }
 
+  test("ss03b fixed-centroid IVF: real recall floor vs exact top-5, scores exact") {
+    val exact = run("ss01_ann_bruteforce").select("q_id", "neighbor_id")
+    val approx = run("ss03b_ann_ivf_fixed").cache()
+    val counts = approx.groupBy("q_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) <= 5L))
+    // probing 4 of 16 deterministic buckets must recover a real
+    // fraction of the exact neighbors (measured 0.72 on the fixture)
+    val nExact = exact.count()
+    val overlap = exact.join(approx.select("q_id", "neighbor_id"),
+      Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(overlap.toDouble / nExact >= 0.4,
+      s"IVF recall collapsed: $overlap/$nExact < 0.4")
+    // re-rank inside probed buckets is exact → scores match ss01's
+    val mismatched = approx
+      .join(run("ss01_ann_bruteforce").select(col("q_id"),
+          col("neighbor_id"), col("cos_e6").as("exact_cos")),
+        Seq("q_id", "neighbor_id"))
+      .filter(col("cos_e6") =!= col("exact_cos")).count()
+    assert(mismatched == 0)
+  }
+
   test("LSH auto-tuner: recall-viable and no costlier than the hand-tuned config") {
     val rows = TextOps.wordShingleRows(
       Tables.table(spark, sfDir, "documents"), "doc_id", "text", 3)
@@ -606,6 +627,39 @@ class ExtSpec extends SparkSpec {
     val bad = run("mm01_media_features")
       .filter(col("feature_mass") =!= col("n_bytes")).count()
     assert(bad == 0)
+  }
+
+  test("MediaCodec decodes real PNG payloads to luminance histograms " +
+      "through the mm01 pipeline; text bytes keep the oracle path") {
+    import graft.ext.MultimodalQueries.{MediaCodec, MediaRow}
+    // 2×2 PNG with known pixels: black (luma 0 → bucket 0),
+    // white (255 → 7), pure red (76 → 2), pure green (149 → 4)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x00ff00)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    val expected = Seq(1L, 0L, 1L, 0L, 1L, 0L, 0L, 1L)
+    assert(MediaCodec.decodeFeatures(png).toSeq == expected)
+    // the same payload through the distributed mm01 extraction stage
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(1L, png, 2, 2),
+      MediaRow(2L, "plain text payload".getBytes("UTF-8"), 0, 0)).toDS()
+    val rows = graft.ext.MultimodalQueries.extractFeatures(ds)
+      .collect().sortBy(_.doc_id)
+    assert(rows(0).features.toSeq == expected)
+    assert(rows(0).n_bytes == png.length.toLong)
+    // non-image payloads still take the byte-histogram oracle path
+    assert(rows(1).features.toSeq ==
+      MediaCodec.byteHistogram("plain text payload".getBytes("UTF-8")).toSeq)
+    assert(rows(1).features.sum == rows(1).n_bytes)
+    // a truncated image (magic intact, body gone) must fall back, not throw
+    val corrupt = png.take(12)
+    assert(MediaCodec.decodeFeatures(corrupt).toSeq ==
+      MediaCodec.byteHistogram(corrupt).toSeq)
   }
 
   test("ArrayDivide propagates null elements (nullable path) and divides exactly") {
