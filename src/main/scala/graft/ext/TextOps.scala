@@ -107,12 +107,18 @@ object TextOps {
     *      explode to (id, band, bucket)
     *   4. self-equi-join on (band, bucket) with id< ordering → pairs
     *
-    * Oversized buckets (degenerate content, e.g. empty docs) are
-    * capped at `maxBucketSize` — the standard guard that keeps a
-    * skewed bucket from producing O(bucket²) candidates at scale.
+    * Buckets up to `maxBucketSize` emit all-pairs candidates.
+    * OVERSIZED buckets (boilerplate mega-clusters, degenerate
+    * content) are NOT dropped: they emit REP-CHAIN candidates —
+    * (min id in bucket, member) for every member — O(bucket) pairs
+    * instead of O(bucket²), so a 10%-of-corpus near-dup cluster
+    * still collapses to one component through its representative
+    * while the quadratic regime stays impossible at any skew.
     * Candidates must still be verified with an exact measure
-    * (`jaccardJoin`), so the cap costs recall only on pathological
-    * buckets.
+    * (`jaccardJoin`), so chaining affects recall/cost, never
+    * precision; a mixed oversized bucket only links members the
+    * verifier confirms against the representative (other bands give
+    * the rest their chances).
     */
   def lshCandidates(
       docs: DataFrame,
@@ -194,19 +200,24 @@ object TextOps {
       .select(col(idCol), explode(array(bandStructs: _*)).as("_bb"))
       .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
 
-    val sized = buckets
-      .join(
-        buckets.groupBy(col("band"), col("bucket")).count()
-          .filter(col("count") <= maxBucketSize)
-          .select(col("band"), col("bucket")),
-        Seq("band", "bucket"))
+    // one aggregation yields both the size gate and the representative;
+    // the join back is co-partitioned on the same (band, bucket) key
+    val stats = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_rep"))
+    val tagged = buckets.join(stats, Seq("band", "bucket"))
 
-    sized.as("x")
-      .join(sized.as("y"),
+    val small = tagged.filter(col("_n") <= maxBucketSize)
+    val allPairs = small.as("x")
+      .join(small.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
-      .distinct()
+    // oversized: star around the bucket minimum — rep < member always,
+    // so the (a_id < b_id) pair orientation is preserved
+    val chained = tagged.filter(col("_n") > maxBucketSize &&
+        col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("a_id"), col(idCol).as("b_id"))
+    allPairs.union(chained).distinct()
   }
 
   /** SimHash near-dup machinery: `segments`×32-bit signatures,
@@ -393,13 +404,18 @@ object TextOps {
        |  ('0x' || substr(md5(el), 1, 8))::BIGINT & 2147483647 AS h FROM sh),
        |mh AS (SELECT doc_id, $mhs FROM h GROUP BY doc_id),
        |bk AS ($bands),
-       |ok AS (SELECT band, bucket FROM bk GROUP BY band, bucket
-       |       HAVING count(*) <= $maxBucketSize),
-       |szd AS (SELECT bk.* FROM bk JOIN ok USING (band, bucket)),
-       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |ct AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+       |       FROM bk GROUP BY band, bucket),
+       |szd AS (SELECT bk.*, ct.n, ct.rep FROM bk JOIN ct USING (band, bucket)),
+       |cand AS (SELECT DISTINCT a_id, b_id FROM (
+       |         SELECT x.doc_id AS a_id, y.doc_id AS b_id
        |         FROM szd x JOIN szd y
        |           ON x.band = y.band AND x.bucket = y.bucket
-       |             AND x.doc_id < y.doc_id),
+       |             AND x.doc_id < y.doc_id
+       |         WHERE x.n <= $maxBucketSize
+       |         UNION ALL
+       |         SELECT rep, doc_id FROM szd
+       |         WHERE n > $maxBucketSize AND doc_id <> rep)),
        |dsh AS (SELECT DISTINCT doc_id, el FROM sh),
        |sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
        |iv AS (SELECT c.a_id, c.b_id, count(*) AS inter

@@ -169,6 +169,31 @@ class ExtSpec extends SparkSpec {
     assert(got.filter(_._3 == 1L).map(_._1).toSet == Set(10L, 20L, 30L))
   }
 
+  test("LSH mega-buckets rep-chain instead of dropping: cluster beyond the cap still collapses") {
+    // 30 identical docs with bucket cap 5: every band bucket holds all
+    // 30 (> cap), so the old drop-the-bucket behavior emitted ZERO
+    // candidates and silently lost the cluster; rep-chaining emits the
+    // 29 (min, member) pairs — linear, not the 435 all-pairs — and
+    // exact verification confirms them (identical sets, Jaccard 1)
+    val dir = java.nio.file.Files.createTempDirectory("lsh-megabucket").toString
+    val cluster = (0L until 30L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val fillers = (100L until 120L).map(i =>
+      (i, (0 until 10).map(j => s"f${i}w$j").mkString(" ")))
+    import spark.implicits._
+    (cluster ++ fillers).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.wordShingleRows(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3)
+    val pairs = TextOps.lshNearDupPairs(rows, "doc_id",
+        numHashes = 36, rowsPerBand = 6, maxBucketSize = 5,
+        threshNum = 8, threshDen = 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == (1L until 30L).map(m => (0L, m)).toSet,
+      s"expected the 29 rep-chain pairs, got ${pairs.length}: " +
+        pairs.sorted.take(40).mkString(", "))
+  }
+
   test("ss05 quantized ANN: high recall vs exact top-5, codes within int8 range") {
     // int8 of a normalized 64-dim vector loses ~1e-2 per dot; top-5
     // overlap measured 0.98 at sf0.001/sf0.01 — 0.85 floor leaves room
