@@ -81,9 +81,14 @@ object SkewStress {
     gen(s"$base/uniform", skewed = false)
     gen(s"$base/skewed", skewed = true)
 
-    def time(name: String, dir: String): (Double, Long, Boolean) = {
-      val df: DataFrame = graft.SparkEntry.queries(name)(spark, dir)
+    // The timer wraps CONSTRUCTION + count: dd10's iterative CC runs
+    // its convergence actions while the DataFrame is being built, so
+    // timing only the final count would miss nearly all its work.
+    // Best-of-2 reps so JIT warmup doesn't penalize whichever corpus
+    // runs first.
+    def timeOnce(name: String, dir: String): (Double, Long, Boolean) = {
       val t0 = System.nanoTime()
+      val df: DataFrame = graft.SparkEntry.queries(name)(spark, dir)
       val rows = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       // AQE finalizes the adaptive plan after the action; skew-split
@@ -93,6 +98,10 @@ object SkewStress {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       (dt, rows, skewSplit)
+    }
+    def time(name: String, dir: String): (Double, Long, Boolean) = {
+      val a = timeOnce(name, dir); val b = timeOnce(name, dir)
+      (math.min(a._1, b._1), b._2, a._3 || b._3)
     }
 
     Seq("dd10_dedup_clusters_lsh", "tx10_tfidf_terms").foreach { q =>
