@@ -13,7 +13,7 @@ import graft.sources.Tables
   * Design for 100 TB: every variant is candidate-generation (hash
   * bucketing, O(n) shuffle) followed by exact verification on candidate
   * pairs only — never an O(n²) cross join (the one brute-force variant,
-  * dd06, is the small-side baseline; its scale path is ss02's LSH
+  * dd06, is the small-side baseline; its scale path is dd12's LSH
   * bucketing). Thresholds compare in integer arithmetic so results are
   * reproducible under any partitioning.
   */
@@ -35,13 +35,13 @@ object DedupQueries {
         VectorOps.normalize(col("embedding").cast("array<double>")).as("nv"))
     // guard: this baseline is quadratic BY DESIGN; refuse corpora
     // where the pair count would blow up instead of silently
-    // burning a cluster (the scale path is ss02's LSH bucketing)
+    // burning a cluster (the scale path is dd12's LSH bucketing)
     val cap = s.conf.getOption("graft.ext.allPairsMaxRows")
       .map(_.toLong).getOrElse(200000L)
     val n = e.count()
     require(n <= cap,
       s"dd06_embedding_neardup is the O(n²) exact baseline: corpus has " +
-        s"$n rows > cap $cap. Use ss02 (LSH) at scale, or raise " +
+        s"$n rows > cap $cap. Use dd12 (LSH bucketing) at scale, or raise " +
         "spark.conf graft.ext.allPairsMaxRows to override.")
     // the cosine test lives INSIDE the join condition: the
     // nested-loop join then evaluates it on the in-flight row pair
@@ -234,7 +234,7 @@ object DedupQueries {
 
     CatalogQuery(
       "dd06_embedding_neardup",
-      "Embedding-cosine near-dup pairs (cosine ≥ 0.4), brute-force baseline; ss02 is the LSH scale path",
+      "Embedding-cosine near-dup pairs (cosine ≥ 0.4), brute-force baseline; dd12 is the LSH scale path",
       (s, dir) => embeddingNearDupPairs(s, dir).orderBy(col("a_id"), col("b_id")),
       // value-level DuckDB oracle: both engines normalize as
       // x / sqrt(dot(v,v)) and dot left-to-right in DOUBLE, so the
@@ -435,5 +435,12 @@ object DedupQueries {
              |       END AS BIGINT) AS dup_of
              |FROM b LEFT JOIN h USING (chash) LEFT JOIN bm USING (chash)
              |ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "dd12_embedding_neardup_lsh",
+      "Embedding near-dup pairs via hyperplane-LSH bucketing + exact-cosine verify - dd06's linear scale path (bits/table grow with log2(n); oversized buckets rep-chain)",
+      (s, dir) => SimilarityQueries.neardupLshPairs(s, dir)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(SimilarityQueries.dd12OracleSql)),
   )
 }

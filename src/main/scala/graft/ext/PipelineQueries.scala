@@ -227,5 +227,45 @@ object PipelineQueries {
              |  FROM pk JOIN t ON t.bucket = pk.bucket AND t.idx = pk.idx + 1)
              |SELECT doc_id, bucket, n_tok, CAST(bin AS BIGINT) AS bin
              |FROM pk ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "dp06_epoch_shuffle",
+      "Deterministic per-epoch corpus shuffle: md5-keyed shard assignment + sort-within-shard position (no global sort; shards are the parallelism unit)",
+      (s, dir) => {
+        // A training run needs a GLOBAL reshuffle of the corpus each
+        // epoch, reproducible across restarts and partitionings. The
+        // scale-correct shape is hash-range sharding: the shuffle key
+        // is a pure function md5("epoch1:" + doc_id) (no RNG state),
+        // the shard is its top byte's range, and the within-shard
+        // position is a window partitioned BY SHARD — so each shard
+        // sorts independently (one reducer per shard, shard count
+        // scales with the cluster) and there is never a global
+        // single-partition sort. Epoch 2 just changes the salt; old
+        // epochs are reproducible forever.
+        val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
+        val shard = pmod(
+          conv(substring(h, 1, 2), 16, 10).cast("int"), lit(8))
+        docs(s, dir)
+          .select(col("doc_id"), h.as("h"), shard.as("shard"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+          .select(col("shard").cast("long").as("shard"), col("pos"),
+            col("doc_id"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, h,
+             |    ('0x' || substr(h, 1, 2))::BIGINT % 8 AS shard
+             |  FROM a)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+             |    AS BIGINT) AS pos,
+             |  doc_id
+             |FROM b ORDER BY shard, pos""".stripMargin)),
   )
 }

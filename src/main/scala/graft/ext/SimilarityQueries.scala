@@ -53,8 +53,13 @@ object SimilarityQueries {
   private[ext] def planeVal(j: Int, i: Int): Double =
     planeBits(j, i).toDouble / 65536.0 - 0.5
 
+  /** One array LITERAL per plane (typedLit), not array(64 × lit): the
+    * single-Literal form keeps the expression tree 64× smaller, and at
+    * fixture scale the analyzer/optimizer/codegen pass over these trees
+    * — not execution — dominates wall time (measured: dd12's 64 planes
+    * as CreateArray trees cost ~3.5 s of pure planning on 500 rows). */
   private[ext] def planeCol(j: Int): Column =
-    array((0 until Dim).map(i => lit(planeVal(j, i))): _*)
+    typedLit((0 until Dim).map(i => planeVal(j, i)).toArray)
 
   /** Table-t LSH signature: bit j = sign(v · plane_{t·b+j}). */
   private[ext] def tableSig(v: Column, t: Int): Column =
@@ -148,7 +153,7 @@ object SimilarityQueries {
     centroidBits(c, i).toDouble / 65536.0 - 0.5
 
   private[ext] def centroidCol(c: Int): Column =
-    array((0 until Dim).map(i => lit(centroidVal(c, i))): _*)
+    typedLit((0 until Dim).map(i => centroidVal(c, i)).toArray)
 
   /** Per-vector array of all `IvfCentroids` assignment scores
     * v·c − ‖c‖²/2, materialized as one projected column so downstream
@@ -206,6 +211,123 @@ object SimilarityQueries {
        |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
        |FROM ranked WHERE rk <= $K
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // dd12 near-dup LSH geometry. Unlike the ANN tables above (few bits,
+  // many candidates — fine when only |Q| query vectors probe), ALL-PAIRS
+  // near-dup generation must keep the candidate volume ~linear: random
+  // pairs collide in some table at rate ≈ L/2^b of all n²/2 pairs, so
+  // the bits-per-table b is the knob that must grow with log2(n). The
+  // catalog entry uses b=8, L=8 for the ~500-vector fixture (random-pair
+  // rate ≈ 3%); at 1B vectors the same plan shape with b ≈ 28 keeps
+  // expected bucket size ~4 while near-identical vectors (cos ≥ 0.95,
+  // P[bit agrees] ≈ 0.9) still collide with useful probability in at
+  // least one of the L tables. Degenerate buckets (many identical
+  // embeddings) are bounded by the cap + rep-chain guard regardless of
+  // geometry — O(bucket) candidates through the bucket minimum, the
+  // exact-cosine verify gating every pair (TextOps.lshCandidates'
+  // semantics, re-used here for vectors).
+  private[ext] val NdBits = 8
+  private[ext] val NdTables = 8
+  private[ext] val NdPlaneBase = 1000 // decouple from ss02's planes 0..47
+  private[ext] val NdMaxBucket = 64
+  private[ext] val NdThreshold = 0.4
+
+  /** Table-t near-dup signature: b sign bits of dots against planes
+    * `NdPlaneBase + t·b + j` — same dyadic-rational plane family as
+    * ss02, so the DuckDB oracle re-derives identical signatures. */
+  private[ext] def ndSig(v: Column, t: Int): Column =
+    (0 until NdBits).map { j =>
+      val dot = graft.functions.VectorOps.dot(
+        v, planeCol(NdPlaneBase + t * NdBits + j))
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (vec_id, t, sig) index rows for dd12 — the stacked-union shape
+    * (ss02's Generate-re-evaluation lesson), carrying only the id so
+    * the candidate machinery never shuffles the 64-double vectors. */
+  private[ext] def ndSigRows(e: DataFrame): DataFrame = {
+    val flat = e.select(col("vec_id") +:
+      (0 until NdTables).map(t => ndSig(col("v"), t).as(s"_s$t")): _*)
+    (0 until NdTables).map(t => flat.select(col("vec_id"),
+        lit(t).as("t"), col(s"_s$t").as("sig")))
+      .reduce(_ union _)
+  }
+
+  /** dd12: LSH-bucketed embedding near-dup pairs — dd06's scale path.
+    * Candidates from shared (table, signature) buckets (all-pairs in
+    * small buckets, rep-chain through the bucket minimum in oversized
+    * ones), then exact-cosine verification on candidates only; output
+    * shape matches dd06's (a_id, b_id, cos_e6). */
+  private[ext] def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("v"))
+    val sigs = ndSigRows(e)
+    // one aggregation yields the size gate and the representative; the
+    // join back is co-partitioned on the same (t, sig) key
+    val stats = sigs.groupBy(col("t"), col("sig"))
+      .agg(count(lit(1)).as("_n"), min(col("vec_id")).as("_rep"))
+    val tagged = sigs.join(stats, Seq("t", "sig"))
+    val small = tagged.filter(col("_n") <= NdMaxBucket)
+    val allPairs = small.as("x").join(small.as("y"),
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+    // oversized: star around the bucket minimum — rep < member always,
+    // so the (a_id < b_id) orientation is preserved
+    val chained = tagged.filter(col("_n") > NdMaxBucket &&
+        col("vec_id") =!= col("_rep"))
+      .select(col("_rep").as("a_id"), col("vec_id").as("b_id"))
+    val cand = allPairs.union(chained).distinct()
+    val cos = graft.functions.VectorOps.dot(col("_va"), col("_vb"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("_va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("_vb")), "b_id")
+      .filter(cos >= NdThreshold)
+      .select(col("a_id"), col("b_id"),
+        round(cos * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** DuckDB value oracle for dd12, generated from the same plane
+    * constants, bucket cap and rep-chain union as the Spark plan. */
+  private[ext] def dd12OracleSql: String = {
+    def planeLit(j: Int): String =
+      (0 until Dim).map(i => s"${planeBits(j, i)}.0/65536.0 - 0.5")
+        .mkString("[", ", ", "]")
+    def sigSql(t: Int): String =
+      (0 until NdBits).map { j =>
+        s"CASE WHEN list_dot_product(nv, ${planeLit(NdPlaneBase + t * NdBits + j)}) >= 0 " +
+          s"THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val sigUnion = (0 until NdTables).map(t =>
+      s"SELECT vec_id, $t AS t, ${sigSql(t)} AS sig FROM n")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+       |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    END AS nv
+       |  FROM e),
+       |sigs AS ($sigUnion),
+       |ct AS (SELECT t, sig, count(*) AS bn, min(vec_id) AS rep
+       |       FROM sigs GROUP BY t, sig),
+       |szd AS (SELECT sigs.*, ct.bn, ct.rep FROM sigs JOIN ct USING (t, sig)),
+       |cand AS (SELECT DISTINCT a_id, b_id FROM (
+       |         SELECT x.vec_id AS a_id, y.vec_id AS b_id
+       |         FROM szd x JOIN szd y
+       |           ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id
+       |         WHERE x.bn <= $NdMaxBucket
+       |         UNION ALL
+       |         SELECT rep, vec_id FROM szd
+       |         WHERE bn > $NdMaxBucket AND vec_id <> rep)),
+       |v AS (SELECT c.a_id, c.b_id, list_dot_product(a.nv, b.nv) AS cos
+       |      FROM cand c
+       |      JOIN n a ON a.vec_id = c.a_id
+       |      JOIN n b ON b.vec_id = c.b_id)
+       |SELECT a_id, b_id, CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+       |FROM v WHERE cos >= $NdThreshold
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** Pre-normalized vectors: pair scoring becomes one codegen'd dot. */

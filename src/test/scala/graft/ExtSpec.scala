@@ -194,6 +194,81 @@ class ExtSpec extends SparkSpec {
         pairs.sorted.take(40).mkString(", "))
   }
 
+  test("dd12 LSH near-dup: planted high-cosine pairs recovered with exact cosines") {
+    // 50 planted near-identical pairs (shared base, one component
+    // nudged 0.02 per member -> cos ≈ 0.9999; P[plane bit agrees]
+    // ≈ 0.996, so each 8-bit table matches w.p. ~0.97 and missing all
+    // 8 tables is ~1e-12) among 300 random fillers. The fixture corpus
+    // has no cos ≥ 0.95 pairs, so recall is proven on this planted one.
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    def randVec(): Array[Float] =
+      Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+    for (c <- 0 until 50) {
+      val base = randVec()
+      for (m <- 0 to 1) {
+        val v = base.clone(); v(m) = v(m) + 0.02f
+        rows += (((2 * c + m).toLong, v, c))
+      }
+    }
+    for (i <- 100 until 400) rows += ((i.toLong, randVec(), -1))
+    val dir = java.nio.file.Files.createTempDirectory("dd12-planted").toString
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("dd12_embedding_neardup_lsh")(spark, dir)
+      .collect()
+    val vecs = rows.map { case (id, v, _) =>
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      id -> d.map(_ / n)
+    }.toMap
+    def cos(a: Long, b: Long): Double =
+      vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+    // precision: every emitted pair independently recomputes to the
+    // same cosine (±1 in the e6 fixed-point for fold-order drift) and
+    // sits above the threshold
+    got.foreach { r =>
+      val c = cos(r.getLong(0), r.getLong(1))
+      assert(c >= 0.4 - 1e-9 &&
+        math.abs(r.getLong(2) - math.round(c * 1e6)) <= 1,
+        s"pair ${r.getLong(0)},${r.getLong(1)}: got ${r.getLong(2)} vs $c")
+    }
+    // recall on the planted near-identical pairs
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 50).map(c => (2L * c, 2L * c + 1))
+      .filter { case (a, b) => cos(a, b) >= 0.95 }
+    assert(planted.nonEmpty)
+    val hit = planted.count(gotPairs)
+    assert(hit.toDouble / planted.size >= 0.9,
+      s"dd12 recall $hit/${planted.size} below 0.9")
+  }
+
+  test("dd12 mega-bucket rep-chains: identical-vector cluster beyond the cap") {
+    // 100 identical vectors: every (table, sig) bucket holds all 100
+    // (> cap 64), so all-pairs would be 4950 — rep-chaining must emit
+    // exactly the 99 (min, member) pairs, every cosine exactly 1.
+    // The 5 basis-vector fillers are mutually orthogonal (cos 0) and
+    // at cos 0.125 to the cluster, so any bucket coincidence with them
+    // is filtered by the exact-cosine verify.
+    import spark.implicits._
+    val dim = 64
+    val one = Array.fill(dim)(0.125f)
+    val rows = (0 until 100).map(i => (i.toLong, one, 0)) ++
+      (0 until 5).map(i => ((100 + i).toLong,
+        Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("dd12-megabucket").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("dd12_embedding_neardup_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 99, s"expected 99 rep-chain pairs, got ${got.length}")
+    assert(got.forall(t => t._1 == 0L && t._3 == 1000000L),
+      s"bad pair rows: ${got.filterNot(t => t._1 == 0L && t._3 == 1000000L).take(5).toSeq}")
+    assert(got.map(_._2).toSet == (1L to 99L).toSet)
+  }
+
   test("ss05 quantized ANN: high recall vs exact top-5, codes within int8 range") {
     // int8 of a normalized 64-dim vector loses ~1e-2 per dot; top-5
     // overlap measured 0.98 at sf0.001/sf0.01 — 0.85 floor leaves room
