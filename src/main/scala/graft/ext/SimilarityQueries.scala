@@ -254,13 +254,11 @@ object SimilarityQueries {
       .reduce(_ union _)
   }
 
-  /** dd12: LSH-bucketed embedding near-dup pairs — dd06's scale path.
-    * Candidates from shared (table, signature) buckets (all-pairs in
-    * small buckets, rep-chain through the bucket minimum in oversized
-    * ones), then exact-cosine verification on candidates only; output
-    * shape matches dd06's (a_id, b_id, cos_e6). */
-  private[ext] def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).select(col("vec_id"), col("v"))
+  /** LSH candidate pairs (a_id < b_id, distinct) from shared (table,
+    * signature) buckets — all-pairs in small buckets, rep-chain through
+    * the bucket minimum in oversized ones. Shared by dd12 (near-dup
+    * pairs) and ss06 (kNN graph). */
+  private[ext] def ndCandidates(e: DataFrame): DataFrame = {
     val sigs = ndSigRows(e)
     // one aggregation yields the size gate and the representative; the
     // join back is co-partitioned on the same (t, sig) key
@@ -277,19 +275,61 @@ object SimilarityQueries {
     val chained = tagged.filter(col("_n") > NdMaxBucket &&
         col("vec_id") =!= col("_rep"))
       .select(col("_rep").as("a_id"), col("vec_id").as("b_id"))
-    val cand = allPairs.union(chained).distinct()
+    allPairs.union(chained).distinct()
+  }
+
+  /** Exact-cosine scores for candidate (a_id, b_id) pairs: two
+    * id-keyed joins pull the normalized vectors, one codegen dot. */
+  private[ext] def scoreCandidates(cand: DataFrame, e: DataFrame): DataFrame = {
     val cos = graft.functions.VectorOps.dot(col("_va"), col("_vb"))
     cand
       .join(e.select(col("vec_id").as("a_id"), col("v").as("_va")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("v").as("_vb")), "b_id")
-      .filter(cos >= NdThreshold)
-      .select(col("a_id"), col("b_id"),
-        round(cos * 1e6).cast("long").as("cos_e6"))
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
   }
 
-  /** DuckDB value oracle for dd12, generated from the same plane
-    * constants, bucket cap and rep-chain union as the Spark plan. */
-  private[ext] def dd12OracleSql: String = {
+  /** dd12: LSH-bucketed embedding near-dup pairs — dd06's scale path.
+    * Candidates from shared (table, signature) buckets, then
+    * exact-cosine verification on candidates only; output shape
+    * matches dd06's (a_id, b_id, cos_e6). */
+  private[ext] def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("v"))
+    scoreCandidates(ndCandidates(e), e)
+      .filter(col("cos") >= NdThreshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** ss06: approximate kNN graph over the WHOLE corpus — the
+    * SemDeDup / semantic-clustering primitive. dd12's linear candidate
+    * generation, symmetrized (each undirected candidate pair feeds both
+    * endpoints' neighbor lists), exact-cosine scored, then per-source
+    * top-k through the bounded `TopKByScore` aggregation — map-side
+    * partials keep ≤ k rows per node per task, so no window ever sorts
+    * the full edge stream. Nodes whose buckets contained no other
+    * vector simply have no row — at corpus scale LSH isolation, not
+    * output completeness, is the right contract for a kNN graph. */
+  private[ext] val KnnK = 5
+  private[ext] def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("v"))
+    val cand = ndCandidates(e)
+    val edges = cand.union(
+      cand.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    topNeighbors(
+      scoreCandidates(edges, e)
+        .select(col("a_id").as("q_id"), col("b_id").as("vec_id"),
+          col("cos")),
+      KnnK)
+      .select(col("q_id").as("src_id"), col("rank"),
+        col("neighbor_id"), col("cos_e6"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
+  /** Shared DuckDB CTE chain (`e`/`n`/`sigs`/`ct`/`szd`/`cand`) that
+    * re-derives `ndCandidates` from the same plane constants, bucket
+    * cap and rep-chain union as the Spark plan — dd12 and ss06 append
+    * their own scoring tail. */
+  private[ext] def ndCandSqlCtes: String = {
     def planeLit(j: Int): String =
       (0 until Dim).map(i => s"${planeBits(j, i)}.0/65536.0 - 0.5")
         .mkString("[", ", ", "]")
@@ -320,7 +360,12 @@ object SimilarityQueries {
        |         WHERE x.bn <= $NdMaxBucket
        |         UNION ALL
        |         SELECT rep, vec_id FROM szd
-       |         WHERE bn > $NdMaxBucket AND vec_id <> rep)),
+       |         WHERE bn > $NdMaxBucket AND vec_id <> rep))""".stripMargin
+  }
+
+  /** DuckDB value oracle for dd12. */
+  private[ext] def dd12OracleSql: String =
+    s"""$ndCandSqlCtes,
        |v AS (SELECT c.a_id, c.b_id, list_dot_product(a.nv, b.nv) AS cos
        |      FROM cand c
        |      JOIN n a ON a.vec_id = c.a_id
@@ -328,7 +373,28 @@ object SimilarityQueries {
        |SELECT a_id, b_id, CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
        |FROM v WHERE cos >= $NdThreshold
        |ORDER BY a_id, b_id""".stripMargin
-  }
+
+  /** DuckDB value oracle for ss06 — the same candidate CTEs,
+    * symmetrized, with a (cos DESC, neighbor ASC) row_number mirroring
+    * TopKByScore's `beats` ordering. */
+  private[ext] def ss06OracleSql: String =
+    s"""$ndCandSqlCtes,
+       |ed AS (SELECT a_id, b_id FROM cand
+       |       UNION ALL SELECT b_id, a_id FROM cand),
+       |v AS (SELECT c.a_id AS src_id, c.b_id AS neighbor_id,
+       |        list_dot_product(a.nv, b.nv) AS cos
+       |      FROM ed c
+       |      JOIN n a ON a.vec_id = c.a_id
+       |      JOIN n b ON b.vec_id = c.b_id),
+       |ranked AS (
+       |  SELECT src_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM v)
+       |SELECT src_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+       |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rk <= $KnnK
+       |ORDER BY src_id, rank""".stripMargin
 
   /** Pre-normalized vectors: pair scoring becomes one codegen'd dot. */
   private[ext] def embeddings(s: SparkSession, dir: String): DataFrame = {
@@ -618,5 +684,11 @@ object SimilarityQueries {
              |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
              |FROM ranked WHERE rk <= 5
              |ORDER BY q_id, rank""".stripMargin)),
+
+    CatalogQuery(
+      "ss06_knn_graph",
+      "Approximate kNN graph over the whole corpus (SemDeDup primitive): LSH candidates symmetrized, exact-cosine scored, bounded top-5 per node - no window over the edge stream",
+      (s, dir) => knnGraph(s, dir),
+      Some(ss06OracleSql)),
   )
 }

@@ -96,6 +96,23 @@ object TextOps {
         .as("_i"), col(textCol))
       .select(col(idCol), col(textCol).substr(col("_i"), lit(n)).as("_el"))
 
+  /** (id, chunk_pos, chunk_text) rows: non-overlapping `n`-token
+    * chunks (dd09's paragraph stand-in over newline-free synthetic
+    * text). The chunk loop is transform(sequence(...)) over the token
+    * array — row generation, no UDF. The explicit empty-array guard
+    * matters: Spark's sequence(0, -1) steps DOWN, yielding two bogus
+    * chunks, not zero. */
+  def tokenChunkRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("arr"))
+      .select(col(idCol), posexplode(expr(
+        "CASE WHEN size(arr) > 0 THEN " +
+          s"transform(sequence(0, cast(ceil(size(arr) / $n.0) as int) - 1)," +
+          s" i -> concat_ws(' ', slice(arr, i * $n + 1, $n))) " +
+          "ELSE CAST(array() AS array<string>) END")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_pos"),
+        col("col").as("chunk_text"))
+
   /** MinHash-LSH candidate pairs.
     *
     * Pipeline (all distributed, one shuffle per stage):

@@ -28,6 +28,28 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  // tx13 hashed linear model: D feature buckets, one integer weight per
+  // bucket in [-32768, 32767]. The mix is arbitrary (it stands in for
+  // trained parameters); only the EMITTED literals matter — the same
+  // array is compiled into the Spark plan (one typedLit, element_at)
+  // and the DuckDB oracle (one list literal), so the two engines cannot
+  // drift. Integer weights keep the per-doc score an exact LONG sum:
+  // fold order is irrelevant, which is what makes a floating "model
+  // score" value-oracle-able at all.
+  private[ext] val QsD = 256
+  private[ext] val qsWeights: Array[Long] = Array.tabulate(QsD) { f =>
+    var z = f.toLong * 0x9e3779b97f4a7c15L + 0x7177a17L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) & 0xffffL) - 32768L
+  }
+  private[ext] def qsWeightsSqlList: String =
+    qsWeights.mkString("[", ", ", "]")
+
+  /** tx14 boilerplate threshold: a chunk present in ≥ this many
+    * DISTINCT documents is boilerplate (fixture: 4 such chunks). */
+  private[ext] val BoilerDf = 3
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -494,5 +516,108 @@ object TextQueries {
              |SELECT token, exact_count FROM c, tot
              |WHERE exact_count * 29 > n
              |ORDER BY exact_count DESC, token""".stripMargin)),
+
+    CatalogQuery(
+      "tx13_model_quality_filter",
+      "Model-based quality filter: hashed bag-of-words linear scorer (fastText-style) - feature = md5 mod D, integer weights, exact LONG sum per doc",
+      (s, dir) => {
+        // The model-scored sibling of tx02's heuristics: a linear
+        // classifier over a hashed bag-of-words, the shape of a
+        // fastText/logreg quality filter applied to a 100 TB corpus.
+        // The "trained" weight table is deterministic (QsWeights, an
+        // integer per feature bucket emitted into BOTH engines), so
+        // scoring is: explode tokens → feature = md5-segment mod D →
+        // weight via element_at on one array literal (pure codegen, no
+        // join) → per-doc LONG sum + count in ONE aggregation (map-side
+        // combine; the shuffle carries one partial row per doc per
+        // task). The sum stays integer until the final mean, so fold
+        // order can never change the score — engine-portable by
+        // construction. keep = positive raw score.
+        val f = (conv(substring(md5(col("_tok")), 1, 8), 16, 10)
+          .cast("long") % QsD).cast("int")
+        val w = element_at(typedLit(qsWeights), f + 1)
+        docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("_tok"))
+          .select(col("doc_id"), w.as("_w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("_w")).as("w_sum"))
+          .select(col("doc_id"), col("n_tok"), col("w_sum"),
+            round(col("w_sum").cast("double") / col("n_tok").cast("double")
+              / 65536.0 * 1e6).cast("long").as("score_e6"),
+            when(col("w_sum") > 0, 1L).otherwise(0L).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              |  FROM documents),
+              |wt AS (
+              |  SELECT doc_id,
+              |    ${qsWeightsSqlList}[
+              |      (('0x' || substr(md5(tok), 1, 8))::BIGINT % $QsD) + 1] AS w
+              |  FROM tok),
+              |agg AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              |    CAST(sum(w) AS BIGINT) AS w_sum
+              |  FROM wt GROUP BY doc_id)
+              |SELECT doc_id, n_tok, w_sum,
+              |  CAST(round(w_sum::DOUBLE / n_tok::DOUBLE / 65536.0 * 1000000.0)
+              |    AS BIGINT) AS score_e6,
+              |  CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx14_boilerplate_removal",
+      "Cross-document boilerplate removal (C4-style): chunks appearing in >= 3 distinct docs dropped, docs reassembled from kept chunks in order",
+      (s, dir) => {
+        // dd09 keeps the FIRST copy of a duplicated chunk; real web
+        // cleaning drops EVERY copy of high-document-frequency
+        // boilerplate (headers, footers, nav text) and stitches the
+        // document back together. Document frequency is a two-level
+        // aggregation — (chunk, doc) dedup then chunk count — so both
+        // stages partial-aggregate map-side and a million-copy chunk
+        // arrives at its reducer pre-folded (never a countDistinct over
+        // a skewed raw stream). The boilerplate set joins back on
+        // chunk_text (the same key the frequency shuffle used; AQE
+        // splits any residual skew), and per-doc reassembly sorts only
+        // each document's own chunks.
+        val chunks = TextOps.tokenChunkRows(docs(s, dir), "doc_id", "text", 20)
+        val boiler = chunks.select(col("chunk_text"), col("doc_id")).distinct()
+          .groupBy(col("chunk_text")).agg(count(lit(1)).as("_dfreq"))
+          .filter(col("_dfreq") >= BoilerDf)
+          .select(col("chunk_text"), lit(1).as("_bp"))
+        chunks.join(boiler, Seq("chunk_text"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("_bp").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+            array_join(expr(
+              "transform(array_sort(collect_list(CASE WHEN _bp IS NULL THEN " +
+                "struct(chunk_pos, chunk_text) END)), x -> x.chunk_text)"),
+              " ").as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              |  FROM documents),
+              |ch AS (
+              |  SELECT doc_id, u.p AS chunk_pos, u.t AS chunk_text
+              |  FROM (
+              |    SELECT doc_id,
+              |      unnest(list_transform(range(0, CAST(ceil(len(arr) / 20.0) AS BIGINT)),
+              |        i -> {'p': i, 't': array_to_string(arr[i*20+1 : i*20+20], ' ')})) AS u
+              |    FROM tok)),
+              |df AS (
+              |  SELECT chunk_text, count(*) AS dfreq
+              |  FROM (SELECT DISTINCT chunk_text, doc_id FROM ch)
+              |  GROUP BY chunk_text),
+              |fl AS (
+              |  SELECT ch.*, (df.dfreq >= $BoilerDf) AS bp
+              |  FROM ch JOIN df USING (chunk_text))
+              |SELECT doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_chunks,
+              |  CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              |  coalesce(string_agg(CASE WHEN NOT bp THEN chunk_text END,
+              |    ' ' ORDER BY chunk_pos), '') AS clean_text
+              |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

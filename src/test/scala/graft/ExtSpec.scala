@@ -269,6 +269,87 @@ class ExtSpec extends SparkSpec {
     assert(got.map(_._2).toSet == (1L to 99L).toSet)
   }
 
+  test("ss06 kNN graph: planted clusters dominate each member's neighbor list") {
+    // 10 clusters of 4 near-identical vectors (one component nudged
+    // per member) among 200 random fillers: each member's 3
+    // clustermates have cos ≈ 1 and must occupy its top-3 neighbor
+    // slots whenever the member appears in the graph at all.
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def randVec(): Array[Float] =
+      Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+    for (c <- 0 until 10; m <- 0 until 4) {
+      val base = new scala.util.Random(1000 + c)
+      val v = Array.fill(dim)((base.nextDouble() - 0.5).toFloat)
+      v(m) = v(m) + 0.02f
+      rows += (((4 * c + m).toLong, v, c))
+    }
+    for (i <- 100 until 300) rows += ((i.toLong, randVec(), -1))
+    val dir = java.nio.file.Files.createTempDirectory("ss06-planted").toString
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("ss06_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySrc = got.groupBy(_._1)
+    // structural sanity: ranks are 1..k dense, neighbors distinct
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"ranks not dense for $src: ${rs.toSeq.sortBy(_._2)}")
+      assert(rs.map(_._3).distinct.length == rs.length,
+        s"duplicate neighbors for $src")
+    }
+    // every cluster member that appears lists its 3 clustermates first
+    // (cos ≈ 0.9996+ beats any random filler's, whp ~0.5 max)
+    var covered = 0
+    for (c <- 0 until 10; m <- 0 until 4) {
+      val id = (4 * c + m).toLong
+      val mates = (0 until 4).map(j => (4 * c + j).toLong).filter(_ != id).toSet
+      bySrc.get(id).foreach { rs =>
+        covered += 1
+        val top3 = rs.sortBy(_._2).take(3).map(_._3).toSet
+        assert(top3 == mates,
+          s"member $id top-3 $top3 != clustermates $mates")
+      }
+    }
+    assert(covered >= 36, s"only $covered/40 cluster members in the graph")
+  }
+
+  test("tx14 boilerplate removal: planted repeated chunk stripped from every doc") {
+    // 6 docs share one identical 20-token header chunk (doc freq 6 >=
+    // 3) followed by 20 unique tokens; 4 docs are fully unique. The
+    // header must vanish from ALL docs (not keep-first), unique chunks
+    // survive, and clean_text reassembles in chunk order.
+    import spark.implicits._
+    val header = (0 until 20).map(i => s"nav$i").mkString(" ")
+    val withBp = (0L until 6L).map { d =>
+      val body = (0 until 20).map(i => s"d${d}w$i").mkString(" ")
+      (d, s"$header $body")
+    }
+    val clean = (10L until 14L).map { d =>
+      (d, (0 until 40).map(i => s"u${d}w$i").mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("tx14-planted").toString
+    (withBp ++ clean).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("tx14_boilerplate_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    for (d <- 0L until 6L) {
+      val (n, rem, txt) = got(d)
+      assert(n == 2 && rem == 1, s"doc $d: n_chunks=$n n_removed=$rem")
+      assert(txt == (0 until 20).map(i => s"d${d}w$i").mkString(" "),
+        s"doc $d clean_text wrong: $txt")
+    }
+    for (d <- 10L until 14L) {
+      val (n, rem, txt) = got(d)
+      assert(n == 2 && rem == 0 &&
+        txt == (0 until 40).map(i => s"u${d}w$i").mkString(" "),
+        s"doc $d should be untouched: $n $rem $txt")
+    }
+  }
+
   test("ss05 quantized ANN: high recall vs exact top-5, codes within int8 range") {
     // int8 of a normalized 64-dim vector loses ~1e-2 per dot; top-5
     // overlap measured 0.98 at sf0.001/sf0.01 — 0.85 floor leaves room
