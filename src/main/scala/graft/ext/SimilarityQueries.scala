@@ -710,7 +710,7 @@ object SimilarityQueries {
         val e = embeddings(s, dir).select(col("vec_id"), col("v"))
         val qv = broadcast(e.filter(col("vec_id") === 0)
           .select(col("v").as("_qv")))
-        cand.join(e, col("doc_id") === col("vec_id"))
+        broadcast(cand).join(e, col("doc_id") === col("vec_id"))
           .crossJoin(qv)
           .select(col("doc_id"), col("bm25_e6"),
             round(graft.functions.VectorOps.dot(col("v"), col("_qv")) * 1e6)

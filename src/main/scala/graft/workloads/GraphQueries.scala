@@ -139,5 +139,59 @@ object GraphQueries {
              |FROM (SELECT l_partkey FROM lineitem WHERE l_partkey <= 100) a
              |JOIN (SELECT l_partkey FROM lineitem WHERE l_partkey <= 100) b
              |  ON a.l_partkey = b.l_partkey""".stripMargin)),
+
+    CatalogQuery(
+      "g07_pagerank",
+      "Link-graph quality signal: 5-iteration PageRank in exact integer fixed-point (rank_e6; Common-Crawl-style URL weighting)",
+      (s, dir) => {
+        // Web curation weights pages by link-graph centrality before
+        // sampling. Floating PageRank sums are fold-order-dependent, so
+        // this runs ENTIRELY in e6 fixed-point: per-edge contribution is
+        // `p div outdeg` (integer division, identical loss both
+        // engines), the damping update is (85 · Σ) div 100 — every
+        // intermediate < 2^62, so DuckDB mirrors it exactly with 5
+        // chained CTEs. Per iteration: one edge⋈rank join co-partitioned
+        // on src + one O(V) aggregate — the standard iterative shape;
+        // the unrolled 5-deep plan needs no checkpoint (fixed depth,
+        // linear lineage). Dangling-node mass decays by design (quality
+        // signal, not a distribution).
+        val e = edges(s, dir)
+        val outd = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("tgt").as("node"))).distinct()
+        var p = nodes.select(col("node"), lit(1000000L).as("p"))
+        for (_ <- 1 to 5) {
+          val contrib = e
+            .join(p, col("src") === col("node")).drop("node")
+            .join(outd, Seq("src"))
+            .select(col("tgt"), expr("p div _d").as("_c"))
+            .groupBy(col("tgt")).agg(sum(col("_c")).as("_c"))
+          p = nodes.join(contrib, col("node") === col("tgt"), "left")
+            .select(col("node"),
+              (lit(150000L) + expr("(85 * coalesce(_c, 0L)) div 100")).as("p"))
+        }
+        p.select(col("node"), col("p").as("rank_e6"))
+          .orderBy(col("rank_e6").desc, col("node"))
+      },
+      Some {
+        val iter = (k: Int) =>
+          s"""p$k AS (
+             |  SELECT n.node,
+             |    150000 + (85 * CAST(coalesce(s.c, 0) AS BIGINT)) // 100 AS p
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.tgt AS node, CAST(sum(p.p // d.d) AS BIGINT) AS c
+             |    FROM edges e
+             |    JOIN p${k - 1} p ON p.node = e.src
+             |    JOIN outd d ON d.src = e.src
+             |    GROUP BY e.tgt) s USING (node))"""
+        s"""WITH $edgesSql,
+           |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges
+           |          UNION SELECT DISTINCT tgt FROM edges),
+           |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT node, CAST(p AS BIGINT) AS rank_e6
+           |FROM p5 ORDER BY rank_e6 DESC, node""".stripMargin
+      }),
   )
 }

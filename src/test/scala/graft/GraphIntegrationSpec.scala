@@ -42,4 +42,20 @@ class GraphIntegrationSpec extends SparkSpec {
       col("a.src") === col("b.src") && col("a.tgt") =!= col("b.tgt")).count()
     assert(GraphPatterns.wedgeCount(edges) == naiveWedge)
   }
+
+  test("g07 pagerank: damping floor, decaying total mass, deterministic") {
+    val run = () => SparkEntry.queries("g07_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = run()
+    assert(got.nonEmpty)
+    // every node keeps at least the damping floor 0.15
+    assert(got.forall(_._2 >= 150000L), s"below damping floor: " +
+      got.filter(_._2 < 150000L).take(5).toSeq)
+    // dangling-node leakage only DECAYS total mass (never creates it)
+    val n = got.length.toLong
+    assert(got.map(_._2).sum <= n * 1000000L,
+      "total rank mass exceeds the initial distribution")
+    // integer fixed-point arithmetic: bitwise reproducible run-to-run
+    assert(run().toSeq == got.toSeq, "g07 not deterministic")
+  }
 }

@@ -301,6 +301,52 @@ class PlanSpec extends SparkSpec {
       s"top-10 planned as a full sort:\n$plan")
   }
 
+  test("dp07: per-source cap is a bounded aggregation, not a window sort") {
+    val plan = planOf(run("dp07_source_cap"))
+    assert(!plan.contains("RunningWindowFunction") &&
+      !plan.toLowerCase.contains("window"),
+      s"window crept into the per-source cap:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"bounded top-k aggregation missing:\n$plan")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"), s"cap scan reads text: $readSchema")
+  }
+
+  test("ss06: kNN graph ranks via bounded aggregation — no window over the edge stream") {
+    val plan = planOf(run("ss06_knn_graph"))
+    assert(!plan.contains("RunningWindowFunction") &&
+      !plan.toLowerCase.contains("window"),
+      s"window sort over the kNN edge stream:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"bounded top-k aggregation missing:\n$plan")
+  }
+
+  test("ss07: candidate set and query vector broadcast; final top-10 bounded") {
+    val plan = planOf(run("ss07_hybrid_search"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"50-row candidate set not broadcast into the embedding join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k planned as a full sort:\n$plan")
+  }
+
+  test("tx13: hashed linear scorer is scan -> explode -> one partial-agg shuffle, no join") {
+    val plan = planOf(run("tx13_model_quality_filter"))
+    assert(!plan.contains("Join"), s"weight lookup must be element_at, not a join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no map-side partial aggregation:\n$plan")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unpruned documents scan: $readSchema")
+  }
+
+  test("tx14: boilerplate doc-frequency pre-folds map-side (partial aggregation)") {
+    val plan = planOf(run("tx14_boilerplate_removal"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"doc-frequency not partial-aggregated:\n$plan")
+    assert(!plan.toLowerCase.contains("window"),
+      s"window crept into boilerplate removal:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
