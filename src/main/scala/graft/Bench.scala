@@ -75,8 +75,11 @@ object Bench {
       sentinelTimes.size == sentinelQueries.size
     val sentinel = if (sentinelApplies) sentinelTimes.map(_._2).sum else -1.0
     val degraded = sentinelApplies && sentinel > 1.5 * sentinelFloor
+    // sentinel_ratio lets a consumer normalize mechanically (divide any
+    // absolute seconds by it) instead of re-deriving sentinel/floor.
+    val sentinelRatio = if (sentinelApplies) sentinel / sentinelFloor else -1.0
     val sentinelJson =
-      s""""sentinel":${r3(sentinel)},"sentinel_floor":${r3(sentinelFloor)},"degraded":$degraded"""
+      s""""sentinel":${r3(sentinel)},"sentinel_floor":${r3(sentinelFloor)},"sentinel_ratio":${r3(sentinelRatio)},"degraded":$degraded"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,$sentinelJson,"sf":"$sfDir"}""")
     // The harness that captures this output keeps only the LAST ~2000
     // characters of stdout, and the full per-query line above is ~4x

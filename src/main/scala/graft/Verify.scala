@@ -4,6 +4,29 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run one query to `outDir/<name>` parquet. A thrown query must
+    * leave an explicit `<name>._error` record, not a silent hole: in r8
+    * eleven queries vanished from the driver's correctness JSON because
+    * the only trace of the throw was stderr, costing a full diagnosis
+    * cycle to tell "broken" from "never existed". Returns success.
+    */
+  private[graft] def runOne(spark: SparkSession, sfDir: String,
+      outDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      Files.deleteIfExists(Paths.get(s"$outDir/$name._error")) // stale
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try Files.writeString(Paths.get(s"$outDir/$name._error"),
+        s"${e.getClass.getName}: ${e.getMessage}\n")
+      catch { case _: Throwable => () }
+      false
+    }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [nameSubstring...] — the optional filters are
     // a dev convenience for re-verifying a few queries; the driver always
@@ -21,13 +44,7 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       filters.isEmpty || filters.exists(name.contains)
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    selected.foreach { case (name, fn) => runOne(spark, sfDir, outDir, name, fn) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

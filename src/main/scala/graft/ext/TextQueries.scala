@@ -630,5 +630,93 @@ object TextQueries {
               |  coalesce(string_agg(CASE WHEN NOT bp THEN chunk_text END,
               |    ' ' ORDER BY chunk_pos), '') AS clean_text
               |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx15_contamination_report",
+      "Per-source contamination × cap report: eval-overlap rate per source, and how many contaminated docs survive the dp07 per-source cap",
+      (s, dir) => {
+        // Composition op — the question a curation run actually asks:
+        // which sources are contaminated by the eval set (tx08's
+        // broadcast shingle join), and does the per-source cap sample
+        // (dp07's deterministic winners) dodge them? Scale shape: eval
+        // shingles broadcast (eval benchmarks are KBs); contaminated
+        // ids are distinct-aggregated BEFORE any join; the kept set
+        // comes from the bounded TopKByScore (≤ cap rows per source
+        // per map task — never a window over the corpus); all joins
+        // are on doc_id/source with id-only payloads. One text scan
+        // for shingles + one narrow (doc_id, source) scan.
+        val d = docs(s, dir)
+        val corpus = d.filter(col("doc_id") >= 20)
+        val ev = TextOps
+          .wordShingleRows(d.filter(col("doc_id") < 20), "doc_id", "text", 4)
+          .select(col("_el")).distinct()
+        val contam = TextOps
+          .wordShingleRows(corpus, "doc_id", "text", 4)
+          .join(broadcast(ev), "_el")
+          .select(col("doc_id")).distinct()
+        val pr = conv(substring(md5(concat(lit("cap:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        val topk = udaf(new graft.functions.Aggregators.TopKByScore(10))
+        val kept = corpus
+          .select(col("source"), col("doc_id"), pr.as("_pr"))
+          .groupBy(col("source"))
+          .agg(topk((-col("_pr")).cast("double"), col("doc_id")).as("top"))
+          .select(col("source"), explode(col("top.items")).as("kv"))
+          .select(col("source"), col("kv.id").as("doc_id"))
+        val totals = corpus.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val contamBySrc = corpus.select("doc_id", "source")
+          .join(contam, "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_contam"))
+        val keptContam = kept.join(contam, "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept_contam"))
+        totals
+          .join(contamBySrc, Seq("source"), "left")
+          .join(keptContam, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+            least(col("n_docs"), lit(10L)).as("n_kept"),
+            coalesce(col("n_kept_contam"), lit(0L)).as("n_kept_contam"))
+          .withColumn("contam_rate_e6",
+            expr("n_contam * 1000000 div n_docs"))
+          .select("source", "n_docs", "n_contam", "contam_rate_e6",
+            "n_kept", "n_kept_contam")
+          .orderBy(col("source"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(CASE
+             |    WHEN len(regexp_split_to_array(trim(text), '\s+')) < 4
+             |      THEN [trim(text)]
+             |    ELSE list_transform(
+             |      range(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+             |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+3], ' '))
+             |    END) AS el
+             |  FROM documents),
+             |ev AS (SELECT DISTINCT el FROM sh WHERE doc_id < 20),
+             |contam AS (
+             |  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (el)
+             |  WHERE s.doc_id >= 20),
+             |corpus AS (SELECT doc_id, source FROM documents WHERE doc_id >= 20),
+             |kept AS (
+             |  SELECT source, doc_id FROM (
+             |    SELECT source, doc_id,
+             |      row_number() OVER (PARTITION BY source ORDER BY
+             |        ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+             |        doc_id) AS rk
+             |    FROM corpus) WHERE rk <= 10),
+             |tot AS (SELECT source, count(*) AS n_docs FROM corpus GROUP BY source),
+             |cs AS (SELECT source, count(*) AS n_contam
+             |       FROM corpus JOIN contam USING (doc_id) GROUP BY source),
+             |kc AS (SELECT source, count(*) AS n_kept_contam
+             |       FROM kept JOIN contam USING (doc_id) GROUP BY source)
+             |SELECT t.source,
+             |  CAST(t.n_docs AS BIGINT) AS n_docs,
+             |  CAST(coalesce(cs.n_contam, 0) AS BIGINT) AS n_contam,
+             |  CAST(coalesce(cs.n_contam, 0) * 1000000 // t.n_docs AS BIGINT)
+             |    AS contam_rate_e6,
+             |  CAST(least(t.n_docs, 10) AS BIGINT) AS n_kept,
+             |  CAST(coalesce(kc.n_kept_contam, 0) AS BIGINT) AS n_kept_contam
+             |FROM tot t LEFT JOIN cs USING (source) LEFT JOIN kc USING (source)
+             |ORDER BY t.source""".stripMargin)),
   )
 }

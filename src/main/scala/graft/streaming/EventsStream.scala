@@ -15,19 +15,14 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Schema of events.parquet with ts read as raw nanos (see
-    * graft.sources.Tables.events for the TIMESTAMP(NANOS) issue). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming source over the events parquet (file-stream source —
     * in production this would be Kafka/kinesis; the transform stack is
-    * identical). */
+    * identical). A file stream needs an explicit schema, and the
+    * fixture's physical `ts` type has changed across driver
+    * generations (TIMESTAMP(NANOS)→read-as-long vs TIMESTAMP_MICROS
+    * NTZ), so probe the footer with a batch read first and build the
+    * stream schema + normalization from what's actually on disk — the
+    * same adaptive contract as graft.sources.Tables.adapt. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource requires a directory; the fixture is a single
@@ -40,10 +35,25 @@ object EventsStream {
         java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
         d
       }
-    spark.readStream
+    // footer-only probe: what did THIS fixture generation store ts as?
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val stream = spark.readStream
       .schema(rawSchema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => stream
+      case _ => stream.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling-window counts with a watermark bounding state

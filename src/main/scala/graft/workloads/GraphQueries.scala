@@ -46,6 +46,58 @@ object GraphQueries {
     e.groupBy(col("src")).agg(count(lit(1)).as("outd")),
     e.groupBy(col("tgt")).agg(count(lit(1)).as("ind")))
 
+  /** 5-iteration PageRank in exact e6 integer fixed-point, shared by
+    * g07 (full ranking = verification surface) and g07b (bounded
+    * top-100 = the 100 TB-shaped output). Per-edge contribution is
+    * `p div outdeg` (integer division, identical loss both engines),
+    * damping update (85 · Σ) div 100 — every intermediate < 2^62, so
+    * DuckDB mirrors it exactly with 5 chained CTEs. Per iteration: one
+    * edge⋈rank join co-partitioned on src + one O(V) aggregate — the
+    * standard iterative shape; the unrolled 5-deep plan needs no
+    * checkpoint (fixed depth, linear lineage). Dangling-node mass
+    * decays by design (quality signal, not a distribution). Returns
+    * (node, rank_e6) UNSORTED — each caller decides its output shape.
+    */
+  private def pagerankE6(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("tgt").as("node"))).distinct()
+    var p = nodes.select(col("node"), lit(1000000L).as("p"))
+    for (_ <- 1 to 5) {
+      val contrib = e
+        .join(p, col("src") === col("node")).drop("node")
+        .join(outd, Seq("src"))
+        .select(col("tgt"), expr("p div _d").as("_c"))
+        .groupBy(col("tgt")).agg(sum(col("_c")).as("_c"))
+      p = nodes.join(contrib, col("node") === col("tgt"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(_c, 0L)) div 100")).as("p"))
+    }
+    p.select(col("node"), col("p").as("rank_e6"))
+  }
+
+  /** The WITH-clause CTE chain (edges … p5) mirroring [[pagerankE6]]
+    * for the DuckDB oracle; callers append their own final SELECT. */
+  private val pagerankSqlCtes: String = {
+    val iter = (k: Int) =>
+      s"""p$k AS (
+         |  SELECT n.node,
+         |    150000 + (85 * CAST(coalesce(s.c, 0) AS BIGINT)) // 100 AS p
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.tgt AS node, CAST(sum(p.p // d.d) AS BIGINT) AS c
+         |    FROM edges e
+         |    JOIN p${k - 1} p ON p.node = e.src
+         |    JOIN outd d ON d.src = e.src
+         |    GROUP BY e.tgt) s USING (node))"""
+    s"""$edgesSql,
+       |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT tgt FROM edges),
+       |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -143,55 +195,41 @@ object GraphQueries {
     CatalogQuery(
       "g07_pagerank",
       "Link-graph quality signal: 5-iteration PageRank in exact integer fixed-point (rank_e6; Common-Crawl-style URL weighting)",
+      // Full ranking over every node — the VERIFICATION surface: the
+      // trailing global sort is deliberate (total order makes the
+      // DuckDB value-compare exact); a 100 TB deployment uses g07b.
+      (s, dir) => pagerankE6(s, dir)
+        .orderBy(col("rank_e6").desc, col("node")),
+      Some(s"""WITH $pagerankSqlCtes
+              |SELECT node, CAST(p AS BIGINT) AS rank_e6
+              |FROM p5 ORDER BY rank_e6 DESC, node""".stripMargin)),
+
+    CatalogQuery(
+      "g07b_pagerank_top100",
+      "PageRank top-100 via bounded top-k aggregation — the 100 TB-shaped twin of g07 (no global sort of all nodes)",
       (s, dir) => {
-        // Web curation weights pages by link-graph centrality before
-        // sampling. Floating PageRank sums are fold-order-dependent, so
-        // this runs ENTIRELY in e6 fixed-point: per-edge contribution is
-        // `p div outdeg` (integer division, identical loss both
-        // engines), the damping update is (85 · Σ) div 100 — every
-        // intermediate < 2^62, so DuckDB mirrors it exactly with 5
-        // chained CTEs. Per iteration: one edge⋈rank join co-partitioned
-        // on src + one O(V) aggregate — the standard iterative shape;
-        // the unrolled 5-deep plan needs no checkpoint (fixed depth,
-        // linear lineage). Dangling-node mass decays by design (quality
-        // signal, not a distribution).
-        val e = edges(s, dir)
-        val outd = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
-        val nodes = e.select(col("src").as("node"))
-          .union(e.select(col("tgt").as("node"))).distinct()
-        var p = nodes.select(col("node"), lit(1000000L).as("p"))
-        for (_ <- 1 to 5) {
-          val contrib = e
-            .join(p, col("src") === col("node")).drop("node")
-            .join(outd, Seq("src"))
-            .select(col("tgt"), expr("p div _d").as("_c"))
-            .groupBy(col("tgt")).agg(sum(col("_c")).as("_c"))
-          p = nodes.join(contrib, col("node") === col("tgt"), "left")
-            .select(col("node"),
-              (lit(150000L) + expr("(85 * coalesce(_c, 0L)) div 100")).as("p"))
-        }
-        p.select(col("node"), col("p").as("rank_e6"))
-          .orderBy(col("rank_e6").desc, col("node"))
+        // Same fixed-point core; the output stage replaces g07's full
+        // global sort with the bounded TopKByScore aggregation: each
+        // map task pre-folds its nodes to ≤100 candidates, one reducer
+        // merges ≤100·tasks rows — O(V) scanned, O(k) shuffled,
+        // regardless of graph size. rank_e6 < 2^53 here (node space
+        // folded mod 2003, mass ≤ V·1e6), so the double score is exact;
+        // ties break by node asc, mirroring the oracle's row_number.
+        val topk = udaf(new graft.functions.Aggregators.TopKByScore(100))
+        pagerankE6(s, dir)
+          .agg(topk(col("rank_e6").cast("double"), col("node")).as("top"))
+          .select(posexplode(col("top.items")))
+          .select((col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("node"),
+            col("col.score").cast("long").as("rank_e6"))
+          .orderBy(col("rank"))
       },
-      Some {
-        val iter = (k: Int) =>
-          s"""p$k AS (
-             |  SELECT n.node,
-             |    150000 + (85 * CAST(coalesce(s.c, 0) AS BIGINT)) // 100 AS p
-             |  FROM nodes n LEFT JOIN (
-             |    SELECT e.tgt AS node, CAST(sum(p.p // d.d) AS BIGINT) AS c
-             |    FROM edges e
-             |    JOIN p${k - 1} p ON p.node = e.src
-             |    JOIN outd d ON d.src = e.src
-             |    GROUP BY e.tgt) s USING (node))"""
-        s"""WITH $edgesSql,
-           |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-           |nodes AS (SELECT DISTINCT src AS node FROM edges
-           |          UNION SELECT DISTINCT tgt FROM edges),
-           |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes),
-           |${(1 to 5).map(iter).mkString(",\n")}
-           |SELECT node, CAST(p AS BIGINT) AS rank_e6
-           |FROM p5 ORDER BY rank_e6 DESC, node""".stripMargin
-      }),
+      Some(s"""WITH $pagerankSqlCtes,
+              |ranked AS (
+              |  SELECT row_number() OVER (ORDER BY p DESC, node) AS rank,
+              |    node, CAST(p AS BIGINT) AS rank_e6
+              |  FROM p5)
+              |SELECT CAST(rank AS BIGINT) AS rank, node, rank_e6
+              |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin)),
   )
 }

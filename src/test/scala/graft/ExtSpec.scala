@@ -19,6 +19,18 @@ class ExtSpec extends SparkSpec {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Planted documents fixtures must satisfy the full fixture contract
+    * (Tables.adapt validates every expected column, not just the ones a
+    * test cares about): pad the test-irrelevant columns with
+    * deterministic defaults before writing. */
+  private def plantDocs(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    Seq("lang" -> lit("en"), "source" -> lit("test"),
+      "n_chars" -> length(col("text")).cast("long"))
+      .foldLeft(df) { case (d, (c, v)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, v)
+      }
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
   private lazy val docShingles = Tables.table(spark, sfDir, "documents")
     .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
     .cache()
@@ -158,9 +170,8 @@ class ExtSpec extends SparkSpec {
     val fillers = (100L until 140L).map(i =>
       (i, (0 until 8).map(j => s"f${i}w$j").mkString(" ")))
     import spark.implicits._
-    (members.map { case (id, g) => (id, groups(g)) } ++ fillers)
-      .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    plantDocs((members.map { case (id, g) => (id, groups(g)) } ++ fillers)
+      .toDF("doc_id", "text"), dir)
     val got = SparkEntry.queries("dd10_dedup_clusters_lsh")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.map(t => (t._1, t._2)).toSet ==
@@ -331,8 +342,7 @@ class ExtSpec extends SparkSpec {
       (d, (0 until 40).map(i => s"u${d}w$i").mkString(" "))
     }
     val dir = java.nio.file.Files.createTempDirectory("tx14-planted").toString
-    (withBp ++ clean).toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    plantDocs((withBp ++ clean).toDF("doc_id", "text"), dir)
     val got = SparkEntry.queries("tx14_boilerplate_removal")(spark, dir)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getString(3))).toMap
@@ -359,8 +369,7 @@ class ExtSpec extends SparkSpec {
       (500L until 503L).map(i => (i, s"doc $i text", "tiny_a")) ++
       (503L until 506L).map(i => (i, s"doc $i text", "tiny_b"))
     val dir = java.nio.file.Files.createTempDirectory("dp07-planted").toString
-    rows.toDF("doc_id", "text", "source")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    plantDocs(rows.toDF("doc_id", "text", "source"), dir)
     def run() = SparkEntry.queries("dp07_source_cap")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val got = run()
@@ -419,8 +428,7 @@ class ExtSpec extends SparkSpec {
       6L -> t(6), 7L -> t(2), 8L -> t(8), 9L -> t(99), 11L -> t(11),
       13L -> t(13), 14L -> t(99), 16L -> t(16), 19L -> t(19), 24L -> t(2))
     import spark.implicits._
-    rows.toDF("doc_id", "text").write.mode("overwrite")
-      .parquet(s"$dir/documents.parquet")
+    plantDocs(rows.toDF("doc_id", "text"), dir)
     val got = SparkEntry.queries("dd11_incremental_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) -1L else r.getLong(2)))

@@ -347,6 +347,28 @@ class PlanSpec extends SparkSpec {
       s"window crept into boilerplate removal:\n$plan")
   }
 
+  test("g07b: pagerank top-100 via bounded aggregation — no window, no global sort of all nodes") {
+    val plan = planOf(run("g07b_pagerank_top100"))
+    assert(!plan.toLowerCase.contains("window"),
+      s"window crept into the pagerank top-k:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"bounded top-k aggregation missing:\n$plan")
+  }
+
+  test("tx15: eval shingles broadcast; kept set is bounded aggregation, not a window") {
+    val plan = planOf(run("tx15_contamination_report")).toLowerCase
+    assert(plan.contains("broadcasthashjoin"),
+      s"eval shingle set not broadcast into the corpus join:\n$plan")
+    // wordShingleRows' per-doc lead() windows are fine (bounded by one
+    // document); the CAP winner set must NOT be a per-source window —
+    // that's dp07's whole point (a 100M-page source would funnel
+    // through one window reducer)
+    assert(!plan.contains("windowspecdefinition(source"),
+      s"per-source window crept into the capped winner set:\n$plan")
+    assert(plan.contains("objecthashaggregate") || plan.contains("sortaggregate"),
+      s"bounded top-k aggregation missing:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
