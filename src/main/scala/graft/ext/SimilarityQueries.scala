@@ -213,6 +213,66 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** DuckDB value oracle for ss08 — ss03b's IVF CTEs (same dyadic
+    * centroid literals, argmax assignment, probe ranking) composed with
+    * ss05's int8 quantization; scoring is the dequantized int8 dot over
+    * probed buckets only. */
+  private[ext] def ss08OracleSql: String = {
+    def centLit(c: Int): String =
+      (0 until Dim).map(i => s"${centroidBits(c, i)}.0/65536.0 - 0.5")
+        .mkString("[", ", ", "]")
+    val cdList = (0 until IvfCentroids).map { c =>
+      s"list_dot_product(nv, ${centLit(c)}) - " +
+        s"list_dot_product(${centLit(c)}, ${centLit(c)})/2"
+    }.mkString("[", ", ", "]")
+    val probeUnion = (0 until IvfCentroids).map(c =>
+      s"SELECT vec_id AS q_id, $c AS bucket, cd[${c + 1}] AS s " +
+        "FROM cd WHERE vec_id < 10")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+       |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    END AS nv
+       |  FROM e),
+       |cd AS (SELECT vec_id, nv, $cdList AS cd FROM n),
+       |sc AS (
+       |  SELECT vec_id, nv, cd,
+       |    list_max(list_transform(nv, x -> abs(x))) / 127.0 AS scale
+       |  FROM cd),
+       |q AS (
+       |  SELECT vec_id, cd, scale,
+       |    CASE WHEN scale = 0 THEN list_transform(nv, x -> 0.0)
+       |         ELSE list_transform(nv, x ->
+       |           greatest(least(floor(x / scale + 0.5), 127.0), -127.0))
+       |    END AS qv
+       |  FROM sc),
+       |aq AS (SELECT vec_id, qv, scale,
+       |    list_position(cd, list_max(cd)) - 1 AS bucket FROM q),
+       |pq AS ($probeUnion),
+       |probes AS (
+       |  SELECT q_id, bucket FROM (
+       |    SELECT q_id, bucket,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, bucket) AS pr
+       |    FROM pq) WHERE pr <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(qq.qv, c.qv) * qq.scale * c.scale AS cos
+       |  FROM probes p
+       |  JOIN aq qq ON qq.vec_id = p.q_id
+       |  JOIN aq c ON c.bucket = p.bucket AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+       |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rk <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // dd12 near-dup LSH geometry. Unlike the ANN tables above (few bits,
   // many candidates — fine when only |Q| query vectors probe), ALL-PAIRS
   // near-dup generation must keep the candidate volume ~linear: random
@@ -684,6 +744,51 @@ object SimilarityQueries {
              |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
              |FROM ranked WHERE rk <= 5
              |ORDER BY q_id, rank""".stripMargin)),
+
+    CatalogQuery(
+      "ss08_ann_ivf_quantized",
+      "Composed scale path: fixed-centroid IVF probing over int8-quantized codes — bucket pruning cuts candidates, int8 cuts bytes 4-8x; dequantized re-rank on the probed subset only",
+      (s, dir) => {
+        // ss03b × ss05 composed, because at 100 TB BOTH levers apply at
+        // once: IVF probing scores only ~IvfProbes/IvfCentroids of the
+        // corpus per query, and the scored vectors travel as int8 codes
+        // (the scan/shuffle/cache all pay in vector bytes). One
+        // projection computes assignment scores AND codes; the probe
+        // set stays broadcast; final top-5 is the bounded aggregation.
+        graft.functions.VectorOps.register(s)
+        val e = embeddings(s, dir)
+        val scored = e.select(col("vec_id"), col("v"), ivfScoreCol.as("cd"))
+        val sc = scored.select(col("vec_id"), col("v"), col("cd"),
+          (aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+            .as("scale"))
+        val q8 = sc.select(col("vec_id"), col("cd"), col("scale"),
+          transform(col("v"), x =>
+            when(col("scale") === 0.0, lit(0.0))
+              .otherwise(greatest(least(
+                floor(x / col("scale") + 0.5).cast("double"), lit(127.0)),
+                lit(-127.0)))).as("qv"))
+        val assigned = q8.select(col("vec_id"), col("qv"), col("scale"),
+          (array_position(col("cd"), array_max(col("cd"))) - 1).as("bucket"))
+        val probeTopk = udaf(new TopKByScore(IvfProbes))
+        val probes = broadcast(q8.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qv").as("qa"),
+            col("scale").as("sa"), posexplode(col("cd")).as(Seq("bucket", "s")))
+          .groupBy(col("q_id"), col("qa"), col("sa"))
+          .agg(probeTopk(col("s"), col("bucket").cast("long")).as("pb"))
+          .select(col("q_id"), col("qa"), col("sa"),
+            explode(col("pb.items.id")).as("bucket")))
+        topNeighbors(
+          probes.join(assigned, Seq("bucket"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              (graft.functions.VectorOps.dot(col("qa"), col("qv")) *
+                col("sa") * col("scale")).as("cos")))
+      },
+      // full value oracle: IVF assignment/probing from ss03b's exact
+      // dyadic literals + ss05's half-up int8 codes; every score is the
+      // same int dot × two scales in both engines (int dot < 2^21,
+      // exact in DOUBLE)
+      Some(ss08OracleSql)),
 
     CatalogQuery(
       "ss06_knn_graph",

@@ -526,6 +526,29 @@ class ExtSpec extends SparkSpec {
     assert(mismatched == 0)
   }
 
+  test("ss08 IVF+int8 composed: recall tracks ss03b, scores track ss05 within quantization error") {
+    val exact = run("ss01_ann_bruteforce").select("q_id", "neighbor_id")
+    val approx = run("ss08_ann_ivf_quantized").cache()
+    val counts = approx.groupBy("q_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) <= 5L))
+    // same 4-of-16 probing as ss03b, so the same recall floor applies;
+    // int8 rounding can only flip near-ties (ss05 measured 0.98 alone)
+    val nExact = exact.count()
+    val overlap = exact.join(approx.select("q_id", "neighbor_id"),
+      Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(overlap.toDouble / nExact >= 0.4,
+      s"composed recall collapsed: $overlap/$nExact < 0.4")
+    // scores are ss05's dequantized dot: for pairs both paths emit,
+    // they must agree exactly (identical arithmetic)
+    val mismatched = approx
+      .join(run("ss05_ann_quantized").select(col("q_id"),
+          col("neighbor_id"), col("cos_e6").as("q_cos")),
+        Seq("q_id", "neighbor_id"))
+      .filter(col("cos_e6") =!= col("q_cos")).count()
+    assert(mismatched == 0,
+      "ss08 scores diverge from ss05's quantized dot on shared pairs")
+  }
+
   test("LSH auto-tuner: recall-viable and no costlier than the hand-tuned config") {
     val rows = TextOps.wordShingleRows(
       Tables.table(spark, sfDir, "documents"), "doc_id", "text", 3)

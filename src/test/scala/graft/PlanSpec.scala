@@ -347,6 +347,16 @@ class PlanSpec extends SparkSpec {
       s"window crept into boilerplate removal:\n$plan")
   }
 
+  test("ss08: probes broadcast into the bucket join; top-5 via bounded aggregation, no window") {
+    val plan = planOf(run("ss08_ann_ivf_quantized")).toLowerCase
+    assert(plan.contains("broadcasthashjoin"),
+      s"probe set not broadcast into the bucket join:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"window crept into the composed ANN:\n$plan")
+    assert(plan.contains("objecthashaggregate") || plan.contains("sortaggregate"),
+      s"bounded top-k aggregation missing:\n$plan")
+  }
+
   test("g07b: pagerank top-100 via bounded aggregation — no window, no global sort of all nodes") {
     val plan = planOf(run("g07b_pagerank_top100"))
     assert(!plan.toLowerCase.contains("window"),
