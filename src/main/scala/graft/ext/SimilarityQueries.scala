@@ -303,15 +303,28 @@ object SimilarityQueries {
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (vec_id, t, sig) index rows for dd12 — the stacked-union shape
-    * (ss02's Generate-re-evaluation lesson), carrying only the id so
-    * the candidate machinery never shuffles the 64-double vectors. */
+  /** (vec_id, t, sig) index rows for dd12/ss06, carrying only the id so
+    * the candidate machinery never shuffles the 64-double vectors.
+    *
+    * Shape: ONE corpus scan computes all NdTables signatures (the full
+    * 64 plane dots), then an explicit exchange on the 9-long (id, sigs)
+    * row feeds the explode. The exchange solves BOTH re-scan problems
+    * at once: (a) the previous stacked-union shape re-scanned the
+    * corpus once per table (8 parquet scans of the biggest column at
+    * 100 TB); (b) ndCandidates consumes sig rows twice (bucket-stats
+    * aggregate + join back), and Spark reuses the materialized
+    * exchange for both (ReusedExchange) instead of recomputing the
+    * whole sig pipeline. The Generate sits ABOVE the barrier reading
+    * bound refs, so nothing re-evaluates per output row — the ss02
+    * Generate-re-evaluation lesson, solved by materializing below the
+    * explode instead of unioning per-table scans. What shuffles is
+    * ~72 bytes/vector; the vectors themselves never move. */
   private[ext] def ndSigRows(e: DataFrame): DataFrame = {
     val flat = e.select(col("vec_id") +:
       (0 until NdTables).map(t => ndSig(col("v"), t).as(s"_s$t")): _*)
-    (0 until NdTables).map(t => flat.select(col("vec_id"),
-        lit(t).as("t"), col(s"_s$t").as("sig")))
-      .reduce(_ union _)
+    flat.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(array(
+        (0 until NdTables).map(t => col(s"_s$t")): _*)).as(Seq("t", "sig")))
   }
 
   /** LSH candidate pairs (a_id < b_id, distinct) from shared (table,
