@@ -167,6 +167,31 @@ object SimilarityQueries {
     }: _*)
   }
 
+  /** Corpus-side bucket assignment as the codegen'd `IvfAssign`
+    * expression over `col("v")` — the same argmax and per-centroid
+    * IEEE arithmetic as `array_position(ivfScoreCol, array_max(…))-1`,
+    * but the centroid matrix rides as ONE reference object instead of
+    * 16 inline 64-double literals. The literal spelling inflated every
+    * operator that re-derives the bucket (the join-key IsNotNull
+    * filter pushes below the projection) into generated methods too
+    * large to JIT: measured ~2 ms/row interpreted — 98 s/50k-vector
+    * pass for ss03b, 678 s at 500k for ss08 — vs microseconds here.
+    * The probe side (10 query rows) keeps the literal `ivfScoreCol`,
+    * whose per-bucket scores the probe ranking genuinely needs. */
+  private[ext] def ivfAssignCol(s: SparkSession): Column = {
+    val planes = Array.tabulate(IvfCentroids, Dim)((c, i) => centroidVal(c, i))
+    val halfNorms = planes.map { p =>
+      // same left-to-right dot the oracle's constant-folded literal uses
+      var acc = 0.0; var i = 0
+      while (i < p.length) { acc += p(i) * p(i); i += 1 }
+      acc / 2.0
+    }
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("ivf_assign",
+      exprs => graft.functions.IvfAssign(exprs(0), planes, halfNorms),
+      "scala_udf")
+    call_function("ivf_assign", col("v"))
+  }
+
   /** DuckDB value oracle for ss03b — centroids emitted as the same
     * dyadic rationals, assignment via list_position(cd, list_max(cd)),
     * probe ranking (score DESC, bucket ASC) mirroring TopKByScore. */
@@ -303,28 +328,27 @@ object SimilarityQueries {
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (vec_id, t, sig) index rows for dd12/ss06, carrying only the id so
-    * the candidate machinery never shuffles the 64-double vectors.
+  /** (vec_id, t, sig) index rows for dd12/ss06 — the stacked-union
+    * shape (ss02's Generate-re-evaluation lesson), carrying only the id
+    * so the candidate machinery never shuffles the 64-double vectors.
     *
-    * Shape: ONE corpus scan computes all NdTables signatures (the full
-    * 64 plane dots), then an explicit exchange on the 9-long (id, sigs)
-    * row feeds the explode. The exchange solves BOTH re-scan problems
-    * at once: (a) the previous stacked-union shape re-scanned the
-    * corpus once per table (8 parquet scans of the biggest column at
-    * 100 TB); (b) ndCandidates consumes sig rows twice (bucket-stats
-    * aggregate + join back), and Spark reuses the materialized
-    * exchange for both (ReusedExchange) instead of recomputing the
-    * whole sig pipeline. The Generate sits ABOVE the barrier reading
-    * bound refs, so nothing re-evaluates per output row — the ss02
-    * Generate-re-evaluation lesson, solved by materializing below the
-    * explode instead of unioning per-table scans. What shuffles is
-    * ~72 bytes/vector; the vectors themselves never move. */
+    * SHAPE A/B (round 9, measured — keep the union): an alternative
+    * single-scan shape (repartition the 9-long (id, sigs) row, then
+    * posexplode above the barrier) was built and measured at both
+    * scales: 2× FASTER at sf0.1 (6k vectors: ss06 4.5→2.3 s — plan and
+    * session overhead dominate there) but 2.5× SLOWER at 500k vectors
+    * (ss06 113→283 s in a same-session A/B) — the extra full-corpus
+    * exchange costs more than the 8 narrow re-scans it saves, and the
+    * union branches each column-prune to their own 8 plane dots with
+    * map-side partial aggregation directly above the scan. The
+    * fixture-scale win was exactly the overhead artifact SCALING.md
+    * warns against optimizing for; 500k decides. */
   private[ext] def ndSigRows(e: DataFrame): DataFrame = {
     val flat = e.select(col("vec_id") +:
       (0 until NdTables).map(t => ndSig(col("v"), t).as(s"_s$t")): _*)
-    flat.repartition(col("vec_id"))
-      .select(col("vec_id"), posexplode(array(
-        (0 until NdTables).map(t => col(s"_s$t")): _*)).as(Seq("t", "sig")))
+    (0 until NdTables).map(t => flat.select(col("vec_id"),
+        lit(t).as("t"), col(s"_s$t").as("sig")))
+      .reduce(_ union _)
   }
 
   /** LSH candidate pairs (a_id < b_id, distinct) from shared (table,
@@ -617,16 +641,18 @@ object SimilarityQueries {
       (s, dir) => {
         graft.functions.VectorOps.register(s)
         val e = embeddings(s, dir)
-        // one projection materializes all 16 assignment scores; every
-        // downstream use (argmax assignment, probe explode) reads the
-        // bound column, so the 16×64-lit dots run once per vector
-        val scored = e.select(col("vec_id"), col("v"), ivfScoreCol.as("cd"))
-        val assigned = scored.select(col("vec_id"), col("v"),
-          (array_position(col("cd"), array_max(col("cd"))) - 1).as("bucket"))
+        // corpus side: bucket via the codegen'd IvfAssign expression
+        // (see ivfAssignCol — the literal argmax spelling ran ~2 ms/row
+        // interpreted once the join-key filter re-derived it)
+        val assigned = e.select(col("vec_id"), col("v"),
+          ivfAssignCol(s).as("bucket"))
         // probe selection: 10 queries × 16 buckets → bounded top-4 agg,
-        // same (score DESC, id ASC) order as TopKByScore everywhere
+        // same (score DESC, id ASC) order as TopKByScore everywhere;
+        // the 10-row probe side keeps the literal score array (it needs
+        // every bucket's score, and 10 evaluations are free)
         val probeTopk = udaf(new TopKByScore(IvfProbes))
-        val probes = broadcast(scored.filter(col("vec_id") < 10)
+        val probes = broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("v"), ivfScoreCol.as("cd"))
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             posexplode(col("cd")).as(Seq("bucket", "s")))
           .groupBy(col("q_id"), col("qv"))
@@ -768,22 +794,30 @@ object SimilarityQueries {
         // (the scan/shuffle/cache all pay in vector bytes). One
         // projection computes assignment scores AND codes; the probe
         // set stays broadcast; final top-5 is the bounded aggregation.
+        // Quantization uses the codegen'd array_absmax/array_quantize
+        // expressions, NOT aggregate/transform lambdas: higher-order
+        // functions have no codegen path, and one of them in this
+        // projection dropped the whole corpus-side stage (16 assignment
+        // dots + inlined normalize included) to interpreted eval —
+        // measured 678 s for one 500k pass vs seconds codegen'd. Values
+        // are bit-identical (same IEEE ops in the same order), so the
+        // oracle is unchanged.
         graft.functions.VectorOps.register(s)
         val e = embeddings(s, dir)
-        val scored = e.select(col("vec_id"), col("v"), ivfScoreCol.as("cd"))
-        val sc = scored.select(col("vec_id"), col("v"), col("cd"),
-          (aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
-            .as("scale"))
-        val q8 = sc.select(col("vec_id"), col("cd"), col("scale"),
-          transform(col("v"), x =>
-            when(col("scale") === 0.0, lit(0.0))
-              .otherwise(greatest(least(
-                floor(x / col("scale") + 0.5).cast("double"), lit(127.0)),
-                lit(-127.0)))).as("qv"))
-        val assigned = q8.select(col("vec_id"), col("qv"), col("scale"),
-          (array_position(col("cd"), array_max(col("cd"))) - 1).as("bucket"))
+        val sc = e.select(col("vec_id"), col("v"),
+          (graft.functions.VectorOps.absMax(col("v")) / 127.0).as("scale"))
+        // corpus side: codes + codegen'd IvfAssign bucket, one
+        // projection, no 16-literal score array anywhere (see
+        // ivfAssignCol — the literal argmax ran interpreted at
+        // ~2 ms/row, 678 s for a 500k pass)
+        val assigned = sc.select(col("vec_id"),
+          graft.functions.VectorOps.quantize(col("v"), col("scale")).as("qv"),
+          col("scale"), ivfAssignCol(s).as("bucket"))
         val probeTopk = udaf(new TopKByScore(IvfProbes))
-        val probes = broadcast(q8.filter(col("vec_id") < 10)
+        val probes = broadcast(sc.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("scale"),
+            graft.functions.VectorOps.quantize(col("v"), col("scale")).as("qv"),
+            ivfScoreCol.as("cd"))
           .select(col("vec_id").as("q_id"), col("qv").as("qa"),
             col("scale").as("sa"), posexplode(col("cd")).as(Seq("bucket", "s")))
           .groupBy(col("q_id"), col("qa"), col("sa"))

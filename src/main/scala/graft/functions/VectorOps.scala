@@ -169,6 +169,238 @@ case class ArrayDivide(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** max(|x_i|) over an array<double> as a native codegen expression
+  * (0.0 for an empty array; null elements skipped, as the
+  * `aggregate(v, 0.0, greatest(acc, abs(x)))` composition it replaces
+  * did via greatest's null-skip). Exists because higher-order
+  * functions (`aggregate`/`transform`) have no codegen path: one of
+  * them in a projection drops the WHOLE projection to interpreted
+  * eval, which in ss08's composed pipeline (quantization stacked on
+  * IVF assignment) multiplied with the inlined normalize into a
+  * ~10 ms/row interpreted tree — 678 s for one 500k pass. */
+case class ArrayAbsMax(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_absmax"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) m = math.max(m, math.abs(x.getDouble(i)))
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = $x.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
+         |    $m = java.lang.Math.max($m, java.lang.Math.abs($x.getDouble($i)));
+         |  }
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArrayAbsMax = copy(child = newChild)
+}
+
+/** Symmetric int8 scalar quantization of an array<double> as a native
+  * codegen expression: per element `clamp(floor(x/scale + 0.5), ±127)`
+  * (the half-up rounding DuckDB's floor mirrors exactly — same IEEE
+  * ops in the same order as the `transform` lambda it replaces), and
+  * a zero scale quantizes the whole vector to zeros (the zero-vector
+  * guard). Null elements propagate. Output stays double (the int dot
+  * of ±127 lanes is exact in double and the oracle compares doubles).
+  */
+case class ArrayQuantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), " +
+          s"got ${l.simpleString} and ${r.simpleString}")
+    }
+  private def childContainsNull: Boolean = left.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = childContainsNull)
+  override def prettyName: String = "array_quantize"
+
+  private def code(x: Double, s: Double): Double =
+    if (s == 0.0) 0.0
+    else math.max(math.min(math.floor(x / s + 0.5), 127.0), -127.0)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val s = b.asInstanceOf[Double]
+    val n = x.numElements()
+    if (childContainsNull && (0 until n).exists(x.isNullAt)) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (x.isNullAt(i)) null else code(x.getDouble(i), s)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = code(x.getDouble(i), s); i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, s) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      val nulls = ctx.freshName("nulls")
+      val boxed = ctx.freshName("boxed")
+      val elem = (idx: String) =>
+        s"($s == 0.0) ? 0.0 : java.lang.Math.max(java.lang.Math.min(" +
+          s"java.lang.Math.floor($x.getDouble($idx) / $s + 0.5), 127.0), -127.0)"
+      if (childContainsNull)
+        s"""
+           |int $n = $x.numElements();
+           |double[] $out = new double[$n];
+           |int $nulls = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i)) { $nulls++; }
+           |  else { $out[$i] = ${elem(i)}; }
+           |}
+           |if ($nulls == 0) {
+           |  ${ev.value} =
+           |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+           |} else {
+           |  Object[] $boxed = new Object[$n];
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    if (!$x.isNullAt($j)) { $boxed[$j] = (Object) $out[$j]; }
+           |  }
+           |  ${ev.value} =
+           |    new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+           |}
+         """.stripMargin
+      else
+        s"""
+           |int $n = $x.numElements();
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = ${elem(i)};
+           |}
+           |${ev.value} =
+           |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayQuantize =
+    copy(left = newLeft, right = newRight)
+}
+
+/** IVF coarse-quantizer assignment as a native codegen expression:
+  * returns the FIRST index c maximizing `dot(v, planes(c)) −
+  * halfNorms(c)` (the Euclidean-nearest form for unit vectors; ties →
+  * lowest index, matching DuckDB's `list_position(cd, list_max(cd))`).
+  *
+  * Exists because spelling the same argmax as
+  * `array_position(array(dot(v, lit₀)…dot(v, lit₁₅)), array_max(…))`
+  * inlines sixteen 64-double array literals into EVERY operator that
+  * references the bucket (the join-key IsNotNull filter re-derives it
+  * below the projection), producing generated methods so large they
+  * run interpreted — measured ~2 ms/row on the corpus side of
+  * ss03b/ss08 (98 s for a 50k-vector pass; ~678 s at 500k). Here the
+  * centroid matrix rides along as one reference object and the loop
+  * is ~10 lines of bytecode, so a re-evaluation costs microseconds.
+  * The per-centroid IEEE arithmetic (left-to-right dot, then subtract
+  * the precomputed half-norm) is identical to the literal spelling,
+  * so oracle values are unchanged. */
+case class IvfAssign(child: Expression, planes: Array[Array[Double]],
+    halfNorms: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ivf_assign"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < planes.length) {
+      val p = planes(c)
+      val n = math.min(x.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * p(i); i += 1 }
+      s -= halfNorms(c)
+      if (s > bestScore) { best = c; bestScore = s }
+      c += 1
+    }
+    best.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("ivfPlanes", planes, "double[][]")
+    val normsRef = ctx.addReferenceObj("ivfHalfNorms", halfNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val p = ctx.freshName("p")
+      s"""
+         |int $best = 0;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $planesRef.length; $c++) {
+         |  double[] $p = $planesRef[$c];
+         |  int $n = java.lang.Math.min($x.numElements(), $p.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $x.getDouble($i) * $p[$i];
+         |  }
+         |  $s -= $normsRef[$c];
+         |  if ($s > $bestScore) { $best = $c; $bestScore = $s; }
+         |}
+         |${ev.value} = (long) $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IvfAssign = copy(child = newChild)
+}
+
 object VectorOps {
 
   /** Register `array_dot` / `array_div` in the session's function
@@ -178,10 +410,22 @@ object VectorOps {
       "array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_div", exprs => ArrayDivide(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_absmax", exprs => ArrayAbsMax(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_quantize", exprs => ArrayQuantize(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Dot product column (requires register(spark) on the session). */
   def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
+
+  /** max(|x_i|) column (requires register(spark) on the session). */
+  def absMax(v: Column): Column = call_function("array_absmax", v)
+
+  /** Half-up clamped int8 quantization column; zero scale → zeros
+    * (requires register(spark) on the session). */
+  def quantize(v: Column, scale: Column): Column =
+    call_function("array_quantize", v, scale)
 
   /** L2-normalize an array<double> column (one dot + one codegen'd
     * elementwise division).

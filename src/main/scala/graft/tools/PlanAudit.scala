@@ -8,17 +8,25 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val verbose = args.contains("-v")
-    val names = args.filterNot(_ == "-v")
+    // -d <dir>: audit against a different fixture dir (e.g. a
+    // /tmp/graft-headroom-* corpus) instead of the sf0.001 smoke scale
+    val dirIdx = args.indexOf("-d")
+    val dir = if (dirIdx >= 0) args(dirIdx + 1) else "/root/testdata/sf0.001"
+    val names = args.zipWithIndex.collect {
+      case (a, i) if a != "-v" && a != "-d" && i != dirIdx + 1 => a
+    }.toSeq
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
       df.collect()
+      val dt = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
       def n(p: String) = p.r.findAllIn(plan).size
-      println(s"AUDIT $name: scans=${n("Scan parquet")} reusedExchange=${n("ReusedExchange")} " +
+      println(f"AUDIT $name: time=$dt%.1fs scans=${n("Scan parquet")} reusedExchange=${n("ReusedExchange")} " +
         s"smj=${n("SortMergeJoin")} bhj=${n("BroadcastHashJoin")} reusedSubquery=${n("ReusedSubquery")}")
       if (verbose) println(plan)
     }
