@@ -63,6 +63,25 @@ class FixtureDriftSpec extends SparkSpec {
       "NTZ generation must decode to the same instants (UTC session)")
   }
 
+  test("lineitem timestamp drift (DATE generation) normalizes to TIMESTAMP") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 100L, 1, 5.0, 1000.0, 0.05, 0.02, "N", "O", "2024-03-01"),
+      (2L, 11L, 101L, 1, 3.0, 500.0, 0.0, 0.01, "R", "F", "2024-03-02"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_ship_s")
+    val dir = Files.createTempDirectory("graft-drift-li").toString
+    rows.withColumn("l_shipdate", to_date(col("l_ship_s"))).drop("l_ship_s")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val df = graft.sources.Tables.table(spark, dir, "lineitem")
+    assert(df.schema("l_shipdate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.select(date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      .orderBy("l_shipdate").collect().map(_.getString(0)).toSeq ==
+      Seq("2024-03-01", "2024-03-02"))
+  }
+
   test("missing fixture column fails loudly, naming the table and column") {
     val d = writeFixture(baseEvents.drop("props"), "missing")
     val e = intercept[Exception](Tables.events(spark, d))
