@@ -442,5 +442,73 @@ object DedupQueries {
       (s, dir) => SimilarityQueries.neardupLshPairs(s, dir)
         .orderBy(col("a_id"), col("b_id")),
       Some(SimilarityQueries.dd12OracleSql)),
+
+    CatalogQuery(
+      "dd13_semdedup",
+      "SemDeDup semantic dedup: fixed-centroid cluster assignment -> within-cluster cosine >= 0.4 components -> keep the member farthest from its centroid",
+      (s, dir) => {
+        // SemDeDup (Abbas et al. 2023): quantize embeddings to coarse
+        // clusters, find semantic-duplicate groups WITHIN each cluster
+        // only (never across the corpus), and keep one exemplar per
+        // group — the member with the LOWEST centroid similarity, i.e.
+        // the most atypical, preserving diversity. Here the quantizer
+        // is ss03b's deterministic dyadic codebook (codegen'd IvfAssign
+        // assignment), so the whole pipeline is value-oracle-able.
+        //
+        // Scale shape: pair generation is per-cluster all-pairs, so the
+        // shuffle key is the cluster id and per-reducer work is
+        // O(cluster²). Real deployments grow the codebook with the
+        // corpus (k ≈ n / target_cluster_size keeps clusters ~constant
+        // size, the paper uses k on the order of sqrt(n·d)); the plan
+        // shape is IDENTICAL, only the codebook relation is larger.
+        // With the fixture's FIXED 16 centroids the per-cluster work is
+        // ~n²/16, so guard like dd06 rather than silently burn a
+        // cluster on a corpus this codebook is too coarse for.
+        val cap = s.conf.getOption("graft.ext.semdedupMaxRows")
+          .map(_.toLong).getOrElse(200000L)
+        val e = SimilarityQueries.embeddings(s, dir)
+          .select(col("vec_id"), col("v"))
+        val n = e.count()
+        require(n <= cap,
+          s"dd13_semdedup partitions pairs by a FIXED 16-centroid " +
+            s"codebook: corpus has $n rows > cap $cap, so per-cluster " +
+            "all-pairs work is quadratic at this codebook size. Grow the " +
+            "codebook with the corpus (see scaladoc), or raise spark.conf " +
+            "graft.ext.semdedupMaxRows to override.")
+        import graft.functions.VectorOps
+        val a = e.withColumn("bucket", SimilarityQueries.ivfAssignCol(s))
+        // cosine test INSIDE the join condition (dd06's lesson: only
+        // true near-dup rows materialize vector-carrying output)
+        val cos = VectorOps.dot(col("x.v"), col("y.v"))
+        val pairs = a.as("x").join(a.as("y"),
+            col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id") && cos >= 0.4)
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        // edges never cross buckets, so components are bucket-local;
+        // the propagation loop is dd08's (rounds = group diameter, ~1-2
+        // for epsilon-ball duplicate groups)
+        val comp = minLabelComponents(pairs, "dd13")
+          .select(col("v").as("vec_id"), col("lbl").cast("long").as("cluster"))
+        // centroid similarity via a broadcast 16-row codebook join —
+        // the centroid matrix rides once as data, never as literals
+        val cent = SimilarityQueries.centroidFrame(s)
+        val sim = a.join(broadcast(cent), "bucket")
+          .select(col("vec_id"), col("bucket"),
+            round(VectorOps.dot(col("v"), col("cent")) * 1e6)
+              .cast("long").as("cent_e6"))
+        val j = comp.join(sim, "vec_id")
+        // keep rule as a min-of-struct AGGREGATION (partial-agg
+        // combines map-side; a row_number window would sort whole
+        // clusters on one reducer)
+        val keepers = j.groupBy(col("cluster"))
+          .agg(min(struct(col("cent_e6"), col("vec_id"))).as("k"))
+          .select(col("cluster"), col("k.vec_id").as("keep_id"))
+        j.join(keepers, "cluster")
+          .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+            col("cluster"), col("cent_e6"),
+            (col("vec_id") === col("keep_id")).cast("long").as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      Some(SimilarityQueries.dd13OracleSql)),
   )
 }

@@ -238,6 +238,72 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** 16-row (bucket, cent) frame of the fixed dyadic centroids —
+    * broadcast-joined where a per-row centroid vector is needed (dd13's
+    * keep rule scores each member against its own cluster centroid).
+    * Each row carries its centroid as data, so the 16×64 doubles ride
+    * the plan ONCE as a small relation instead of inline literals in
+    * every operator (the ss03b lesson). */
+  private[ext] def centroidFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until IvfCentroids)
+      .map(c => (c.toLong, (0 until Dim).map(i => centroidVal(c, i)).toArray))
+      .toDF("bucket", "cent")
+  }
+
+  /** DuckDB value oracle for dd13 (SemDeDup) — ss03b's assignment CTEs
+    * (identical dyadic centroid literals and first-max argmax), dd08's
+    * recursive-reachability components restricted to same-bucket pairs,
+    * and the keep rule as a (cent_e6, vec_id) row_number mirroring the
+    * Spark side's min-of-struct aggregation. */
+  private[ext] def dd13OracleSql: String = {
+    def centLit(c: Int): String =
+      (0 until Dim).map(i => s"${centroidBits(c, i)}.0/65536.0 - 0.5")
+        .mkString("[", ", ", "]")
+    val cdList = (0 until IvfCentroids).map { c =>
+      s"list_dot_product(nv, ${centLit(c)}) - " +
+        s"list_dot_product(${centLit(c)}, ${centLit(c)})/2"
+    }.mkString("[", ", ", "]")
+    val centUnion = (0 until IvfCentroids).map(c =>
+      s"SELECT $c AS bucket, ${centLit(c)} AS c").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+       |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    END AS nv
+       |  FROM e),
+       |cd AS (SELECT vec_id, nv, $cdList AS cd FROM n),
+       |a AS (SELECT vec_id, nv,
+       |    list_position(cd, list_max(cd)) - 1 AS bucket FROM cd),
+       |p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
+       |      FROM a x JOIN a y
+       |        ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |      WHERE list_dot_product(x.nv, y.nv) >= $NdThreshold),
+       |ed AS (SELECT a_id AS s, b_id AS d FROM p
+       |       UNION ALL SELECT b_id, a_id FROM p),
+       |verts AS (SELECT DISTINCT s AS v FROM ed),
+       |reach(v, x) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT r.v, ed.d FROM reach r JOIN ed ON ed.s = r.x),
+       |comp AS (SELECT v AS vec_id, min(x) AS cluster FROM reach GROUP BY v),
+       |cent AS ($centUnion),
+       |sim AS (SELECT a.vec_id, a.bucket,
+       |          CAST(round(list_dot_product(a.nv, ct.c) * 1e6) AS BIGINT)
+       |            AS cent_e6
+       |        FROM a JOIN cent ct USING (bucket)),
+       |j AS (SELECT sim.vec_id, sim.bucket, comp.cluster, sim.cent_e6
+       |      FROM comp JOIN sim USING (vec_id)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+       |         ORDER BY cent_e6, vec_id) AS rn FROM j)
+       |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(cluster AS BIGINT) AS cluster, cent_e6,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM rk ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB value oracle for ss08 — ss03b's IVF CTEs (same dyadic
     * centroid literals, argmax assignment, probe ranking) composed with
     * ss05's int8 quantization; scoring is the dequantized int8 dot over

@@ -280,6 +280,65 @@ class ExtSpec extends SparkSpec {
     assert(got.map(_._2).toSet == (1L to 99L).toSet)
   }
 
+  test("dd13 semdedup: structural invariants (one keep per cluster, bucket-local, min-rule)") {
+    val got = run("dd13_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty, "fixture corpus should contain semantic dup groups")
+    val byCluster = got.groupBy(_._3)
+    byCluster.foreach { case (cl, rows) =>
+      // only clustered vectors are emitted, so every cluster has >= 2
+      assert(rows.length >= 2, s"cluster $cl emitted as a singleton")
+      // SemDeDup groups are found WITHIN a quantizer cell — never across
+      assert(rows.map(_._2).distinct.length == 1,
+        s"cluster $cl spans buckets ${rows.map(_._2).distinct.toSeq}")
+      // exactly one exemplar, and it's the (cent_e6, vec_id)-minimal
+      // member (farthest from the centroid = most atypical survives)
+      val keeps = rows.filter(_._5 == 1L)
+      assert(keeps.length == 1, s"cluster $cl has ${keeps.length} keeps")
+      assert(keeps.head._1 == rows.map(r => (r._4, r._1)).min._2,
+        s"cluster $cl kept ${keeps.head._1}, not the min-(cent,id) member")
+      // cluster label is the min member id (min-label propagation)
+      assert(cl == rows.map(_._1).min)
+    }
+  }
+
+  test("dd13 semdedup: planted duplicate groups collapse to one keeper each") {
+    // 10 groups of 3 near-identical vectors (cos ≈ 1 within a group)
+    // among 150 random fillers: each group must land in ONE cluster
+    // with exactly one keep=1 row, whatever else LSH-free centroid
+    // assignment puts in the same cell.
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    def randVec(): Array[Float] =
+      Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+    for (c <- 0 until 10) {
+      val base = randVec()
+      for (m <- 0 until 3) {
+        val v = base.clone(); v(m) = v(m) + 0.02f
+        rows += (((3 * c + m).toLong, v, c))
+      }
+    }
+    for (i <- 100 until 250) rows += ((i.toLong, randVec(), -1))
+    val dir = java.nio.file.Files.createTempDirectory("dd13-planted").toString
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("dd13_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    val cluster = got.map(t => t._1 -> t._2).toMap
+    for (c <- 0 until 10) {
+      val ids = (0 until 3).map(m => (3 * c + m).toLong)
+      val cls = ids.flatMap(cluster.get).distinct
+      assert(cls.length == 1 && ids.forall(cluster.contains),
+        s"planted group $c not in one cluster: ${ids.map(cluster.get)}")
+      val keeps = got.filter(t => t._2 == cls.head && t._3 == 1L)
+      assert(keeps.length == 1,
+        s"planted group $c cluster ${cls.head}: ${keeps.length} keeps")
+    }
+  }
+
   test("ss06 kNN graph: planted clusters dominate each member's neighbor list") {
     // 10 clusters of 4 near-identical vectors (one component nudged
     // per member) among 200 random fillers: each member's 3
