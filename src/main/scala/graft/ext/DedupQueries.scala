@@ -510,5 +510,83 @@ object DedupQueries {
           .orderBy(col("vec_id"))
       },
       Some(SimilarityQueries.dd13OracleSql)),
+
+    CatalogQuery(
+      "dd14_bloom_prefilter",
+      "Bloom-filter pre-filter for incremental dedup: history content hashes folded into a compact md5-derived bit set, batch probed with k=4 positions before the exact index join",
+      (s, dir) => {
+        // dd11 joins EVERY batch row against the standing content-hash
+        // index; at 100 TB that join is the expensive stage and most
+        // batch rows are new. A Bloom pre-filter answers "definitely
+        // not in history" from a compact bit set so only possible dups
+        // reach the exact join. The filter is built PORTABLY: set bit
+        // j of the classic array is row j of a distinct bit-position
+        // relation; positions are (a_i·h + b_i) mod p mod m rehashes
+        // of the 31-bit md5 segment (the minhash universal-hash
+        // family, everything < 2^62), so DuckDB re-derives the
+        // identical filter and the query is fully value-oracled.
+        // The bit relation (≤ m rows, m = 65536 here) broadcasts; at
+        // real scale m grows with |history| (m ≈ 10·n for ~1% fpp)
+        // and the probe join co-partitions on the bit position
+        // instead — same plan shape, bigger relation. Output per
+        // batch doc: bloom verdict, exact-truth verdict, and the
+        // false-positive marker. False NEGATIVES are impossible by
+        // construction (a true dup shares the content hash, hence all
+        // k positions) — spec-asserted.
+        val k = 4; val m = 65536L
+        val d = docs(s, dir).select(col("doc_id"),
+          md5(col("text")).as("chash"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+            .bitwiseAND(lit(Int.MaxValue.toLong))).as("h"))
+        val batch = d.filter(pmod(col("doc_id"), lit(5)) === 4)
+        val hist = d.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        def posArr = array((0 until k).map(i =>
+          (col("h") * lit(TextOps.uhA(i)) + lit(TextOps.uhB(i)))
+            % lit(2147483647L) % lit(m)): _*)
+        val bits = hist.select(explode(posArr).as("bit")).distinct()
+        // k probe rows per batch doc; count of matched rows = k iff
+        // every position is set (duplicate positions match per-row)
+        val probed = batch
+          .select(col("doc_id"), col("chash"), explode(posArr).as("bit"))
+          .join(bits.withColumn("_hit", lit(1)), Seq("bit"), "left")
+          .groupBy(col("doc_id"), col("chash"))
+          .agg((count(col("_hit")) === k).as("_bloom"))
+        val histHashes = hist.select(col("chash")).distinct()
+          .withColumn("_dup", lit(1))
+        probed.join(histHashes, Seq("chash"), "left")
+          .select(col("doc_id"),
+            col("_bloom").cast("long").as("bloom_hit"),
+            col("_dup").isNotNull.cast("long").as("is_dup"),
+            (col("_bloom") && col("_dup").isNull).cast("long").as("false_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val k = 4
+        def posSql(src: String, cols: String): String =
+          (0 until k).map(i =>
+            s"SELECT $cols, (h * ${TextOps.uhA(i)} + ${TextOps.uhB(i)}) " +
+              s"% 2147483647 % 65536 AS bit FROM $src")
+            .mkString(" UNION ALL ")
+        s"""WITH d AS (
+           |  SELECT doc_id, md5(text) AS chash,
+           |    ('0x' || substr(md5(text), 1, 8))::BIGINT & 2147483647 AS h
+           |  FROM documents),
+           |b AS (SELECT * FROM d WHERE doc_id % 5 = 4),
+           |hs AS (SELECT * FROM d WHERE doc_id % 5 <> 4),
+           |bits AS (SELECT DISTINCT bit FROM (${posSql("hs", "doc_id")})),
+           |pr AS (${posSql("b", "doc_id, chash")}),
+           |hit AS (SELECT pr.doc_id, pr.chash, count(bits.bit) AS nm
+           |        FROM pr LEFT JOIN bits USING (bit)
+           |        GROUP BY pr.doc_id, pr.chash),
+           |hh AS (SELECT DISTINCT chash FROM hs)
+           |SELECT hit.doc_id,
+           |  CAST(CASE WHEN nm = $k THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+           |  CAST(CASE WHEN hh.chash IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_dup,
+           |  CAST(CASE WHEN nm = $k AND hh.chash IS NULL THEN 1 ELSE 0 END
+           |    AS BIGINT) AS false_pos
+           |FROM hit LEFT JOIN hh USING (chash)
+           |ORDER BY doc_id""".stripMargin
+      }),
   )
 }

@@ -234,5 +234,95 @@ object MultimodalQueries {
              |  CAST(len(list_distinct(fr)) AS BIGINT) AS n_distinct,
              |  fr[1] AS first_md5
              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "mm04_media_neardup",
+      "Near-duplicate media detection: quantized feature-histogram signature buckets + exact integer L1 verification (the pHash bucket-then-verify shape over codec features)",
+      (s, dir) => {
+        // Image dedup in a multimodal pipeline is perceptual-hash
+        // bucketing: quantize decoded features to a coarse signature,
+        // bucket on it (only plausible pairs ever meet), verify
+        // candidates with an exact distance. Here the features are the
+        // codec's 8-bucket histograms (mm01's real-decode path for
+        // images, byte histogram for opaque blobs), the signature is
+        // the per-bucket mass share quantized to eighths (integer
+        // division — scale-invariant, so re-encoded/padded copies
+        // still collide), and the verify is exact integer L1 with a
+        // relative threshold (l1·10 ≤ massA+massB), cross-multiplied —
+        // no floats anywhere. Oversized signature buckets rep-chain
+        // through the bucket minimum (dd12's guard): candidates stay
+        // O(bucket), never O(bucket²), at any duplication skew.
+        import s.implicits._
+        val media = mediaTable(s, dir).as[MediaRow]
+        val feats = extractFeatures(media).toDF()
+          .select(col("doc_id"), col("features"))
+          .withColumn("total",
+            aggregate(col("features"), lit(0L), (a, x) => a + x))
+          .filter(col("total") > 0)
+        val sigCols = (0 until MediaCodec.FeatureDim).map(b =>
+          expr(s"element_at(features, ${b + 1}) * 8 div total"))
+        val rows = feats.select(col("doc_id"),
+          concat_ws(",", sigCols: _*).as("sig"))
+        val stats = rows.groupBy(col("sig"))
+          .agg(count(lit(1)).as("_n"), min(col("doc_id")).as("_rep"))
+        val tagged = rows.join(stats, Seq("sig"))
+        val small = tagged.filter(col("_n") <= 64)
+        val allPairs = small.as("x").join(small.as("y"),
+            col("x.sig") === col("y.sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        val chained = tagged.filter(col("_n") > 64 &&
+            col("doc_id") =!= col("_rep"))
+          .select(col("_rep").as("a_id"), col("doc_id").as("b_id"))
+        // one signature per doc -> buckets are disjoint, pairs unique
+        val pairs = allPairs.union(chained)
+        val l1 = aggregate(
+          zip_with(col("fa"), col("fb"), (p, q) => abs(p - q)),
+          lit(0L), (a, x) => a + x)
+        pairs
+          .join(feats.select(col("doc_id").as("a_id"),
+            col("features").as("fa"), col("total").as("ta")), "a_id")
+          .join(feats.select(col("doc_id").as("b_id"),
+            col("features").as("fb"), col("total").as("tb")), "b_id")
+          .withColumn("l1", l1)
+          .filter(col("l1") * 10 <= col("ta") + col("tb"))
+          .select(col("a_id"), col("b_id"), col("l1"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      // Same histogram derivation as mm01's oracle (ASCII pin: byte ==
+      // char), signature/threshold arithmetic all integer division and
+      // cross-multiplication — bit-exact in both engines.
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(text) = 0 THEN [0, 0, 0, 0, 0, 0, 0, 0]
+             |         ELSE list_transform(range(0, 8), b ->
+             |           len(list_filter(split(text, ''), ch -> ascii(ch) // 32 = b)))
+             |    END AS features
+             |  FROM documents),
+             |f AS (SELECT doc_id, features, list_sum(features) AS total
+             |      FROM m WHERE list_sum(features) > 0),
+             |s AS (SELECT doc_id,
+             |        array_to_string(list_transform(range(0, 8),
+             |          b -> features[b + 1] * 8 // total), ',') AS sig
+             |      FROM f),
+             |ct AS (SELECT sig, count(*) AS n, min(doc_id) AS rep
+             |       FROM s GROUP BY sig),
+             |t AS (SELECT s.*, ct.n, ct.rep FROM s JOIN ct USING (sig)),
+             |cand AS (
+             |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+             |  FROM t x JOIN t y ON x.sig = y.sig AND x.doc_id < y.doc_id
+             |  WHERE x.n <= 64
+             |  UNION ALL
+             |  SELECT rep, doc_id FROM t WHERE n > 64 AND doc_id <> rep),
+             |v AS (SELECT c.a_id, c.b_id,
+             |        list_sum(list_transform(range(0, 8),
+             |          i -> abs(fa.features[i + 1] - fb.features[i + 1]))) AS l1,
+             |        fa.total AS ta, fb.total AS tb
+             |      FROM cand c
+             |      JOIN f fa ON fa.doc_id = c.a_id
+             |      JOIN f fb ON fb.doc_id = c.b_id)
+             |SELECT a_id, b_id, CAST(l1 AS BIGINT) AS l1
+             |FROM v WHERE l1 * 10 <= ta + tb
+             |ORDER BY a_id, b_id""".stripMargin)),
   )
 }

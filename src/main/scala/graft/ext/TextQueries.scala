@@ -718,5 +718,48 @@ object TextQueries {
              |  CAST(coalesce(kc.n_kept_contam, 0) AS BIGINT) AS n_kept_contam
              |FROM tot t LEFT JOIN cs USING (source) LEFT JOIN kc USING (source)
              |ORDER BY t.source""".stripMargin)),
+
+    CatalogQuery(
+      "tx16_lm_bigram_score",
+      "Reference-bigram LM quality score: per-doc coverage and frequency-weighted score against a clean-slice bigram model (CCNet-style data selection, integer-exact)",
+      (s, dir) => {
+        // CCNet/KenLM-style selection ranks docs by how well a
+        // reference LM predicts them. Floating-point log-perplexity is
+        // fold-order- and libm-dependent, so the score stays in exact
+        // integers: the model is the bigram OCCURRENCE-count table of
+        // a clean reference slice (doc_id < 50), a doc's score is the
+        // LONG sum of model counts over its own bigram occurrences,
+        // and coverage is the fraction of occurrences the model has
+        // seen (kept as a num/den pair; the keep flag cross-multiplies
+        // instead of dividing). Model build and scoring are one
+        // aggregation each; the scoring join keys on the bigram text —
+        // the model side is bounded by the reference slice (KBs..MBs
+        // by construction), so it broadcasts at any corpus size.
+        val bi = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 2)
+        val model = bi.filter(col("doc_id") < 50)
+          .groupBy(col("_el")).agg(count(lit(1)).as("_cnt"))
+        bi.join(broadcast(model), Seq("_el"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            count(col("_cnt")).as("n_known"),
+            sum(coalesce(col("_cnt"), lit(0L))).as("score"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+            col("score"),
+            (col("n_known") * 10 >= col("n_bigrams") * 8)
+              .cast("long").as("lm_keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (${TextOps.wordShingleSql(2)}),
+              |model AS (SELECT el, count(*) AS cnt FROM sh
+              |          WHERE doc_id < 50 GROUP BY el),
+              |j AS (SELECT sh.doc_id, model.cnt
+              |      FROM sh LEFT JOIN model USING (el))
+              |SELECT doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_bigrams,
+              |  CAST(count(cnt) AS BIGINT) AS n_known,
+              |  CAST(sum(coalesce(cnt, 0)) AS BIGINT) AS score,
+              |  CAST(CASE WHEN count(cnt) * 10 >= count(*) * 8
+              |    THEN 1 ELSE 0 END AS BIGINT) AS lm_keep
+              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -339,6 +339,69 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dd14 bloom prefilter: no false negatives, low false-positive rate") {
+    val got = run("dd14_bloom_prefilter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // a true dup shares the content hash, hence every probe position:
+    // bloom MUST flag it (the classic bloom-filter contract)
+    val falseNeg = got.filter(t => t._3 == 1L && t._2 == 0L)
+    assert(falseNeg.isEmpty, s"bloom false negatives: ${falseNeg.take(5).toSeq}")
+    // false_pos is exactly (bloom_hit && !is_dup) row-wise
+    got.foreach { t =>
+      assert(t._4 == (if (t._2 == 1L && t._3 == 0L) 1L else 0L),
+        s"false_pos marker inconsistent on row $t")
+    }
+    // fill factor here is ~4·|hist| / 65536 ≈ 2%, so fpp ≈ fill^4 ≈ 0 —
+    // a loose 5% ceiling still catches a broken position derivation
+    // (e.g. all probes landing in a constant bit)
+    val fp = got.count(_._4 == 1L)
+    assert(fp.toDouble / got.length < 0.05,
+      s"false-positive rate ${fp.toDouble / got.length} over 5%")
+  }
+
+  test("tx16 lm bigram score: reference slice self-covers; score bounds hold") {
+    val got = run("tx16_lm_bigram_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    // every bigram of a reference doc is in the model by construction
+    got.filter(_._1 < 50).foreach { t =>
+      assert(t._3 == t._2 && t._5 == 1L,
+        s"reference doc ${t._1} not fully known: $t")
+    }
+    got.foreach { t =>
+      // each known occurrence contributes >= 1; unknown contribute 0
+      assert(t._3 <= t._2 && t._4 >= t._3,
+        s"score bounds violated on $t")
+      // flag is exactly the 80% coverage cross-multiplication
+      assert(t._5 == (if (t._3 * 10 >= t._2 * 8) 1L else 0L),
+        s"lm_keep inconsistent on $t")
+    }
+  }
+
+  test("mm04 media neardup: identical payloads pair at l1=0; verified pairs obey the threshold") {
+    import spark.implicits._
+    // 3 identical payloads + 20 fillers with distinct char distributions
+    val rnd = new scala.util.Random(23)
+    val fillers = (10 until 30).map { i =>
+      val ch = ('a' + (i % 26)).toChar
+      (i.toLong, (s"$ch" * (20 + rnd.nextInt(60))) + " " + ("Z" * (i % 7)))
+    }
+    val rows = Seq(0L, 1L, 2L).map(id => (id, "the same media payload bytes")) ++ fillers
+    val dir = java.nio.file.Files.createTempDirectory("mm04-planted").toString
+    plantDocs(rows.toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("mm04_media_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    // identical payloads share the exact histogram: all three pairs, l1=0
+    for (p <- Seq((0L, 1L), (0L, 2L), (1L, 2L))) {
+      assert(pairs(p), s"identical-payload pair $p missing from $pairs")
+    }
+    got.filter(t => t._1 <= 2 && t._2 <= 2).foreach(t =>
+      assert(t._3 == 0L, s"identical payloads scored l1=${t._3}"))
+  }
+
   test("ss06 kNN graph: planted clusters dominate each member's neighbor list") {
     // 10 clusters of 4 near-identical vectors (one component nudged
     // per member) among 200 random fillers: each member's 3
