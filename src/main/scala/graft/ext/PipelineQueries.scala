@@ -309,5 +309,63 @@ object PipelineQueries {
              |  CAST(pr AS BIGINT) AS priority
              |FROM r WHERE rk <= 10
              |ORDER BY source, rank""".stripMargin)),
+
+    CatalogQuery(
+      "dp08_temperature_sample",
+      "Count-adaptive temperature downsampling: per-source keep rate min(1, 8/sqrt(n_docs)) applied as a deterministic md5-fraction cut (sampled mass ∝ sqrt(source size))",
+      (s, dir) => {
+        // The data-driven half of mixture control: tx07 applies FIXED
+        // per-tier rates, dp04 fixed repeat factors — here the rate is
+        // derived from corpus statistics. Inverse-sqrt keep rates give
+        // sampled counts ∝ sqrt(n_s): temperature-style flattening
+        // (alpha = 0.5) that damps giant sources without starving small
+        // ones. Portability is why sqrt: IEEE requires sqrt (and /) be
+        // correctly rounded, so floor(524288 / sqrt(n)) is bit-exact in
+        // any engine — unlike pow(n, alpha) (libm, ulp-divergent) or a
+        // cross-source Σ n^alpha (fold-order-dependent). The keep test
+        // h16 < thr is a pure function of doc_id: resumable, engine-
+        // independent, and adding docs never flips old decisions within
+        // an unchanged source count. Two scans (stats, then probe) with
+        // the #sources-row stats relation broadcast — the scale shape;
+        // a window-over-source one-scan variant would shuffle the whole
+        // corpus by source and serialize giant sources (dp07's skew
+        // argument).
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+          conv(substring(md5(concat(lit("temp:"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long").as("h16"))
+        val stats = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("thr", least(lit(65536L),
+            floor(lit(524288.0) / sqrt(col("n_docs"))).cast("long")))
+        d.join(broadcast(stats), Seq("source"))
+          .groupBy(col("source"))
+          .agg(first(col("n_docs")).as("n_docs"),
+            first(col("thr")).as("thr"),
+            sum((col("h16") < col("thr")).cast("long")).as("n_kept"),
+            sum(when(col("h16") < col("thr"), col("n_tok"))
+              .otherwise(lit(0L))).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             |    ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS h16
+             |  FROM documents),
+             |st AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    least(65536, CAST(floor(524288.0 / sqrt(count(*))) AS BIGINT)) AS thr
+             |  FROM d GROUP BY source)
+             |SELECT d.source,
+             |  CAST(st.n_docs AS BIGINT) AS n_docs,
+             |  CAST(st.thr AS BIGINT) AS thr,
+             |  CAST(sum(CASE WHEN d.h16 < st.thr THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(sum(CASE WHEN d.h16 < st.thr THEN d.n_tok ELSE 0 END)
+             |    AS BIGINT) AS kept_tokens
+             |FROM d JOIN st USING (source)
+             |GROUP BY d.source, st.n_docs, st.thr
+             |ORDER BY d.source""".stripMargin)),
   )
 }

@@ -111,6 +111,73 @@ object EventsStream {
       }
   }
 
+  case class SessEvent(user_id: Long, ts_us: Long, cents: Long)
+  case class OpenSession(start_us: Long, last_us: Long, n: Long, cents: Long)
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+      n_events: Long, session_cents: Long)
+
+  /** Gap-based sessionization with CLOSED-session emission via
+    * flatMapGroupsWithState + event-time timeout — the
+    * arbitrary-stateful surface mapGroupsWithState can't express
+    * (zero-or-many outputs per invocation: a burst can close several
+    * sessions at once, a quiet user emits nothing until the watermark
+    * passes their gap). Batch twin: e03_sessionize (same 30-min gap;
+    * values accumulated as integer cents so streaming fold order can
+    * never drift from the batch sum). State per user is ONE open
+    * session (4 longs) regardless of history — the watermark timeout,
+    * not the data volume, bounds state size. */
+  def closedSessions(spark: SparkSession,
+      events: DataFrame): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap: it can never
+            // grow again — emit and clear
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, s.start_us, s.n, s.cents))
+          } else {
+            // merge sorted new events into the open session, closing on
+            // every >30-min gap (several sessions can close per batch)
+            val evs = batch.map(t => SessEvent(t._1, t._2, t._3)).toArray
+              .sortBy(_.ts_us)
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption
+            evs.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.last_us <= gapMs * 1000 =>
+                  open = Some(OpenSession(s.start_us, e.ts_us,
+                    s.n + 1, s.cents + e.cents))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.start_us, s.n, s.cents)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.cents))
+                case None =>
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1L, e.cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must sit strictly above the current watermark
+              state.setTimeoutTimestamp(math.max(s.last_us / 1000 + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: the streaming events join a static
     * customer dimension (broadcast — the stream side never shuffles
     * for the join, and the static side is re-read per micro-batch

@@ -402,6 +402,27 @@ class ExtSpec extends SparkSpec {
       assert(t._3 == 0L, s"identical payloads scored l1=${t._3}"))
   }
 
+  test("dp08 temperature sample: small sources keep everything, giant sources flatten to ~8/sqrt(n)") {
+    import spark.implicits._
+    val rows = (0 until 6400).map(i => (i.toLong, s"doc text number $i", "src_big")) ++
+      (6400 until 6450).map(i => (i.toLong, s"doc text number $i", "src_small"))
+    val dir = java.nio.file.Files.createTempDirectory("dp08-skew").toString
+    plantDocs(rows.toDF("doc_id", "text", "source"), dir)
+    val got = SparkEntry.queries("dp08_temperature_sample")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nS, thrS, keptS) = got("src_small")
+    assert(nS == 50 && thrS == 65536L && keptS == 50,
+      s"small source must keep everything: $got")
+    val (nB, thrB, keptB) = got("src_big")
+    assert(nB == 6400 && thrB == 524288L / 80L,
+      s"big-source threshold wrong: $got")
+    // expected keep rate thr/65536 = 10%; the md5 fraction is uniform
+    // enough that 6400 draws land well inside [7%, 13%]
+    assert(keptB > nB * 7 / 100 && keptB < nB * 13 / 100,
+      s"big source kept $keptB of $nB — outside the flattening band")
+  }
+
   test("ss06 kNN graph: planted clusters dominate each member's neighbor list") {
     // 10 clusters of 4 near-identical vectors (one component nudged
     // per member) among 200 random fillers: each member's 3

@@ -93,4 +93,38 @@ class StreamingSpec extends SparkSpec {
       .filter(col("n_events") =!= col("n_batch")).count()
     assert(mismatched == 0)
   }
+
+  test("flatMapGroupsWithState closed sessions match batch sessionization exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.closedSessions(spark, stream).toDF(),
+      "fmgws_test", OutputMode.Append())
+    assert(got.count() > 0, "no closed sessions emitted")
+    // independent batch ground truth: e03's lag/cumsum sessionization,
+    // extended with the session start and integer-cents value
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val sess = Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_us").isNull ||
+        col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("session_cents"))
+      .select("user_id", "session_start_us", "n_events", "session_cents")
+    // every emitted session is a real batch session, tuple-for-tuple
+    val unmatched = got.join(sess,
+      Seq("user_id", "session_start_us", "n_events", "session_cents"),
+      "left_anti").count()
+    assert(unmatched == 0,
+      s"$unmatched streamed sessions have no batch counterpart")
+    // and no session is emitted twice
+    assert(got.distinct().count() == got.count())
+  }
 }
