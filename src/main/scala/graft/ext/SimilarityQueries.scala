@@ -422,12 +422,24 @@ object SimilarityQueries {
     * the bucket minimum in oversized ones. Shared by dd12 (near-dup
     * pairs) and ss06 (kNN graph). */
   private[ext] def ndCandidates(e: DataFrame): DataFrame = {
-    val sigs = ndSigRows(e)
+    // Materialize the 8-table signature index ONCE (localCheckpoint —
+    // GC-freed blocks, no unpersist lifecycle needed in a catalog
+    // builder). Unmaterialized, the stats aggregation and the three
+    // pair branches each re-derive the whole union — measured 123
+    // parquet scans of embeddings in ss06's final plan (75 in dd12's)
+    // where the data needs ONE signature pass. This is orthogonal to
+    // the round-9 SHAPE A/B above (union vs repartition+posexplode):
+    // the union remains the per-branch scan shape for the single
+    // materialization pass; the checkpoint removes the re-derivation
+    // multiplier without adding the full-corpus exchange that made
+    // shape B 2.5× slower at 500k.
+    val sigs = ndSigRows(e).localCheckpoint(true)
     // one aggregation yields the size gate and the representative; the
     // join back is co-partitioned on the same (t, sig) key
     val stats = sigs.groupBy(col("t"), col("sig"))
       .agg(count(lit(1)).as("_n"), min(col("vec_id")).as("_rep"))
-    val tagged = sigs.join(stats, Seq("t", "sig"))
+    // read by both pair branches (small ×2 sides, chained) — see above
+    val tagged = sigs.join(stats, Seq("t", "sig")).localCheckpoint(true)
     val small = tagged.filter(col("_n") <= NdMaxBucket)
     val allPairs = small.as("x").join(small.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&

@@ -199,13 +199,23 @@ object TextOps {
 
   /** Banded-LSH candidate pairs from a signature frame. */
   private def candidatesFromSignatures(
-      mh: DataFrame,
+      mh0: DataFrame,
       idCol: String,
       numHashes: Int,
       rowsPerBand: Int,
       maxBucketSize: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val nBands = numHashes / rowsPerBand
+    // Materialize the signature frame ONCE (localCheckpoint — blocks
+    // freed when the RDD is GC'd, the CC loop's lifecycle). The plan
+    // below references it through stats AND the join-back AND all
+    // three pair branches; unmaterialized, each reference re-runs the
+    // full element-md5 + numHashes-way min aggregation — a measured 6×
+    // re-derivation (21 parquet scans in dd03's final plan, 5-6
+    // shingle passes where one suffices; ReusedExchange recovered only
+    // a third). The frame is narrow (id + numHashes longs), so the
+    // one-time block write is far below one recompute.
+    val mh = mh0.localCheckpoint(true)
     // bucket key = the band's minhash tuple rendered as a string — no
     // re-hash at all, so the key is reproducible in any engine (the
     // tuple IS the LSH identity; hashing it again only saved key bytes)
@@ -221,7 +231,10 @@ object TextOps {
     // the join back is co-partitioned on the same (band, bucket) key
     val stats = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_rep"))
+    // (id, band, bucket, size, rep) is read by all three pair branches
+    // (small ×2 sides, chained) — materialize rather than re-join 3×
     val tagged = buckets.join(stats, Seq("band", "bucket"))
+      .localCheckpoint(true)
 
     val small = tagged.filter(col("_n") <= maxBucketSize)
     val allPairs = small.as("x")
@@ -323,7 +336,10 @@ object TextOps {
       radius: Int): DataFrame = {
     require(segments >= 1 && radius >= 0)
     val nChunks = radius + 1
-    val sig = simhashSignatures(tok, idCol, segments)
+    // materialize the signature frame once (id + `segments` longs):
+    // both self-join sides re-derive it otherwise — token explode,
+    // (id, tok) pre-agg shuffle and md5 digests, twice per query
+    val sig = simhashSignatures(tok, idCol, segments).localCheckpoint(true)
     val starts = chunkStarts(32 * segments, nChunks)
     val chunks = sig.select(col(idCol) +: (0 until segments).map(k => col(s"_sig$k")) :+
       explode(array((0 until nChunks).map(c =>
