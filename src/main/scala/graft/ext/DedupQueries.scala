@@ -588,5 +588,99 @@ object DedupQueries {
            |FROM hit LEFT JOIN hh USING (chash)
            |ORDER BY doc_id""".stripMargin
       }),
+
+    CatalogQuery(
+      "dd15_substring_dedup",
+      "Exact repeated-substring detection (suffix-dedup shape, Lee et al. 2022 scaled to k=8 tokens): every 8-token window digested across the corpus, windows shared by >= 2 docs mark duplicated spans; per-doc duplicated-token fraction + keep flag",
+      (s, dir) => {
+        // The ExactSubstr dedup shape ("Deduplicating Training Data
+        // Makes Language Models Better", Lee et al. 2022): any k-token
+        // run appearing in two different documents is training-data
+        // duplication even when the documents as wholes are unrelated
+        // (license headers, quoted passages, syndicated paragraphs).
+        // The paper's suffix array is a single-machine structure; the
+        // distributed equivalent is stride-1 k-token windows — a
+        // shared run of length L >= k yields matching windows at EVERY
+        // alignment, so detection is exact for runs >= k regardless of
+        // where the run sits in each doc (no winnowing/stride recall
+        // loss). Costs, at 100 TB: window generation is the linear
+        // lead-window pass (wordShinglePosRows, one task per doc
+        // partition, skew-guarded); only the 16-byte md5 digest of
+        // each window shuffles, never the window text; doc-frequency
+        // is a two-level aggregation whose (digest, doc) distinct
+        // pre-aggregates map-side, so a boilerplate window present in
+        // a billion docs arrives at its reducer already folded to one
+        // row per upstream partition. Span accounting explodes dup
+        // windows × k — bounded by k × corpus tokens only when the
+        // ENTIRE corpus is duplicated; typically |dup windows| << |windows|.
+        val k = 8
+        val d = docs(s, dir).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val grams = TextOps
+          .wordShinglePosRows(docs(s, dir), "doc_id", "text", k)
+          .select(col("doc_id"), col("_pos").cast("long").as("pos"),
+            md5(col("_el")).as("gh"))
+        // windows in >= 2 distinct docs; both aggregation levels
+        // combine partially map-side (the dd07/tx14 lesson: never
+        // countDistinct over a skewed raw stream)
+        val dup = grams.select(col("gh"), col("doc_id")).distinct()
+          .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select(col("gh"))
+        val dupWin = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+        val nDup = dupWin.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_win"))
+        // exact covered-token count: overlapping windows union via
+        // distinct positions (k rows per dup window, k is a constant)
+        val covered = dupWin
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
+          .distinct()
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tok"))
+        d.join(nDup, Seq("doc_id"), "left")
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            when(col("n_tok") >= k, col("n_tok") - (k - 1))
+              .otherwise(0L).cast("long").as("n_win"),
+            coalesce(col("n_dup_win"), lit(0L)).as("n_dup_win"),
+            coalesce(col("dup_tok"), lit(0L)).as("dup_tok"))
+          .withColumn("dup_pct_e6",
+            round(col("dup_tok") * 1e6 / col("n_tok")).cast("long"))
+          .withColumn("keep", (col("dup_pct_e6") < 200000).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+             |  FROM documents),
+             |d AS (SELECT doc_id, len(tok) AS n_tok, tok FROM t),
+             |g AS (
+             |  SELECT doc_id, u['pos'] AS pos, md5(u['gram']) AS gh FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, n_tok - 6),
+             |      i -> {'pos': i - 1,
+             |            'gram': array_to_string(tok[i:i+7], ' ')})) AS u
+             |    FROM d WHERE n_tok >= 8)),
+             |df AS (SELECT gh FROM (
+             |    SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+             |  WHERE nd >= 2),
+             |dw AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (gh)),
+             |nd AS (SELECT doc_id, count(*) AS n_dup_win FROM dw
+             |       GROUP BY doc_id),
+             |cov AS (SELECT doc_id, count(*) AS dup_tok FROM (
+             |    SELECT DISTINCT doc_id, tp FROM (
+             |      SELECT doc_id, pos + unnest(range(0, 8)) AS tp FROM dw))
+             |  GROUP BY doc_id),
+             |o AS (
+             |  SELECT d.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             |    CAST(CASE WHEN n_tok >= 8 THEN n_tok - 7 ELSE 0 END
+             |      AS BIGINT) AS n_win,
+             |    CAST(coalesce(n_dup_win, 0) AS BIGINT) AS n_dup_win,
+             |    CAST(coalesce(dup_tok, 0) AS BIGINT) AS dup_tok,
+             |    CAST(round(coalesce(dup_tok, 0) * 1000000.0 / n_tok)
+             |      AS BIGINT) AS dup_pct_e6
+             |  FROM d LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id))
+             |SELECT doc_id, n_tok, n_win, n_dup_win, dup_tok, dup_pct_e6,
+             |  CAST(CASE WHEN dup_pct_e6 < 200000 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS keep
+             |FROM o
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -367,5 +367,58 @@ object PipelineQueries {
              |FROM d JOIN st USING (source)
              |GROUP BY d.source, st.n_docs, st.thr
              |ORDER BY d.source""".stripMargin)),
+
+    CatalogQuery(
+      "dp09_pack_manifest",
+      "Packed-batch manifest: dp01's chunk spans exploded to one row per (chunk, contributing doc) with in-doc token range and doc-start flag — the trainer-facing index of what is in every 256-token sequence",
+      (s, dir) => {
+        // dp01 answers "which chunks does doc d touch"; the trainer
+        // needs the transpose — "which doc slices compose chunk c"
+        // (attention-mask resets at doc boundaries, provenance audits,
+        // replaying one bad batch). Same closed-form offsets, then one
+        // explode over each doc's chunk span: output rows = Σ n_seqs ≈
+        // corpus_tokens/B + n_docs, linear, generated map-side after
+        // dp01's single per-bucket cumsum window. Rows come out keyed
+        // by (bucket, chunk) — exactly the layout a bucketed manifest
+        // write wants, no extra shuffle.
+        val b = 256L
+        val t = docs(s, dir).select(
+          col("doc_id"),
+          (col("doc_id") % 8).as("bucket"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val spans = t
+          .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+          .withColumn("chunk", explode(sequence(
+            expr(s"off div $b"), expr(s"(off + n_tok - 1) div $b"))))
+        spans.select(col("bucket"), col("chunk"), col("doc_id"),
+            greatest(col("chunk") * b - col("off"), lit(0L)).as("tok_from"),
+            (least(col("off") + col("n_tok"), (col("chunk") + 1) * b) -
+              greatest(col("off"), col("chunk") * b)).as("n_tok_in_chunk"),
+            (col("off") >= col("chunk") * b).cast("long").as("doc_start"))
+          .orderBy(col("bucket"), col("chunk"), col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, doc_id % 8 AS bucket,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, bucket, n_tok,
+             |    CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
+             |  FROM t),
+             |s AS (
+             |  SELECT doc_id, bucket, n_tok, off,
+             |    unnest(range(off // 256, (off + n_tok - 1) // 256 + 1)) AS chunk
+             |  FROM o)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(chunk AS BIGINT) AS chunk, doc_id,
+             |  CAST(greatest(chunk * 256 - off, 0) AS BIGINT) AS tok_from,
+             |  CAST(least(off + n_tok, (chunk + 1) * 256) -
+             |    greatest(off, chunk * 256) AS BIGINT) AS n_tok_in_chunk,
+             |  CAST(CASE WHEN off >= chunk * 256 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS doc_start
+             |FROM s ORDER BY bucket, chunk, doc_id""".stripMargin)),
   )
 }

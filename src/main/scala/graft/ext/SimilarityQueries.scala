@@ -238,6 +238,134 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- ss09: product quantization (fixed deterministic codebooks) ----
+
+  private[ext] val PqM = 32 // subspaces
+  private[ext] val PqSub = Dim / PqM // components per subspace
+  private[ext] val PqK = 16 // codes per subspace (4-bit codes)
+  private[ext] val PqShortlist = 50 // ADC shortlist depth before refine
+
+  /** 16-bit dyadic numerators of PQ sub-centroid (j, c): component i is
+    * `pqCentBits(j)(c)(i) / 65536` — bit-identical in both engines.
+    * Derivation (all plan-time Scala, nothing data-dependent): mix-hash
+    * uniform components in [−1/2, 1/2), scaled by sqrt(12/Dim) so the
+    * codeword rms norm matches the expected subvector norm
+    * sqrt(PqSub/Dim) of a unit Dim-vector (uniform[-1/2,1/2)^d has rms
+    * norm sqrt(d/12)), then re-quantized to 16-bit dyadics so the SQL
+    * literal is exact. The un-normalized spread matters: codewords at
+    * varied radii quantize subvector NORM as well as direction.
+    * Subspaces are 2-dim on purpose — 16 codewords in a 2-dim cell
+    * give ~22° angular granularity (vs 16 points lost in an 8-dim
+    * ball, which measured recall 0.14); 32 nibbles = 16 B/vector is
+    * still 32× compression. Distinct mix constants from
+    * `centroidBits`/`planeBits` so PQ cells don't correlate with the
+    * IVF partition or the ss02 tables. */
+  private[ext] lazy val pqCentBits: Array[Array[Array[Int]]] =
+    Array.tabulate(PqM, PqK) { (j, c) =>
+      val scale = math.sqrt(12.0 / Dim)
+      Array.tabulate(PqSub) { i =>
+        var h = ((j * PqK + c).toLong * 2654435761L) ^
+          (i.toLong * 2246822519L) ^ 0x9e3779b97f4a7c15L
+        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 29)
+        val u = (h & 0xffffL).toDouble / 65536.0 - 0.5
+        math.round(u * scale * 65536.0).toInt
+      }
+    }
+
+  private[ext] def pqCentVal(j: Int, c: Int, i: Int): Double =
+    pqCentBits(j)(c)(i).toDouble / 65536.0
+
+  /** Corpus-side PQ encoding: ALL M codes from one codegen'd
+    * `PqEncode` call (per-subspace argmin-distance, i.e. argmax
+    * v_j·c − ‖c‖²/2, first-max tiebreak) — the full codebook rides as
+    * one reference object, never as literals. One expression instead
+    * of M IvfAssign projections: the M-projection spelling (plus the
+    * M-term element_at score chain) failed Janino compilation and
+    * dropped the whole ADC stage to interpreted eval (4.3 s vs ~0.4 s
+    * at sf0.1). */
+  private[ext] def pqEncodeCol(s: SparkSession): Column = {
+    val planes = Array.tabulate(PqM, PqK, PqSub)((j, c, i) => pqCentVal(j, c, i))
+    val halfNorms = Array.tabulate(PqM, PqK) { (j, c) =>
+      val p = planes(j)(c)
+      var acc = 0.0; var i = 0
+      while (i < p.length) { acc += p(i) * p(i); i += 1 }
+      acc / 2.0
+    }
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("pq_encode",
+      exprs => graft.functions.PqEncode(exprs(0), planes, halfNorms),
+      "scala_udf")
+    call_function("pq_encode", col("v"))
+  }
+
+  /** DuckDB value oracle for ss09 — the same dyadic codebooks as SQL
+    * literals; encoding via first-max `list_position(cd, list_max(cd))`
+    * per subspace (IvfAssign's tiebreak); the ADC score spelled as an
+    * explicit left-associated 32-term sum of per-subspace CASE lookups,
+    * matching the Spark side's j-ascending `reduce(_ + _)` exactly (no
+    * SQL `sum()` whose fold order is unspecified); the 50-deep ADC
+    * shortlist and the exact-cosine rerank both mirror TopKByScore's
+    * (score DESC, id ASC) order. */
+  private[ext] def ss09OracleSql: String = {
+    def centLit(j: Int, c: Int): String =
+      (0 until PqSub).map(i => s"${pqCentBits(j)(c)(i)}.0/65536.0")
+        .mkString("[", ", ", "]")
+    def subExpr(j: Int) = s"nv[${j * PqSub + 1}:${(j + 1) * PqSub}]"
+    val subsCols = (0 until PqM).map(j => s"${subExpr(j)} AS sub$j")
+      .mkString(", ")
+    val cdCols = (0 until PqM).map { j =>
+      (0 until PqK).map(c =>
+        s"list_dot_product(sub$j, ${centLit(j, c)}) - " +
+          s"list_dot_product(${centLit(j, c)}, ${centLit(j, c)})/2")
+        .mkString(s"[", ", ", s"] AS cd$j")
+    }.mkString(", ")
+    val codeCols = (0 until PqM).map(j =>
+      s"list_position(cd$j, list_max(cd$j)) - 1 AS code$j").mkString(", ")
+    val terms = (0 until PqM).map { j =>
+      (0 until PqK).map(c =>
+        s"WHEN $c THEN list_dot_product(q.sub$j, ${centLit(j, c)})")
+        .mkString(s"CASE e.code$j ", " ", " END")
+    }
+    val score = terms.map(t => s"($t)").mkString(" + ")
+    s"""WITH raw AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+       |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    END AS nv
+       |  FROM raw),
+       |subs AS (SELECT vec_id, $subsCols FROM n),
+       |cds AS (SELECT *, $cdCols FROM subs),
+       |enc AS (SELECT *, $codeCols FROM cds),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |    $score AS adc
+       |  FROM enc e JOIN subs q ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, neighbor_id) AS rk
+       |  FROM scored),
+       |short AS (SELECT q_id, neighbor_id FROM ranked
+       |          WHERE rk <= $PqShortlist),
+       |rr AS (
+       |  SELECT s.q_id, s.neighbor_id,
+       |    list_dot_product(qn.nv, xn.nv) AS cos
+       |  FROM short s
+       |  JOIN n qn ON qn.vec_id = s.q_id
+       |  JOIN n xn ON xn.vec_id = s.neighbor_id),
+       |rr2 AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM rr)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+       |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+       |FROM rr2 WHERE rk <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** 16-row (bucket, cent) frame of the fixed dyadic centroids —
     * broadcast-joined where a per-row centroid vector is needed (dd13's
     * keep rule scores each member against its own cluster centroid).
@@ -968,5 +1096,79 @@ object SimilarityQueries {
              |SELECT doc_id, bm25_e6,
              |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
              |FROM rr ORDER BY cos_e6 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    CatalogQuery(
+      "ss09_ann_pq",
+      "Product-quantization ANN with refine (FAISS PQ+refine shape): 32 subspaces x 16 fixed dyadic codewords encode each vector as 32 4-bit codes; ADC lookup-table scan shortlists 50, exact cosine reranks to top-5",
+      (s, dir) => {
+        // The PQ memory lever, orthogonal to ss03b's bucket pruning
+        // and ss05's int8: a 64-double vector (512 B) becomes 32
+        // 4-bit codes (16 B — 32×), and the O(n) scan touches ONLY
+        // codes — 32 table lookups + 31 adds per item, no vector
+        // math (ADC: each query precomputes q_sub·codeword for all
+        // 32×16 codewords once; 512 length-2 dots on 10 rows, free).
+        // The standard refine stage then re-scores the 50-deep ADC
+        // shortlist with exact cosine on full vectors: per query the
+        // expensive math runs on 50 rows regardless of corpus size,
+        // and measured shortlist recall of the true top-5 is 1.0 at
+        // 50-deep (0.88 at 25, 0.64 at 10 — sf0.01). At 100 TB the
+        // scan is bandwidth-bound on 16-byte codes and the refine is
+        // an id-keyed join touching 50·|Q| vectors; compose with IVF
+        // probing (ss08's shape) for sublinear candidates. Codebooks
+        // here are fixed dyadic rationals (plan-time,
+        // data-independent) so the whole operator value-oracles; a
+        // production deployment would train them (k-means per
+        // subspace, ss03's engine-specific path) with an IDENTICAL
+        // plan shape.
+        graft.functions.VectorOps.register(s)
+        val e = embeddings(s, dir)
+        val shortTopk = udaf(new TopKByScore(PqShortlist))
+        val shortlist = pqAdcScored(s, dir)
+          .groupBy(col("q_id"))
+          .agg(shortTopk(col("adc"), col("vec_id")).as("top"))
+          .select(col("q_id"), explode(col("top.items.id")).as("vec_id"))
+        // refine: only the shortlist ids rejoin their full vectors
+        // (id-keyed; the 50·|Q|-row side broadcasts)
+        val qv = broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")))
+        topNeighbors(
+          broadcast(shortlist).join(e, Seq("vec_id")).join(qv, Seq("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
+      },
+      Some(ss09OracleSql)),
   )
+
+  /** ss09's O(n) ADC stage: (q_id, vec_id, adc) for every
+    * (query, corpus item) pair — corpus items carry only their 32
+    * 4-bit codes; the score is 32 lookup-table reads summed in a
+    * fixed j-ascending add chain (left-to-right, matching the
+    * oracle's literal `+` chain bit for bit). Exposed separately so
+    * the spec can measure ADC-stage ranking quality at depths below
+    * the refine shortlist. */
+  private[graft] def pqAdcScored(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val e = embeddings(s, dir)
+    // corpus side: all 32 codes from ONE codegen'd PqEncode call
+    val codes = e.select(col("vec_id"), pqEncodeCol(s).as("codes"))
+    // query side: the M×K ADC lookup table from ONE codegen'd
+    // PqAdcTable call (entry adc[j][c] = q_sub_j · codeword_jc, same
+    // left-to-right dot as the oracle's list_dot_product). The
+    // localCheckpoint materializes the 10 tables behind an exchange
+    // barrier so the projection can never collapse into the scan
+    // stage's generated method.
+    val planes = Array.tabulate(PqM, PqK, PqSub)((j, c, i) => pqCentVal(j, c, i))
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("pq_adc_table",
+      exprs => graft.functions.PqAdcTable(exprs(0), planes), "scala_udf")
+    val probes = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        call_function("pq_adc_table", col("v")).as("adc"))
+      .localCheckpoint(true))
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("pq_adc_sum",
+      exprs => graft.functions.PqAdcSum(exprs(0), exprs(1)), "scala_udf")
+    codes.crossJoin(probes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        call_function("pq_adc_sum", col("codes"), col("adc")).as("adc"))
+  }
 }

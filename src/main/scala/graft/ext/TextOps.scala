@@ -69,14 +69,7 @@ object TextOps {
             "window pass would serialize in one task. Chunk oversized " +
             "documents first (dd09-style fixed-size token windows), or " +
             "raise spark.conf graft.ext.maxDocTokens."))).isNull)
-    val toks = guarded.select(col(idCol),
-      posexplode(col("_t")).as(Seq("_pos", "_tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val leads = (1 until n).map(j => lead(col("_tok"), j).over(w))
-    val shingled = toks
-      .select(col(idCol), concat_ws(" ", (col("_tok") +: leads): _*).as("_el"),
-        leads.last.isNotNull.as("_full"))
-      .filter(col("_full"))
+    val shingled = wordShinglePosRows(df, idCol, textCol, n)
       .select(col(idCol), col("_el"))
     // docs with < n tokens: fall back to the whole trimmed text
     // (computed narrowly from the source — no join back)
@@ -84,6 +77,41 @@ object TextOps {
       .filter(size(tokens(col(textCol))) < n)
       .select(col(idCol), trim(col(textCol)).as("_el"))
     shingled.union(short)
+  }
+
+  /** (id, _pos, _el) POSITIONED n-token window rows, stride 1 —
+    * `wordShingleRows`' positioned sibling for operators that need the
+    * window's 0-based start token (dd15's duplicated-span accounting).
+    * Documents shorter than n tokens contribute NO rows (they cannot
+    * contain an n-token window); callers wanting the whole-text
+    * fallback use `wordShingleRows`. Same plan shape and per-document
+    * skew guard: one posexplode + one lead-window pass per doc, all
+    * inside codegen. */
+  def wordShinglePosRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"positioned shingle size must be >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val maxTokens = df.sparkSession.conf
+      .getOption("graft.ext.maxDocTokens").map(_.toLong).getOrElse(1000000L)
+    val guarded = df
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .filter(assert_true(size(col("_t")) <= maxTokens,
+        concat(lit("wordShingleRows: document "), col(idCol).cast("string"),
+          lit(" has "), size(col("_t")).cast("string"),
+          lit(s" tokens > graft.ext.maxDocTokens=$maxTokens; its shingle " +
+            "window pass would serialize in one task. Chunk oversized " +
+            "documents first (dd09-style fixed-size token windows), or " +
+            "raise spark.conf graft.ext.maxDocTokens."))).isNull)
+    val toks = guarded.select(col(idCol),
+      posexplode(col("_t")).as(Seq("_pos", "_tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val leads = (1 until n).map(j => lead(col("_tok"), j).over(w))
+    toks
+      .select(col(idCol), col("_pos"),
+        concat_ws(" ", (col("_tok") +: leads): _*).as("_el"),
+        leads.last.isNotNull.as("_full"))
+      .filter(col("_full"))
+      .select(col(idCol), col("_pos"), col("_el"))
   }
 
   /** (id, char n-gram) rows — explode positions, substring in codegen;

@@ -761,5 +761,66 @@ object TextQueries {
               |  CAST(CASE WHEN count(cnt) * 10 >= count(*) * 8
               |    THEN 1 ELSE 0 END AS BIGINT) AS lm_keep
               |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx17_novelty_score",
+      "Per-document novelty accounting: fraction of a doc's 8-token windows whose corpus-wide FIRST carrier (min doc_id = ingestion order) is the doc itself — dedup-aware data-valuation (how many new spans each doc contributes)",
+      (s, dir) => {
+        // Curation wants to know not just "is this a duplicate" but
+        // "how much NEW text does each doc add" — the marginal-value
+        // ordering behind dedup-aware sampling. A window is novel for
+        // the doc that introduced it (keep-first convention, dd02):
+        // first carrier = min(doc_id) over the window's occurrences.
+        // Same scale shape as dd15: only 16-byte digests shuffle, the
+        // first-carrier table is a map-side-combining min aggregation,
+        // and the count-back join co-partitions on the digest. Docs
+        // shorter than the window default to fully novel (no
+        // duplication evidence against them).
+        val k = 8
+        val d = docs(s, dir).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val grams = TextOps
+          .wordShinglePosRows(docs(s, dir), "doc_id", "text", k)
+          .select(col("doc_id"), md5(col("_el")).as("gh"))
+        val firstDoc = grams.groupBy(col("gh"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        val perDoc = grams.join(firstDoc, "gh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_win"),
+            sum((col("doc_id") === col("first_doc")).cast("long"))
+              .as("n_novel"))
+        d.join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            coalesce(col("n_win"), lit(0L)).as("n_win"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .withColumn("novelty_pct_e6",
+            when(col("n_win") === 0, lit(1000000L))
+              .otherwise(round(col("n_novel") * 1e6 / col("n_win"))
+                .cast("long")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+             |  FROM documents),
+             |d AS (SELECT doc_id, len(tok) AS n_tok, tok FROM t),
+             |g AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(tok[i:i+7], ' ')) AS gh FROM (
+             |    SELECT doc_id, tok, unnest(range(1, len(tok) - 6)) AS i
+             |    FROM d WHERE len(tok) >= 8)),
+             |fd AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh),
+             |pd AS (
+             |  SELECT g.doc_id, count(*) AS n_win,
+             |    sum(CASE WHEN g.doc_id = fd.first_doc THEN 1 ELSE 0 END)
+             |      AS n_novel
+             |  FROM g JOIN fd USING (gh) GROUP BY g.doc_id)
+             |SELECT d.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             |  CAST(coalesce(n_win, 0) AS BIGINT) AS n_win,
+             |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+             |  CAST(CASE WHEN coalesce(n_win, 0) = 0 THEN 1000000
+             |    ELSE round(n_novel * 1000000.0 / n_win) END AS BIGINT)
+             |    AS novelty_pct_e6
+             |FROM d LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -178,6 +178,61 @@ object EventsStream {
       }
   }
 
+  case class CentEvent(user_id: Long, cents: Long)
+  case class UserTotals(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Per-user running totals on `transformWithState` — Spark 4's
+    * arbitrary-state API v2 (typed named state via a
+    * StatefulProcessorHandle, per-state TTL, timers; requires the
+    * RocksDB state store). Deliberately the functional twin of
+    * [[userRunningTotals]] so the spec cross-checks BOTH stateful APIs
+    * against the same batch ground truth; values accumulate as integer
+    * cents so micro-batch fold order can never drift from the batch
+    * sum. State is one 3-long record per user — at production volume
+    * the RocksDB store spills it off-heap, which is exactly why the
+    * operator mandates that provider. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, CentEvent, UserTotals] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CentEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get()
+        else UserTotals(key, 0L, 0L)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserTotals(key, acc.n_events + 1, acc.total_cents + e.cents)
+      }
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Driver for [[UserTotalsProcessor]]. Update-mode emission: the
+    * last emitted row per user is the final total (the spec takes
+    * max). Sets the RocksDB state store provider on the session —
+    * transformWithState refuses the default HDFS-backed store. */
+  def userTotalsV2(spark: SparkSession,
+      events: DataFrame): Dataset[UserTotals] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[CentEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-static enrichment: the streaming events join a static
     * customer dimension (broadcast — the stream side never shuffles
     * for the join, and the static side is re-read per micro-batch

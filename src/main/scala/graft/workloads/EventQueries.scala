@@ -159,5 +159,43 @@ object EventQueries {
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY 1, 2
              |ORDER BY hour_start, c_mktsegment""".stripMargin)),
+
+    CatalogQuery(
+      "e07_interval_join",
+      "Purchase-to-click attribution: each purchase joined to the same user's clicks in the preceding hour — batch twin of the stream-stream interval join (EventsStream.purchaseAttribution)",
+      (s, dir) => {
+        // The equi-key (user_id) carries the shuffle; the time range is
+        // a join-condition filter evaluated on co-partitioned rows, so
+        // no time-bucketing blowup and no cross join. The streaming
+        // twin bounds the same computation's state with watermarks
+        // (EventsStream.purchaseAttribution); lag is an exact integer
+        // microsecond difference so the row set value-oracles with no
+        // fp parity concern.
+        val e = ev(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("click_us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("purchase_us"))
+        purchases.join(clicks,
+            col("p_user") === col("c_user") &&
+              col("click_us") >= col("purchase_us") - lit(3600000000L) &&
+              col("click_us") <= col("purchase_us"))
+          .select(col("p_user").as("user_id"), col("purchase_id"),
+            col("click_id"),
+            (col("purchase_us") - col("click_us")).as("lag_us"))
+          .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |  c.event_id AS click_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+             |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+             |WHERE p.event_type = 'purchase'
+             |ORDER BY 1, 2, 3""".stripMargin)),
   )
 }

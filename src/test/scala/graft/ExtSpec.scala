@@ -1090,4 +1090,92 @@ class ExtSpec extends SparkSpec {
     val got = ds.select(graft.functions.Aggregators.GeometricMean.toColumn).collect()(0)
     assert(math.abs(got - math.sqrt(8.0)) < 1e-12)
   }
+
+  test("dd15 substring dedup: shared 8-token run detected at ANY alignment; exact dup fully covered") {
+    // doc 0 carries a shared 8-token run at offset 0; doc 1 carries the
+    // SAME run at offset 4 (different alignment — the case a strided/
+    // winnowed scheme can miss and stride-1 windows cannot); docs 2,3
+    // are exact duplicates (every window dup, dup_pct = 100%); doc 4 is
+    // clean; doc 5 is shorter than the window (no windows possible).
+    import spark.implicits._
+    val sharedRun = (0 until 8).map(i => s"shared$i").mkString(" ")
+    val d0 = sharedRun + " " + (0 until 8).map(i => s"a$i").mkString(" ")
+    val d1 = (0 until 4).map(i => s"b$i").mkString(" ") + " " + sharedRun +
+      " " + (0 until 4).map(i => s"c$i").mkString(" ")
+    val dupText = (0 until 12).map(i => s"e$i").mkString(" ")
+    val d4 = (0 until 16).map(i => s"z$i").mkString(" ")
+    val d5 = (0 until 5).map(i => s"s$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("dd15-planted").toString
+    plantDocs(Seq((0L, d0), (1L, d1), (2L, dupText), (3L, dupText),
+      (4L, d4), (5L, d5)).toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("dd15_substring_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))))
+      .toMap
+    // (n_tok, n_win, n_dup_win, dup_tok, keep)
+    assert(got(0L) == ((16L, 9L, 1L, 8L, 0L)), s"doc0: ${got(0L)}")
+    assert(got(1L) == ((16L, 9L, 1L, 8L, 0L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((12L, 5L, 5L, 12L, 0L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((12L, 5L, 5L, 12L, 0L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((16L, 9L, 0L, 0L, 1L)), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((5L, 0L, 0L, 0L, 1L)), s"doc5: ${got(5L)}")
+  }
+
+  test("tx17 novelty: first carrier owns shared windows; exact dup contributes zero") {
+    // same planted corpus shape as the dd15 spec: the run's single
+    // window belongs to doc 0 (first carrier), doc 1 re-uses it; docs
+    // 2/3 are exact dups so doc 3 contributes NOTHING new; doc 5 is
+    // shorter than the window -> fully novel by convention
+    import spark.implicits._
+    val sharedRun = (0 until 8).map(i => s"shared$i").mkString(" ")
+    val d0 = sharedRun + " " + (0 until 8).map(i => s"a$i").mkString(" ")
+    val d1 = (0 until 4).map(i => s"b$i").mkString(" ") + " " + sharedRun +
+      " " + (0 until 4).map(i => s"c$i").mkString(" ")
+    val dupText = (0 until 12).map(i => s"e$i").mkString(" ")
+    val d4 = (0 until 16).map(i => s"z$i").mkString(" ")
+    val d5 = (0 until 5).map(i => s"s$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("tx17-planted").toString
+    plantDocs(Seq((0L, d0), (1L, d1), (2L, dupText), (3L, dupText),
+      (4L, d4), (5L, d5)).toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("tx17_novelty_score")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (n_win, n_novel, novelty_pct_e6)
+    assert(got(0L) == ((9L, 9L, 1000000L)), s"doc0: ${got(0L)}")
+    assert(got(1L) == ((9L, 8L, 888889L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((5L, 5L, 1000000L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((5L, 0L, 0L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((9L, 9L, 1000000L)), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((0L, 0L, 1000000L)), s"doc5: ${got(5L)}")
+  }
+
+  test("ss09 PQ+refine: refined top-5 nearly exact; raw ADC stage ranks well at shallow depth") {
+    val exact = run("ss01_ann_bruteforce").select("q_id", "neighbor_id")
+    val pq = run("ss09_ann_pq").cache()
+    val counts = pq.groupBy("q_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5L))
+    val nExact = exact.count()
+    val overlap = exact.join(pq.select("q_id", "neighbor_id"),
+      Seq("q_id", "neighbor_id"), "left_semi").count()
+    // the exact rerank recovers whatever the 50-deep ADC shortlist
+    // captures (measured 1.0 at sf0.01; sf0.001's corpus is smaller
+    // than the shortlist, so anything under ~1.0 is a real defect)
+    assert(overlap.toDouble / nExact >= 0.9,
+      s"PQ+refine recall collapsed: $overlap/$nExact < 0.9")
+    // and the UNREFINED ADC ordering itself must carry signal at a
+    // depth far below the shortlist: top-10 by raw ADC score should
+    // already contain a decent share of the true top-5 (0.64 measured
+    // at sf0.01) — this is what makes a 25-50 deep shortlist viable
+    import org.apache.spark.sql.expressions.Window
+    val adc10 = SimilarityQueries.pqAdcScored(spark, sfDir)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val adcHit = exact.join(adc10, Seq("q_id", "neighbor_id"), "left_semi")
+      .count()
+    assert(adcHit.toDouble / nExact >= 0.4,
+      s"raw ADC@10 recall collapsed: $adcHit/$nExact < 0.4")
+    pq.unpersist()
+  }
 }

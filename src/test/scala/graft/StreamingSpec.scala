@@ -94,6 +94,27 @@ class StreamingSpec extends SparkSpec {
     assert(mismatched == 0)
   }
 
+  test("transformWithState running totals equal batch per-user totals (integer cents)") {
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.userTotalsV2(spark, stream).toDF(),
+      "tws_test", OutputMode.Update())
+    // final state per user = the max emission (totals only grow)
+    val finalState = got.groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max("total_cents").as("total_cents"))
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(round(col("value") * 100).cast("long")).as("cents_batch"))
+    val mismatched = finalState.join(batch, "user_id")
+      .filter(col("n_events") =!= col("n_batch") ||
+        col("total_cents") =!= col("cents_batch")).count()
+    assert(mismatched == 0)
+    assert(finalState.count() == batch.count(),
+      "transformWithState lost or invented a user key")
+  }
+
   test("flatMapGroupsWithState closed sessions match batch sessionization exactly") {
     import org.apache.spark.sql.expressions.Window
     val stream = EventsStream.readEvents(spark, sfDir)
