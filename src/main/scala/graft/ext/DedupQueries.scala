@@ -56,6 +56,105 @@ object DedupQueries {
         round(cos * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Shared DuckDB oracle for dd08 and dd16 — both compute min-id
+    * component labels over the cosine ≥ 0.4 pair graph; the oracle's
+    * recursive CTE materializes full reachability then takes the min
+    * (fine at oracle scale; the Spark sides are the scale paths). */
+  private val ccOracleSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id,
+      |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+      |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+      |    END AS nv
+      |  FROM e),
+      |p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.nv, b.nv) >= 0.4),
+      |ed AS (SELECT a_id AS s, b_id AS d FROM p
+      |       UNION ALL SELECT b_id, a_id FROM p),
+      |verts AS (SELECT DISTINCT s AS v FROM ed),
+      |reach(v, x) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT r.v, ed.d FROM reach r JOIN ed ON ed.s = r.x)
+      |SELECT v AS vec_id, CAST(min(x) AS BIGINT) AS component
+      |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin
+
+  /** One large-star round: for each node u of the undirected view,
+    * m = min(N(u) ∪ {u}); rewire every strictly-larger neighbor to m.
+    * Output edges satisfy u > v (child → smaller parent). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    und.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+      .distinct()
+  }
+
+  /** One small-star round over child→parent edges (u > v invariant):
+    * for each u, m = min(parents(u)); rewire u and every non-min
+    * parent to m. Preserves the u > v invariant. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction ("Connected Components in MapReduce and Beyond",
+    * Kiveris et al. 2014) — the round-robust scale path next to
+    * [[minLabelComponents]]. Min-label propagation needs rounds =
+    * component DIAMETER: ideal for near-dup clusters (star-like,
+    * diameter ≤ ~3), catastrophic for chain-shaped components
+    * (co-reference chains, adversarial layouts — O(n) rounds). Star
+    * contraction roughly halves tree heights every (large, small)
+    * pair, converging in O(log n) rounds on ANY topology; each round
+    * is one aggregation + one co-partitioned join per star, the same
+    * per-round cost class as a propagation round. Convergence test =
+    * (count, hash-sum) signature equality of the edge relation — one
+    * tiny driver-side pair per round, never the edges themselves.
+    * Returns (v, lbl = min id of v's component) over exactly the
+    * vertex set of `pairs`, plus the round count (spec surface). */
+  private[graft] def starComponentsWithRounds(
+      pairs: DataFrame, what: String): (DataFrame, Int) = {
+    var e = pairs.toDF("u", "v")
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    def sig(d: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent AND overflow-free under
+      // ANSI mode (sum of 64-bit hashes throws ARITHMETIC_OVERFLOW)
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = (-1L, 0L)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 30) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = sig(e)
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    require(converged,
+      s"$what star contraction did not converge within $rounds rounds")
+    // at the fixpoint e is child→root star edges; roots never appear
+    // as a child, so label = root where an edge exists, self otherwise
+    val verts = pairs.select(col("a_id").as("x"))
+      .union(pairs.select(col("b_id").as("x"))).distinct()
+    val labels = verts.join(e, verts("x") === e("u"), "left")
+      .select(col("x").as("v"), coalesce(e("v"), col("x")).as("lbl"))
+    (labels, rounds)
+  }
+
   /** Connected components over an undirected pair set (a_id, b_id) by
     * Pregel-style iterative min-label propagation; returns (v, lbl)
     * with lbl = min id reachable from v. Shared by dd08 (cosine pairs)
@@ -268,27 +367,7 @@ object DedupQueries {
       },
       // the recursive CTE materializes full reachability then takes the
       // min — fine at oracle scale; the Spark side is the scale path
-      Some("""WITH RECURSIVE e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |n AS (
-             |  SELECT vec_id,
-             |    CASE WHEN list_dot_product(v, v) = 0 THEN v
-             |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-             |    END AS nv
-             |  FROM e),
-             |p AS (
-             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-             |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-             |  WHERE list_dot_product(a.nv, b.nv) >= 0.4),
-             |ed AS (SELECT a_id AS s, b_id AS d FROM p
-             |       UNION ALL SELECT b_id, a_id FROM p),
-             |verts AS (SELECT DISTINCT s AS v FROM ed),
-             |reach(v, x) AS (
-             |  SELECT v, v FROM verts
-             |  UNION
-             |  SELECT r.v, ed.d FROM reach r JOIN ed ON ed.s = r.x)
-             |SELECT v AS vec_id, CAST(min(x) AS BIGINT) AS component
-             |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin)),
+      Some(ccOracleSql)),
 
     CatalogQuery(
       "dd09_chunk_dedup",
@@ -682,5 +761,23 @@ object DedupQueries {
              |    AS keep
              |FROM o
              |ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "dd16_cc_star",
+      "Connected components by alternating large/small-star contraction (O(log n) rounds on ANY topology — the chain-robust scale path to dd08's diameter-bound propagation); same cosine >= 0.4 edges, same min-id labels",
+      (s, dir) => {
+        // identical input graph and output contract as dd08, different
+        // iteration engine: star contraction's round count is
+        // O(log n) regardless of component shape, where min-label
+        // propagation pays the component diameter. The spec proves
+        // both engines agree label-for-label and that a planted
+        // 200-node path (diameter 199 — propagation's worst case)
+        // converges in a handful of contraction rounds.
+        val pairs = embeddingNearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+        starComponentsWithRounds(pairs, "dd16")._1
+          .select(col("v").as("vec_id"), col("lbl").cast("long").as("component"))
+          .orderBy(col("vec_id"))
+      },
+      Some(ccOracleSql)),
   )
 }

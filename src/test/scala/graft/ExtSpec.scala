@@ -1121,6 +1121,27 @@ class ExtSpec extends SparkSpec {
     assert(got(5L) == ((5L, 0L, 0L, 0L, 1L)), s"doc5: ${got(5L)}")
   }
 
+  test("dd16 star contraction: label-parity with dd08's propagation; O(log n) rounds on a 200-node path") {
+    import spark.implicits._
+    // 1) engine parity on the fixture graph: identical (vec_id,
+    // component) rows from both CC engines
+    val viaStar = run("dd16_cc_star")
+    val viaProp = run("dd08_dedup_clusters")
+    assert(viaStar.except(viaProp).count() == 0 &&
+      viaProp.except(viaStar).count() == 0,
+      "star contraction and min-label propagation disagree on labels")
+    // 2) the shape that motivates the algorithm: a path graph of
+    // diameter 199 — min-label would need ~199 rounds (far past its
+    // round guard); star contraction must finish in O(log n)
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = graft.ext.DedupQueries
+      .starComponentsWithRounds(path, "spec-path")
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a path")
+    val bad = labels.filter(col("lbl") =!= 0L).count()
+    assert(bad == 0, s"$bad path nodes not labeled with the component min")
+    assert(labels.count() == 200)
+  }
+
   test("tx17 novelty: first carrier owns shared windows; exact dup contributes zero") {
     // same planted corpus shape as the dd15 spec: the run's single
     // window belongs to doc 0 (first carrier), doc 1 re-uses it; docs
