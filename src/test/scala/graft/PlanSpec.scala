@@ -379,6 +379,34 @@ class PlanSpec extends SparkSpec {
       s"bounded top-k aggregation missing:\n$plan")
   }
 
+  test("dd15: doc-frequency pre-folds map-side; only digests shuffle, no window") {
+    val plan = planOf(run("dd15_substring_dedup"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"doc-frequency not partial-aggregated:\n$plan")
+    assert(!plan.toLowerCase.contains("count(distinct"),
+      s"countDistinct over the raw window stream:\n$plan")
+  }
+
+  test("ss09: PQ scan carries pq_encode/pq_adc_sum codegen expressions, no per-subspace projections") {
+    val plan = planOf(run("ss09_ann_pq"))
+    assert(plan.contains("pq_encode") && plan.contains("pq_adc_sum"),
+      s"compact PQ expressions missing from the plan:\n$plan")
+    assert(!plan.contains("ivf_assign(slice"),
+      s"per-subspace IvfAssign projections crept back (Janino blowup):\n$plan")
+    assert(!plan.toLowerCase.contains("windowspecdefinition"),
+      s"window crept into the PQ ranking:\n$plan")
+  }
+
+  test("dp09: manifest is dp01's one bucket-window plus a generate — no extra shuffle") {
+    val plan = planOf(run("dp09_pack_manifest"))
+    // formatted mode lists each node once in the tree and once in the
+    // details, so count the numbered detail headers — one exchange for
+    // the bucket-cumsum window + one for the presentation sort
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"extra shuffles in the manifest plan ($exchanges):\n$plan")
+    assert(plan.contains("Generate"), s"chunk-span explode missing:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
