@@ -48,27 +48,11 @@ object TextOps {
   def wordShingleRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
-    import org.apache.spark.sql.expressions.Window
     if (n == 1)
       return df.select(col(idCol),
         explode(tokens(col(textCol))).as("_el"))
-    // Skew guard: the lead-window pass below partitions by doc id, so
-    // ONE pathological document (a 100 TB web corpus will have a few)
-    // would sort and shingle entirely inside a single task. Refuse it
-    // in-flight — assert_true evaluates inside the same codegen'd scan,
-    // no extra corpus pass — and name the remedy. The token array is
-    // materialized by the projection, so the guard reads it for free.
-    val maxTokens = df.sparkSession.conf
-      .getOption("graft.ext.maxDocTokens").map(_.toLong).getOrElse(1000000L)
-    val guarded = df
-      .select(col(idCol), tokens(col(textCol)).as("_t"))
-      .filter(assert_true(size(col("_t")) <= maxTokens,
-        concat(lit("wordShingleRows: document "), col(idCol).cast("string"),
-          lit(" has "), size(col("_t")).cast("string"),
-          lit(s" tokens > graft.ext.maxDocTokens=$maxTokens; its shingle " +
-            "window pass would serialize in one task. Chunk oversized " +
-            "documents first (dd09-style fixed-size token windows), or " +
-            "raise spark.conf graft.ext.maxDocTokens."))).isNull)
+    // the positioned sibling carries the lead-window pass AND the
+    // per-document skew guard (see wordShinglePosRows)
     val shingled = wordShinglePosRows(df, idCol, textCol, n)
       .select(col(idCol), col("_el"))
     // docs with < n tokens: fall back to the whole trimmed text
@@ -91,6 +75,12 @@ object TextOps {
       n: Int): DataFrame = {
     require(n >= 2, s"positioned shingle size must be >= 2, got $n")
     import org.apache.spark.sql.expressions.Window
+    // Skew guard: the lead-window pass below partitions by doc id, so
+    // ONE pathological document (a 100 TB web corpus will have a few)
+    // would sort and shingle entirely inside a single task. Refuse it
+    // in-flight — assert_true evaluates inside the same codegen'd scan,
+    // no extra corpus pass — and name the remedy. The token array is
+    // materialized by the projection, so the guard reads it for free.
     val maxTokens = df.sparkSession.conf
       .getOption("graft.ext.maxDocTokens").map(_.toLong).getOrElse(1000000L)
     val guarded = df
