@@ -324,5 +324,90 @@ object MultimodalQueries {
              |SELECT a_id, b_id, CAST(l1 AS BIGINT) AS l1
              |FROM v WHERE l1 * 10 <= ta + tb
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    CatalogQuery(
+      "mm05_alignment_filter",
+      "Text-media alignment filtering (LAION/CLIP-score shape): hashed bag-of-words text projection scored against the row's embedding by integer-exact cosine; keep pairs with alignment >= 0",
+      (s, dir) => {
+        // The multimodal-pair curation step: score how well a sample's
+        // text matches its media embedding, keep aligned pairs (LAION
+        // kept CLIP-score >= 0.28; the threshold here is 0 on a
+        // synthetic corpus). The text encoder is a feature-hashed
+        // bag-of-words projection into the embedding's 64 dims — a
+        // stand-in with the IDENTICAL plan shape as scoring against a
+        // real text-tower output (at scale that column arrives
+        // precomputed, exactly like the image embedding does). All
+        // alignment arithmetic is engine-exact: the projection is
+        // integer token counts per dim, the embedding quantizes to e6
+        // integers, so the cosine numerator is an exact LONG sum and
+        // the norms/divide are IEEE correctly-rounded sqrt/div.
+        // Shuffles: one (doc, dim) partial-agg, one (id, dim)
+        // co-partitioned join against the 64-row-per-vector component
+        // relation, one narrow per-vector norm agg — everything keyed,
+        // nothing quadratic.
+        val tok = Tables.table(s, dir, "documents").select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        val dim = (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(Int.MaxValue.toLong)) % 64).as("dim")
+        val tc = tok.select(col("doc_id"), dim)
+          .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("cnt"))
+        val comp = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("idx", "c")))
+          .select(col("vec_id"), col("idx").cast("long").as("idx"),
+            round(col("c") * 1e6).cast("long").as("c6"))
+        val ni = comp.groupBy(col("vec_id"))
+          .agg(sum(col("c6") * col("c6")).as("ni2"))
+        val agg = tc.join(comp,
+            tc("doc_id") === comp("vec_id") && tc("dim") === comp("idx"))
+          .groupBy(tc("doc_id"))
+          .agg(sum(col("cnt") * col("c6")).as("num"),
+            sum(col("cnt") * col("cnt")).as("nt2"))
+        agg.join(ni, agg("doc_id") === ni("vec_id"))
+          .select(col("doc_id"), col("num"),
+            when(col("ni2") === 0, lit(0L)).otherwise(
+              round(col("num") / (sqrt(col("nt2")) * sqrt(col("ni2"))) * 1e6)
+                .cast("long")).as("align_e6"))
+          .withColumn("keep", (col("align_e6") >= 0).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+             |  FROM documents),
+             |tc AS (
+             |  SELECT doc_id,
+             |    (('0x' || substr(md5(t), 1, 8))::BIGINT & 2147483647) % 64
+             |      AS dim,
+             |    count(*) AS cnt
+             |  FROM tok GROUP BY 1, 2),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             |      FROM embeddings),
+             |comp AS (
+             |  SELECT vec_id, u['idx'] AS idx, u['c6'] AS c6 FROM (
+             |    SELECT vec_id, unnest(list_transform(range(1, 65),
+             |      i -> {'idx': i - 1,
+             |            'c6': CAST(round(emb[i] * 1000000.0) AS BIGINT)})) AS u
+             |    FROM e)),
+             |ni AS (SELECT vec_id, sum(c6 * c6) AS ni2 FROM comp
+             |       GROUP BY vec_id),
+             |ag AS (
+             |  SELECT tc.doc_id, sum(tc.cnt * comp.c6) AS num,
+             |    sum(tc.cnt * tc.cnt) AS nt2
+             |  FROM tc JOIN comp
+             |    ON comp.vec_id = tc.doc_id AND comp.idx = tc.dim
+             |  GROUP BY tc.doc_id)
+             |SELECT ag.doc_id, CAST(num AS BIGINT) AS num,
+             |  CAST(CASE WHEN ni2 = 0 THEN 0
+             |    ELSE round(CAST(num AS DOUBLE) /
+             |      (sqrt(CAST(nt2 AS DOUBLE)) * sqrt(CAST(ni2 AS DOUBLE)))
+             |      * 1000000.0) END AS BIGINT) AS align_e6,
+             |  CAST(CASE WHEN (CASE WHEN ni2 = 0 THEN 0
+             |    ELSE round(CAST(num AS DOUBLE) /
+             |      (sqrt(CAST(nt2 AS DOUBLE)) * sqrt(CAST(ni2 AS DOUBLE)))
+             |      * 1000000.0) END) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM ag JOIN ni ON ni.vec_id = ag.doc_id
+             |ORDER BY ag.doc_id""".stripMargin)),
   )
 }

@@ -1187,6 +1187,20 @@ class ExtSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("mm05 alignment: scores are valid cosines, keep tracks the threshold, every paired row scored") {
+    val got = run("mm05_alignment_filter").cache()
+    // cosine bound: |align| <= 1 (in e6 fixed point)
+    assert(got.filter(abs(col("align_e6")) > 1000000L).count() == 0)
+    // keep is exactly the threshold predicate
+    assert(got.filter((col("align_e6") >= 0) =!=
+      (col("keep") === 1L)).count() == 0)
+    // one row per (doc, embedding) pair that exists
+    val nDocs = sources.Tables.table(spark, sfDir, "documents").count()
+    val nVecs = sources.Tables.table(spark, sfDir, "embeddings").count()
+    assert(got.count() == math.min(nDocs, nVecs))
+    got.unpersist()
+  }
+
   test("ss09 PQ+refine: refined top-5 nearly exact; raw ADC stage ranks well at shallow depth") {
     val exact = run("ss01_ann_bruteforce").select("q_id", "neighbor_id")
     val pq = run("ss09_ann_pq").cache()
