@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native DataSource V2 generator: the deterministic synthetic-table
+  * family (datagen.Generators' value = pure-hash-of-id contract)
+  * exposed as a first-class Spark source —
+  * `spark.read.format("graft-gen").option("rows", n)` — instead of a
+  * `spark.range` + expressions pipeline.
+  *
+  * Exists to exercise the connector surface the engine's other sources
+  * don't: schema inference via [[TableProvider]], column pruning via
+  * [[SupportsPushDownRequiredColumns]] (the reader materializes ONLY
+  * requested fields — a pruned scan does less work, not just less
+  * copying), id-range filter pushdown via [[SupportsPushDownFilters]]
+  * (range predicates narrow the generated id span BEFORE partition
+  * planning, the generator's equivalent of partition pruning), and
+  * explicit [[InputPartition]] planning (contiguous id spans, so a
+  * 1000-executor read is 1000 independent spans with zero coordination
+  * — the same property `spark.range` has, kept under a custom source).
+  *
+  * Options: `rows` (default 1000), `seed` (42), `partitions` (4).
+  * Schema: id BIGINT, grp BIGINT (100 groups), val BIGINT (1e6 range),
+  * tag STRING (8 values) — all pure splitmix64 functions of (id, seed),
+  * identical under any partitioning or pushdown.
+  */
+class GenSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-gen"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    def opt(k: String, d: String) =
+      Option(properties.get(k)).getOrElse(d)
+    new GenTable(opt("rows", "1000").toLong, opt("seed", "42").toLong,
+      opt("partitions", "4").toInt)
+  }
+}
+
+object GenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("grp", LongType, nullable = false),
+    StructField("val", LongType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+
+  /** splitmix64 of (id, seed) — the same pure-function-of-id value
+    * contract as datagen.Generators, implementable anywhere. */
+  def mix(id: Long, seed: Long): Long = {
+    var z = id * 0x9e3779b97f4a7c15L + seed * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+private[sources] class GenTable(rows: Long, seed: Long, parts: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_gen(rows=$rows, seed=$seed)"
+  override def schema(): StructType = GenSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, seed, parts)
+}
+
+private[sources] class GenScanBuilder(rows: Long, seed: Long, parts: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = GenSource.schema
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Range predicates on `id` narrow the generated span (generator-
+    * side partition pruning); everything else stays post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, rest) = filters.partition {
+      case GreaterThanOrEqual("id", _: java.lang.Long) => true
+      case GreaterThan("id", _: java.lang.Long) => true
+      case LessThan("id", _: java.lang.Long) => true
+      case LessThanOrEqual("id", _: java.lang.Long) => true
+      case EqualTo("id", _: java.lang.Long) => true
+      case _ => false
+    }
+    acc.foreach {
+      case GreaterThanOrEqual("id", v: java.lang.Long) =>
+        lo = math.max(lo, v.longValue)
+      case GreaterThan("id", v: java.lang.Long) =>
+        lo = math.max(lo, v.longValue + 1)
+      case LessThan("id", v: java.lang.Long) =>
+        hi = math.min(hi, v.longValue)
+      case LessThanOrEqual("id", v: java.lang.Long) =>
+        hi = math.min(hi, v.longValue + 1)
+      case EqualTo("id", v: java.lang.Long) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case _ => ()
+    }
+    accepted = acc
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new GenScan(lo, hi, seed, parts, required)
+}
+
+private[sources] class GenScan(lo: Long, hi: Long, seed: Long, parts: Int,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-gen [$lo, $hi) seed=$seed PushedIdRange: [$lo, $hi)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
+    (0 until parts).map { p =>
+      GenPartition(lo + n * p / parts, lo + n * (p + 1) / parts)
+        : InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(seed, required.fieldNames)
+}
+
+private[sources] case class GenPartition(start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class GenReaderFactory(seed: Long, fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GenPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = gp.start - 1
+      override def next(): Boolean = { cur += 1; cur < gp.end }
+      override def get(): InternalRow = {
+        // materialize ONLY the pruned fields, in the pruned order
+        val vals: Seq[Any] = fields.toSeq.map {
+          case "id" => cur
+          case "grp" => java.lang.Math.floorMod(GenSource.mix(cur, seed), 100L)
+          case "val" =>
+            java.lang.Math.floorMod(GenSource.mix(cur, seed + 1), 1000000L)
+          case "tag" => UTF8String.fromString(
+            "t" + java.lang.Math.floorMod(GenSource.mix(cur, seed + 2), 8L))
+        }
+        InternalRow.fromSeq(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
