@@ -285,4 +285,29 @@ object EventsStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** Idempotent micro-batch sink via `foreachBatch`: each batch lands
+    * as a parquet partition directory keyed by its batchId, written
+    * with a same-batch overwrite — so a REPLAYED batch (the at-least-
+    * once delivery Structured Streaming guarantees after a failure)
+    * overwrites its own previous attempt instead of appending
+    * duplicates. This is the standard exactly-once-to-storage recipe
+    * when the sink itself isn't transactional: (batchId, data) is
+    * deterministic per checkpoint, so overwrite-by-batchId makes the
+    * write idempotent. Returns the running query; callers stop it.
+    *
+    * At scale the same shape targets object storage with dynamic
+    * partition overwrite; the per-batch `coalesce` here only bounds
+    * tiny-file count for the fixture-sized batches. */
+  def runToIdempotentParquet(spark: SparkSession, df: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+      .outputMode(OutputMode.Append())
+      .start()
 }

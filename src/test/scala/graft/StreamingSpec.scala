@@ -94,6 +94,29 @@ class StreamingSpec extends SparkSpec {
     assert(mismatched == 0)
   }
 
+  test("foreachBatch idempotent sink: replaying the stream never duplicates rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fb-ckpt").toString
+    def runOnce(): Unit = {
+      val q = EventsStream.runToIdempotentParquet(spark,
+        EventsStream.readEvents(spark, sfDir), out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    val batchN = Tables.events(spark, sfDir).count()
+    assert(n1 == batchN, s"sink holds $n1 rows, source has $batchN")
+    // replay against a FRESH checkpoint (the failure-recovery shape:
+    // the same batches re-fire) — overwrite-by-batchId must keep the
+    // sink at exactly the source row count, never doubled
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-fb-ckpt2").toString
+    val q2 = EventsStream.runToIdempotentParquet(spark,
+      EventsStream.readEvents(spark, sfDir), out, ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 == batchN, s"replay duplicated rows: $n2 != $batchN")
+  }
+
   test("transformWithState running totals equal batch per-user totals (integer cents)") {
     val stream = EventsStream.readEvents(spark, sfDir)
     val got = EventsStream.runToMemory(spark,
