@@ -844,14 +844,20 @@ object TextQueries {
         val d = 4; val w = 256L; val p = 2147483647L
         val el = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 2)
           .select(col("_el"))
-        // materialized once (localCheckpoint): the table build AND the
-        // truth/probe pass both read it — unmaterialized, the shingle
-        // window + md5 run twice (measured 4.0 s -> 1.7 s at sf0.1,
-        // same narrow-frame tradeoff as dd12's signature index)
+        // Deliberately NOT materialized: the table build and the
+        // truth/probe pass each re-run the shingle+md5 projection (a
+        // MAP-ONLY pass, no shuffle). A/B-measured both ways: at
+        // sf0.1 a localCheckpoint wins (1.7 s vs 4.0 s — the frame is
+        // tiny), but at 500k docs it LOSES 2.5x (109.6 s vs 43.4 s —
+        // materializing 40M bigram rows costs more than recomputing
+        // them), and the scale direction is what a 100 TB deployment
+        // pays. Recompute-over-materialize is the right default for
+        // corpus-wide narrow map passes; contrast dd12's signature
+        // index, whose checkpointed frame is per-DOC (n rows), not
+        // per-occurrence.
         val hashed = el.select(col("_el"),
           (conv(substring(md5(col("_el")), 1, 8), 16, 10).cast("long")
             .bitwiseAND(lit(Int.MaxValue.toLong))).as("h"))
-          .localCheckpoint(true)
         def posArr = array((0 until d).map(i => struct(lit(i).as("r"),
           ((col("h") * lit(TextOps.uhA(i)) + lit(TextOps.uhB(i)))
             % lit(p) % lit(w)).as("p"))): _*)
