@@ -272,6 +272,31 @@ object EventsStream {
         col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** Left-OUTER stream-stream interval join: purchaseAttribution's
+    * condition, but purchases with NO click in their preceding hour
+    * still emit (null click columns) once the watermark proves no
+    * matching click can arrive — the harder outer-join semantics
+    * where the watermark doesn't just bound state, it GATES result
+    * emission (an unmatched row is only correct after event time has
+    * provably passed its join window). */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Drive a streaming DataFrame to completion against an in-memory
     * sink and return the materialized result (test/dev harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

@@ -55,6 +55,42 @@ class StreamingSpec extends SparkSpec {
     assert(expected > 0)
   }
 
+  test("left-outer interval join: matched rows equal the inner join; null rows are real no-click purchases") {
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.purchaseAttributionOuter(stream), "attr_outer_test",
+      OutputMode.Append()).cache()
+    val batch = Tables.events(spark, sfDir)
+    val clicks = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val cond = col("p_user") === col("c_user") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+      col("click_ts") <= col("purchase_ts")
+    // matched side must be EXACTLY the batch inner join
+    val inner = purchases.join(clicks, cond).count()
+    assert(got.filter(col("click_id").isNotNull).count() == inner)
+    // every null-click emission must be a purchase the batch left join
+    // also leaves unmatched (the watermark can withhold tail rows, but
+    // must never FABRICATE an unmatched row)
+    val batchUnmatched = purchases.join(clicks, cond, "left_outer")
+      .filter(col("click_id").isNull)
+      .select(col("purchase_id"))
+    val fabricated = got.filter(col("click_id").isNull)
+      .select(col("purchase_id"))
+      .join(batchUnmatched, Seq("purchase_id"), "left_anti").count()
+    assert(fabricated == 0,
+      s"$fabricated null-click rows have a matching click in batch")
+    // and some unmatched purchases must actually emit (the corpus is a
+    // month long; the final watermark closes nearly every window)
+    assert(got.filter(col("click_id").isNull).count() > 0,
+      "no unmatched purchases emitted — outer semantics not exercised")
+    got.unpersist()
+  }
+
   test("stream-static enrichment matches the batch join, closed windows only") {
     val stream = EventsStream.readEvents(spark, sfDir)
     val got = EventsStream.runToMemory(spark,
