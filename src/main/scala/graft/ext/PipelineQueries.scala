@@ -420,5 +420,88 @@ object PipelineQueries {
              |  CAST(CASE WHEN off >= chunk * 256 THEN 1 ELSE 0 END AS BIGINT)
              |    AS doc_start
              |FROM s ORDER BY bucket, chunk, doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "dp10_curation_funnel",
+      "Per-source curation funnel: exact-dedup keep-first -> quality gate -> eval decontamination, with surviving doc/token counts after each successive stage — the pipeline's attrition dashboard",
+      (s, dir) => {
+        // The report every curated-corpus release publishes (what
+        // fraction survived dedup? what did decontamination cost per
+        // source?). Each filter is the cheap inline form of a
+        // full-strength sibling op (dd02 exact dedup, tx02 quality
+        // metrics, tx08 eval-shingle decontamination); the funnel is
+        // their successive AND, aggregated per source. Scale shape:
+        // one corpus scan builds (hash, tokens, metrics); keep-first
+        // is a content-hash min aggregation (map-side combining, the
+        // dd02 shape); the contaminated-doc set comes from the
+        // broadcast eval-shingle probe (KB-sized by construction) and
+        // arrives as a LEFT join flag; the funnel itself is one
+        // per-source aggregate. No window anywhere.
+        val k = 4
+        val base = docs(s, dir).filter(col("doc_id") >= 20)
+        val toks = TextOps.tokens(col("text"))
+        val c = base.select(col("doc_id"), col("source"),
+          md5(trim(col("text"))).as("ch"),
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_dist"))
+        val kf = c.groupBy(col("ch")).agg(min(col("doc_id")).as("kf"))
+        val ev = TextOps.wordShingleRows(
+            docs(s, dir).filter(col("doc_id") < 20), "doc_id", "text", k)
+          .select(col("_el")).distinct()
+        val contam = TextOps.wordShingleRows(base, "doc_id", "text", k)
+          .join(broadcast(ev), "_el")
+          .select(col("doc_id")).distinct()
+          .withColumn("_c", lit(1))
+        val flags = c.join(kf, "ch")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("f_dedup", col("doc_id") === col("kf"))
+          .withColumn("f_quality",
+            col("n_tok") >= 20 && col("n_tok") <= 1000 &&
+              col("n_dist") * 10 >= col("n_tok") * 3)
+          .withColumn("f_decontam", col("_c").isNull)
+        val keptAll = col("f_dedup") && col("f_quality") && col("f_decontam")
+        flags.groupBy(col("source")).agg(
+            count(lit(1)).as("n_total"),
+            sum(col("f_dedup").cast("long")).as("n_after_dedup"),
+            sum((col("f_dedup") && col("f_quality")).cast("long"))
+              .as("n_after_quality"),
+            sum(keptAll.cast("long")).as("n_kept"),
+            sum(when(keptAll, col("n_tok")).otherwise(0L)).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, source, trim(text) AS tx,
+             |    regexp_split_to_array(trim(text), '\\s+') AS tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, md5(tx) AS ch,
+             |    CAST(len(tok) AS BIGINT) AS n_tok,
+             |    CAST(len(list_distinct(tok)) AS BIGINT) AS n_dist
+             |  FROM t WHERE doc_id >= 20),
+             |kf AS (SELECT ch, min(doc_id) AS kf FROM c GROUP BY ch),
+             |sh AS (${TextOps.wordShingleSql(4)}),
+             |ev AS (SELECT DISTINCT el FROM sh WHERE doc_id < 20),
+             |contam AS (
+             |  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (el)
+             |  WHERE s.doc_id >= 20),
+             |f AS (
+             |  SELECT c.source, c.n_tok,
+             |    (c.doc_id = kf.kf) AS f_dedup,
+             |    (c.n_tok BETWEEN 20 AND 1000 AND c.n_dist * 10 >= c.n_tok * 3)
+             |      AS f_quality,
+             |    (contam.doc_id IS NULL) AS f_decontam
+             |  FROM c JOIN kf USING (ch)
+             |  LEFT JOIN contam ON contam.doc_id = c.doc_id)
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(sum(CASE WHEN f_dedup THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_after_dedup,
+             |  CAST(sum(CASE WHEN f_dedup AND f_quality THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_after_quality,
+             |  CAST(sum(CASE WHEN f_dedup AND f_quality AND f_decontam
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN f_dedup AND f_quality AND f_decontam
+             |    THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

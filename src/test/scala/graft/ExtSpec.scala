@@ -1187,6 +1187,26 @@ class ExtSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("dp10 funnel: stages strictly nested, totals conserved, every stage attrits on the fixture") {
+    val got = run("dp10_curation_funnel").cache()
+    // funnel monotonicity per source: total >= dedup >= quality >= kept
+    assert(got.filter(col("n_after_dedup") > col("n_total") ||
+      col("n_after_quality") > col("n_after_dedup") ||
+      col("n_kept") > col("n_after_quality")).count() == 0)
+    // totals conserved vs the corpus slice the funnel covers
+    val corpus = sources.Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") >= 20).count()
+    val sums = got.agg(sum("n_total"), sum("n_after_dedup"),
+      sum("n_kept")).collect()(0)
+    assert(sums.getLong(0) == corpus)
+    // the funnel must actually attrit on the fixture (the sf0.001
+    // slice may carry no exact dups, so gate the OVERALL attrition,
+    // not a specific stage), and something must survive
+    assert(sums.getLong(2) < sums.getLong(0), "no stage removed anything")
+    assert(sums.getLong(2) > 0, "funnel removed everything")
+    got.unpersist()
+  }
+
   test("mm05 alignment: scores are valid cosines, keep tracks the threshold, every paired row scored") {
     val got = run("mm05_alignment_filter").cache()
     // cosine bound: |align| <= 1 (in e6 fixed point)
