@@ -28,23 +28,38 @@ object Bench {
       args.isEmpty || args.exists(q.name.contains))
     // Median-of-N per query (default 3, SPARK_GRAFT_BENCH_REPS=1 for dev
     // loops): single-pass timings on this class of VM swing ±20%+ and
-    // have manufactured phantom multi-x regressions on untouched queries;
-    // the median absorbs one bad rep without hiding a real slowdown.
+    // have manufactured phantom multi-x regressions on untouched queries.
+    //
+    // The N reps run as N FULL CATALOG PASSES, not back-to-back: with
+    // adjacent reps a sustained multi-second VM episode (steal, GC
+    // storm) captures all of one query's reps and owns its median —
+    // exactly how ss03 was charged 14.26s in r9 (isolated re-run:
+    // 1.06s). Spread passes put ~a full catalog (~40s+) between a
+    // query's reps, so an episode has to persist across the whole run
+    // to move a median — and that case the global sentinel catches.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = cat.map { q =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { q.build(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Isolation between reps/queries: any cache/persist a query
-        // created is charged to that query and must not squat on executor
-        // memory for the rest of the run (outside the timed window).
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        (dt, ok)
-      }
+    // A/B escape hatch (SPARK_GRAFT_BENCH_ADJACENT=1): the pre-r10
+    // back-to-back rep order, kept ONLY so the spread-vs-adjacent
+    // comparison stays reproducible (SCALING.md records it).
+    val adjacent = sys.env.get("SPARK_GRAFT_BENCH_ADJACENT").contains("1")
+    def runOnce(q: CatalogQuery): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { q.build(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolation between runs: any cache/persist a query created is
+      // charged to that query and must not squat on executor memory
+      // for the rest of the run (outside the timed window).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (dt, ok)
+    }
+    val passes: Seq[Seq[(Double, Boolean)]] =
+      if (adjacent) cat.map(q => (1 to reps).map(_ => runOnce(q))).transpose
+      else (1 to reps).map(_ => cat.map(runOnce))
+    val results = cat.zipWithIndex.map { case (q, i) =>
+      val times = passes.map(_(i))
       // A throw on ANY rep fails the query — never masquerade as success.
       val ok = times.forall(_._2)
       val med = times.map(_._1).sorted.apply(reps / 2)
@@ -80,7 +95,24 @@ object Bench {
     val sentinelRatio = if (sentinelApplies) sentinel / sentinelFloor else -1.0
     val sentinelJson =
       s""""sentinel":${r3(sentinel)},"sentinel_floor":${r3(sentinelFloor)},"sentinel_ratio":${r3(sentinelRatio)},"degraded":$degraded"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,$sentinelJson,"sf":"$sfDir"}""")
+    // Per-query floors (BenchFloors): the sentinel catches whole-run
+    // degradation; this catches LOCALIZED episodes — any median above
+    // FlagRatio x its pinned floor is named in "flagged" with both
+    // numbers, so a consumer re-runs it isolated instead of reading a
+    // phantom regression. Floors are sf0.1-specific.
+    val flagged = if (sfDir.contains("sf0.1")) {
+      results.collect { case (k, v, true)
+        if BenchFloors.floors.get(k).exists(f => v > BenchFloors.FlagRatio * f) =>
+        "\"" + k + "\":[" + r3(v) + "," + r3(BenchFloors.floors(k)) + "]"
+      }.mkString("{", ",", "}")
+    } else "{}"
+    // Sub-phase decomposition (OpMetrics): operators with conflated
+    // phases (ss03's ML fit vs probe) report per-phase medians so an
+    // episode attributes itself to a phase.
+    val decomp = graft.core.OpMetrics.drainMedians().toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,$sentinelJson,"flagged":$flagged,"decomp":$decomp,"sf":"$sfDir"}""")
     // The harness that captures this output keeps only the LAST ~2000
     // characters of stdout, and the full per-query line above is ~4x
     // that — so it can never be machine-parsed from the capture. Print a
@@ -94,7 +126,7 @@ object Bench {
       .toSeq.sorted.mkString("{", ",", "}")
     val slow = results.filter(_._3).sortBy(-_._2)
     // greedily keep the slowest queries while the digest stays under budget
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"families":$fams,"failed":$failed,$sentinelJson,"sf":"$sfDir","slowest":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"families":$fams,"failed":$failed,$sentinelJson,"flagged":$flagged,"decomp":$decomp,"sf":"$sfDir","slowest":{"""
     val budget = 1900 - head.length - 2
     val kept = new StringBuilder
     slow.foreach { case (k, v, _) =>

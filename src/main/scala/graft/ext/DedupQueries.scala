@@ -137,7 +137,9 @@ object DedupQueries {
     var prev = (-1L, 0L)
     var rounds = 0
     var converged = false
+    var prevEdges: DataFrame = null
     while (!converged && rounds < 30) {
+      prevEdges = e
       e = smallStar(largeStar(e)).localCheckpoint(true)
       val cur = sig(e)
       converged = cur == prev
@@ -146,6 +148,16 @@ object DedupQueries {
     }
     require(converged,
       s"$what star contraction did not converge within $rounds rounds")
+    // The signature is a (count, bit_xor-hash) pair — a collision
+    // across rounds would declare convergence early and emit wrong
+    // labels with no error. Confirm the fixpoint EXACTLY: at
+    // convergence the edge relation is tiny relative to the input
+    // (child→root stars), so one symmetric except() is cheap, and it
+    // runs once, not per round.
+    val drift = e.except(prevEdges).count() + prevEdges.except(e).count()
+    require(drift == 0L,
+      s"$what star contraction signature collision: relation still " +
+        s"moving at declared fixpoint ($drift differing edges)")
     // at the fixpoint e is child→root star edges; roots never appear
     // as a child, so label = root where an edge exists, self otherwise
     val verts = pairs.select(col("a_id").as("x"))

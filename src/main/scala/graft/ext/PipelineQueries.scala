@@ -503,5 +503,88 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN f_dedup AND f_quality AND f_decontam
              |    THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
              |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    CatalogQuery(
+      "dp11_length_aware_packing",
+      "Length-aware sequence packing (next-fit-decreasing): whole docs, LONGEST FIRST, greedily fill 512-token bins per hash bucket; one manifest row per (bucket, seq, doc) with its in-sequence offset emitted in the same pass",
+      (s, dir) => {
+        // dp05 packs in ARRIVAL order — simple, but a long doc arriving
+        // after small ones strands capacity. The length-aware recipe
+        // (the decreasing-first-fit family behind padding-efficient
+        // trainer packing, Krell et al. 2021) sorts each bucket's docs
+        // LONGEST FIRST before the greedy fill: big items place while
+        // bins are empty, the small-doc tail caulks the gaps, and
+        // measured padding drops vs dp05 on any long-tailed length
+        // distribution. The fill itself is genuinely sequential (each
+        // placement depends on the running bin fill — no window/cumsum
+        // closed form), so: ONE shuffle co-locates each bucket
+        // (doc_id % 8; a cluster raises bucket count with cores), the
+        // in-partition sort orders by (n_tok DESC, doc_id), and
+        // mapPartitions runs the O(1)-state shelf loop, resetting at
+        // bucket boundaries. Unlike dp05 (bin ids only), the output IS
+        // the trainer manifest — docs are whole, so one row per
+        // (bucket, seq, doc) with its offset is dp09's transpose
+        // without the explode. Oversize docs truncate to capacity and
+        // flag; determinism is total (pure function of (doc_id,
+        // n_tok), no RNG, any cluster size, ties broken by doc_id).
+        import s.implicits._
+        val cap = 512L
+        val t = docs(s, dir).select(
+            col("doc_id"), (col("doc_id") % 8).as("bucket"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .as[(Long, Long, Long)]
+        t.repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("n_tok").desc, col("doc_id"))
+          .mapPartitions { it =>
+            var curBucket = Long.MinValue
+            var seq = 0L
+            var nextFree = 0L
+            it.map { case (docId, bucket, nTok) =>
+              val eff = math.min(nTok, cap)
+              if (bucket != curBucket) {
+                curBucket = bucket; seq = 0L; nextFree = 0L
+              } else if (nextFree + eff > cap) {
+                seq += 1; nextFree = 0L
+              }
+              val off = nextFree
+              nextFree = off + eff
+              (docId, bucket, nTok, eff, seq, off,
+                if (nTok > cap) 1L else 0L)
+            }
+          }
+          .toDF("doc_id", "bucket", "n_tok", "eff_tok", "seq",
+            "off_in_seq", "truncated")
+          .orderBy(col("doc_id"))
+      },
+      // The oracle replays the same greedy recurrence as a recursive
+      // CTE over per-bucket row numbers in the SAME length-descending
+      // order — pure integer state, so the sequential semantics
+      // value-check exactly.
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, doc_id % 8 AS bucket,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS n_tok,
+             |    row_number() OVER (PARTITION BY doc_id % 8
+             |      ORDER BY CAST(len(regexp_split_to_array(trim(text),
+             |        '\s+')) AS BIGINT) DESC, doc_id) AS rn
+             |  FROM documents),
+             |g AS (
+             |  SELECT bucket, rn, doc_id, n_tok,
+             |    least(n_tok, 512) AS eff,
+             |    CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.bucket, t.rn, t.doc_id, t.n_tok,
+             |    least(t.n_tok, 512) AS eff,
+             |    CASE WHEN g.off + g.eff + least(t.n_tok, 512) <= 512
+             |      THEN g.seq ELSE g.seq + 1 END,
+             |    CASE WHEN g.off + g.eff + least(t.n_tok, 512) <= 512
+             |      THEN g.off + g.eff ELSE CAST(0 AS BIGINT) END
+             |  FROM g JOIN t ON t.bucket = g.bucket AND t.rn = g.rn + 1)
+             |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tok,
+             |  eff AS eff_tok, seq, off AS off_in_seq,
+             |  CAST(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS truncated
+             |FROM g ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -796,21 +796,26 @@ object SimilarityQueries {
         // iterations, random init, and — critically — fit on a bounded
         // SAMPLE of the corpus. A full-corpus fit is 5+ whole passes
         // over 100 TB to place 16 centroids.
-        val n = e.count()
-        val fitSample =
-          (if (n > 5000) e.sample(withReplacement = false, 5000.0 / n, seed = 7)
-           else e).cache()
-        // cache() the bounded sample so the fit's init+3 iteration passes
-        // hit memory instead of re-reading parquet + re-running
-        // array_to_vector each pass (KMeans skips its internal persist
-        // when the input is already cached) — fewer jobs touching the
-        // scan also makes the in-suite timing less sensitive to session
-        // GC state (the r6 bench wobble)
-        val km =
+        // The fit phase is timed separately (OpMetrics "ss03_fit"):
+        // three driver rounds showed in-suite ss03 episodes (r6 6.1s,
+        // r9 14.3s) that never reproduce isolated, and the single
+        // number couldn't attribute them to the ML fit vs the probe.
+        val km = graft.core.OpMetrics.timed("ss03_fit") {
+          val n = e.count()
+          val fitSample =
+            (if (n > 5000) e.sample(withReplacement = false, 5000.0 / n, seed = 7)
+             else e).cache()
+          // cache() the bounded sample so the fit's init+3 iteration passes
+          // hit memory instead of re-reading parquet + re-running
+          // array_to_vector each pass (KMeans skips its internal persist
+          // when the input is already cached) — fewer jobs touching the
+          // scan also makes the in-suite timing less sensitive to session
+          // GC state (the r6 bench wobble)
           try new KMeans().setK(16).setMaxIter(3).setSeed(42)
             .setInitMode("random")
             .setFeaturesCol("fv").fit(fitSample)
           finally fitSample.unpersist(blocking = false)
+        }
         val assigned = km.transform(e)
           .select(col("vec_id"), col("v"), col("prediction").as("bucket"))
         // centroid list is tiny (k rows): broadcast it, probe by dot

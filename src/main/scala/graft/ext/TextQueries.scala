@@ -898,5 +898,81 @@ object TextQueries {
            |FROM truth t JOIN est USING (el)
            |ORDER BY cms_est DESC, bigram""".stripMargin
       }),
+
+    CatalogQuery(
+      "tx19_scored_decontamination",
+      "Frequency-scored eval decontamination: tx08's shingle-overlap hits weighted by background rarity — a doc is contaminated on any RARE overlapping shingle or >= 20% occurrence overlap (the n-gram + frequency-threshold shape real decontamination uses)",
+      (s, dir) => {
+        // tx08 counts overlaps; real decontamination (the published
+        // n-gram recipes) also asks how DISTINCTIVE each overlap is —
+        // a shingle common across the corpus ("of the and the") is
+        // weak evidence, one carried by only a couple of docs is
+        // near-certain leakage. All-integer decision: a shingle's
+        // background spread = its distinct-corpus-doc count (computed
+        // on overlap hits ONLY, so it is bounded by the eval shingle
+        // set and broadcasts at any corpus size); contaminated =
+        // any overlapping shingle with spread <= 2, OR overlap
+        // occurrences >= 20% of the doc's shingle occurrences (the
+        // occurrence total is CLOSED-FORM from the token count —
+        // max(n_tok-3, 1) — no second corpus-wide aggregation).
+        // One corpus shingle scan + broadcast joins; nothing quadratic.
+        val k = 4
+        val sh = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", k)
+        val ev = sh.filter(col("doc_id") < 20).select(col("_el")).distinct()
+        val corpus = sh.filter(col("doc_id") >= 20)
+        val hitOcc = corpus.join(broadcast(ev), "_el")
+        // distinct (shingle, doc) pairs — bounded by |eval shingles| ×
+        // carriers; spread per shingle is then a count over that
+        val hitDocs = hitOcc.select(col("_el"), col("doc_id")).distinct()
+        val spread = hitDocs.groupBy(col("_el"))
+          .agg(count(lit(1)).as("bg_spread"))
+        val perDocRare = hitDocs.join(broadcast(spread), "_el")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_overlap"),
+            sum((col("bg_spread") <= 2).cast("long")).as("n_rare_overlap"))
+        val perDocOcc = hitOcc.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_overlap_occ"))
+        val totals = docs(s, dir).filter(col("doc_id") >= 20)
+          .select(col("doc_id"),
+            greatest(size(TextOps.tokens(col("text"))).cast("long") - (k - 1),
+              lit(1L)).as("n_occ"))
+        totals.join(perDocRare, "doc_id").join(perDocOcc, "doc_id")
+          .select(col("doc_id"), col("n_occ"), col("n_overlap"),
+            col("n_rare_overlap"), col("n_overlap_occ"),
+            (col("n_rare_overlap") >= 1 ||
+              col("n_overlap_occ") * 5 >= col("n_occ"))
+              .cast("long").as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (${TextOps.wordShingleSql(4)}),
+              |ev AS (SELECT DISTINCT el FROM sh WHERE doc_id < 20),
+              |hit_occ AS (
+              |  SELECT s.doc_id, s.el FROM sh s JOIN ev USING (el)
+              |  WHERE s.doc_id >= 20),
+              |hit_docs AS (SELECT DISTINCT el, doc_id FROM hit_occ),
+              |spread AS (
+              |  SELECT el, count(*) AS bg_spread FROM hit_docs GROUP BY el),
+              |rare AS (
+              |  SELECT hd.doc_id, count(*) AS n_overlap,
+              |    sum(CASE WHEN bg_spread <= 2 THEN 1 ELSE 0 END)
+              |      AS n_rare_overlap
+              |  FROM hit_docs hd JOIN spread USING (el) GROUP BY hd.doc_id),
+              |occ AS (
+              |  SELECT doc_id, count(*) AS n_overlap_occ FROM hit_occ
+              |  GROUP BY doc_id),
+              |tot AS (
+              |  SELECT doc_id,
+              |    greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+              |      AS BIGINT) - 3, 1) AS n_occ
+              |  FROM documents WHERE doc_id >= 20)
+              |SELECT t.doc_id, t.n_occ,
+              |  CAST(n_overlap AS BIGINT) AS n_overlap,
+              |  CAST(n_rare_overlap AS BIGINT) AS n_rare_overlap,
+              |  CAST(n_overlap_occ AS BIGINT) AS n_overlap_occ,
+              |  CAST(CASE WHEN n_rare_overlap >= 1
+              |    OR n_overlap_occ * 5 >= t.n_occ THEN 1 ELSE 0 END AS BIGINT)
+              |    AS contaminated
+              |FROM tot t JOIN rare USING (doc_id) JOIN occ USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin)),
   )
 }

@@ -597,7 +597,15 @@ case class PqAdcSum(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val adc = b.asInstanceOf[ArrayData]
-    val m = math.min(codes.numElements(), adc.numElements())
+    // Both sides derive from the same fixed subspace count M; a
+    // mismatch is an upstream encoding bug — fail, never truncate to a
+    // plausible-but-wrong partial score.
+    if (codes.numElements() != adc.numElements()) {
+      throw new IllegalArgumentException(
+        s"pq_adc_sum subspace mismatch: codes has ${codes.numElements()} " +
+          s"entries but ADC table has ${adc.numElements()}")
+    }
+    val m = codes.numElements()
     var s = 0.0
     var j = 0
     while (j < m) {
@@ -613,7 +621,12 @@ case class PqAdcSum(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       s"""
-         |int $m = java.lang.Math.min($codes.numElements(), $adc.numElements());
+         |int $m = $codes.numElements();
+         |if ($m != $adc.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_sum subspace mismatch: codes has " + $m +
+         |    " entries but ADC table has " + $adc.numElements());
+         |}
          |double $s = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
          |  $s += $adc.getArray($j).getDouble((int) $codes.getLong($j));

@@ -4,7 +4,8 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -28,7 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * 1000-executor read is 1000 independent spans with zero coordination
   * — the same property `spark.range` has, kept under a custom source).
   *
-  * Options: `rows` (default 1000), `seed` (42), `partitions` (4).
+  * Also pushes LIMIT (exact span truncation) and complete aggregates
+  * (COUNT(*) / COUNT(id) / MIN(id) / MAX(id) are closed-form on the
+  * post-filter id span — the generator's analog of parquet
+  * footer-stats pushdown) via [[SupportsPushDownLimit]] /
+  * [[SupportsPushDownAggregates]].
+  *
+  * Options: `rows` (default 1000), `seed` (42), `partitions` (4) —
+  * case-insensitive, validated (rows >= 0, partitions >= 1).
   * Schema: id BIGINT, grp BIGINT (100 groups), val BIGINT (1e6 range),
   * tag STRING (8 values) — all pure splitmix64 functions of (id, seed),
   * identical under any partitioning or pushdown.
@@ -39,10 +47,17 @@ class GenSource extends TableProvider with DataSourceRegister {
     GenSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    def opt(k: String, d: String) =
-      Option(properties.get(k)).getOrElse(d)
-    new GenTable(opt("rows", "1000").toLong, opt("seed", "42").toLong,
-      opt("partitions", "4").toInt)
+    // Case-insensitive reads: `.option("Rows", n)` must configure the
+    // source, not silently fall back to the default.
+    val opts = new CaseInsensitiveStringMap(properties)
+    def opt(k: String, d: String) = opts.getOrDefault(k, d)
+    val rows = opt("rows", "1000").toLong
+    val parts = opt("partitions", "4").toInt
+    // Validate up front: a negative/zero config must fail loudly, not
+    // plan an empty scan that silently returns zero rows.
+    require(rows >= 0, s"graft-gen: rows must be >= 0, got $rows")
+    require(parts >= 1, s"graft-gen: partitions must be >= 1, got $parts")
+    new GenTable(rows, opt("seed", "42").toLong, parts)
   }
 }
 
@@ -75,11 +90,14 @@ private[sources] class GenTable(rows: Long, seed: Long, parts: Int)
 
 private[sources] class GenScanBuilder(rows: Long, seed: Long, parts: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = GenSource.schema
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
+  private var limit = -1L
+  private var agg: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -113,7 +131,90 @@ private[sources] class GenScanBuilder(rows: Long, seed: Long, parts: Int)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new GenScan(lo, hi, seed, parts, required)
+  /** LIMIT truncates the generated id span EXACTLY (any `limit` rows
+    * satisfy an unordered LIMIT, and a narrowed range is the cheapest
+    * way to produce them), so the push is complete — Spark may drop
+    * its own limit node above the scan. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = false
+
+  private def isId(e: V2Expression): Boolean = e match {
+    case r: NamedReference =>
+      r.fieldNames.length == 1 && r.fieldNames()(0) == "id"
+    case _ => false
+  }
+  // Closed-form aggregates on a generated range: COUNT(*) = span
+  // length, MIN(id)/MAX(id) = span ends, COUNT(id) = COUNT(*) (id is
+  // non-null by schema). grp/val/tag extrema are NOT closed-form (they
+  // are hash functions of id), so those stay post-scan.
+  private def supportedAgg(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count => !c.isDistinct && isId(c.column)
+    case m: Min => isId(m.column)
+    case m: Max => isId(m.column)
+    case _ => false
+  }
+  /** Complete, not partial: the scan emits the final single aggregate
+    * row, no partial-merge above it. Only claimed when every function
+    * is closed-form on the id span and there is no grouping. */
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall(supportedAgg)
+  override def pushAggregation(a: Aggregation): Boolean = {
+    if (!supportCompletePushDown(a)) return false
+    agg = Some(a)
+    true
+  }
+
+  override def build(): Scan = {
+    // filters narrowed [lo, hi) first; a pushed limit truncates it
+    val hiL = if (limit >= 0) math.min(hi, lo + limit) else hi
+    agg match {
+      case Some(a) => new GenAggScan(lo, hiL, a)
+      case None => new GenScan(lo, hiL, seed, parts, required)
+    }
+  }
+}
+
+/** Completely-pushed aggregate scan: one partition, one row, values
+  * computed closed-form from the (post-filter, post-limit) id span —
+  * the generator's analog of parquet footer-stats aggregate pushdown. */
+private[sources] class GenAggScan(lo: Long, hi: Long, agg: Aggregation)
+    extends Scan with Batch {
+  private val n = math.max(hi - lo, 0L)
+  private val funcs = agg.aggregateExpressions.toIndexedSeq
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (f, i) =>
+      val countLike = f.isInstanceOf[CountStar] || f.isInstanceOf[Count]
+      StructField(s"agg_$i", LongType, nullable = !countLike)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-gen [$lo, $hi) PushedAggregates: [${funcs.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = funcs.map {
+      case _: CountStar => n
+      case _: Count => n // count(id), id non-null
+      case _: Min => if (n > 0) lo else null
+      case _: Max => if (n > 0) hi - 1 else null
+      case f => throw new IllegalStateException(s"unsupported pushed agg $f")
+    }.toArray
+    new GenAggReaderFactory(values)
+  }
+}
+
+private[sources] class GenAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class GenScan(lo: Long, hi: Long, seed: Long, parts: Int,

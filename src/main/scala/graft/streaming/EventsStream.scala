@@ -214,15 +214,31 @@ object EventsStream {
     }
   }
 
+  /** Fully-qualified class name of the RocksDB state store provider
+    * that transformWithState requires (it refuses the default
+    * HDFS-backed store). Callers of [[userTotalsV2]] set this as
+    * `spark.sql.streaming.stateStore.providerClass` — a session-wide
+    * knob that affects EVERY streaming query started afterwards, which
+    * is why this builder refuses to set it as a side effect. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Driver for [[UserTotalsProcessor]]. Update-mode emission: the
     * last emitted row per user is the final total (the spec takes
-    * max). Sets the RocksDB state store provider on the session —
-    * transformWithState refuses the default HDFS-backed store. */
+    * max). REQUIRES the RocksDB state store provider on the session
+    * (see [[RocksDbProvider]]); fails fast with the exact conf to set
+    * rather than silently switching every subsequent streaming query
+    * in the session to RocksDB as a hidden side effect. */
   def userTotalsV2(spark: SparkSession,
       events: DataFrame): Dataset[UserTotals] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val provider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider == RocksDbProvider,
+      "transformWithState requires the RocksDB state store. Set " +
+        s"""spark.conf.set("spark.sql.streaming.stateStore.providerClass", """ +
+        s""""$RocksDbProvider") before calling userTotalsV2 — note this """ +
+        "affects every streaming query started on the session afterwards.")
     events
       .select(col("user_id"),
         round(col("value") * 100).cast("long").as("cents"))

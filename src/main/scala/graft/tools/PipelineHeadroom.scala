@@ -85,9 +85,30 @@ object PipelineHeadroom {
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
+        // Special path, not a catalog entry: dd16's star-contraction CC
+        // fed the UNCAPPED linear edge source (dd10's LSH-verified
+        // Jaccard pairs) instead of dd06's guarded all-pairs cosine
+        // source — the catalog wiring refuses 100× input by design, so
+        // this is the contraction engine's only at-scale evidence on
+        // REAL (non-synthetic) edges. Reports rounds alongside time.
+        if (name == "dd16_star_cc_lsh_edges") {
+          val docsDf = graft.sources.Tables.table(spark, dir, "documents")
+          val rows0 = graft.ext.TextOps.wordShingleRows(
+            docsDf, "doc_id", "text", 3)
+          val pairs = graft.ext.TextOps.lshNearDupPairs(rows0, "doc_id",
+              numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+              threshNum = 8, threshDen = 10)
+            .select(col("a_id"), col("b_id"))
+          val (labels, rounds) =
+            graft.ext.DedupQueries.starComponentsWithRounds(pairs, "dd16-headroom")
+          val nLabels = labels.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"HEADROOM $name%-24s n=$n rows=$nLabels%-9d ${dt}%.2f s rounds=$rounds")
+        } else {
         val rows = graft.SparkEntry.queries(name)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"HEADROOM $name%-24s n=$n rows=$rows%-9d ${dt}%.2f s")
+        }
       } catch {
         // corpus-size guards (dd04, dd06/dd08) refusing 100× input is
         // correct documented behavior — report the FULL guard message

@@ -197,5 +197,45 @@ object EventQueries {
              |  AND epoch_us(c.ts) <= epoch_us(p.ts)
              |WHERE p.event_type = 'purchase'
              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    CatalogQuery(
+      "e07b_interval_join_outer",
+      "Left-outer purchase-to-click attribution: every purchase kept, null click columns when no click preceded it within the hour — batch twin of EventsStream.purchaseAttributionOuter",
+      (s, dir) => {
+        // Same equi-key + range-condition shape as e07 but LEFT joined:
+        // the outer flavor is the one whose streaming twin
+        // (EventsStream.purchaseAttributionOuter) must wait out the
+        // watermark before emitting a null-padded row, so its batch
+        // ground truth earns a full value oracle — unmatched purchases
+        // must appear exactly once with null click_id/lag_us, and the
+        // matched subset must equal e07 row-for-row.
+        val e = ev(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("click_us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("purchase_us"))
+        purchases.join(clicks,
+            col("p_user") === col("c_user") &&
+              col("click_us") >= col("purchase_us") - lit(3600000000L) &&
+              col("click_us") <= col("purchase_us"),
+            "left")
+          .select(col("p_user").as("user_id"), col("purchase_id"),
+            col("click_id"),
+            (col("purchase_us") - col("click_us")).as("lag_us"))
+          .orderBy(col("user_id"), col("purchase_id"),
+            col("click_id").asc_nulls_first)
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |  c.event_id AS click_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON c.user_id = p.user_id
+             |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+             |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+             |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin)),
   )
 }

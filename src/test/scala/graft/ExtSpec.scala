@@ -1207,6 +1207,76 @@ class ExtSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("dp11 length-aware packing: capacity respected, bins dense and greedy, no doc split, beats arrival order") {
+    val got = run("dp11_length_aware_packing").cache()
+    val corpus = sources.Tables.table(spark, sfDir, "documents")
+    // every doc exactly once — whole-doc packing never splits or drops
+    assert(got.count() == corpus.count())
+    assert(got.select("doc_id").distinct().count() == got.count())
+    // capacity: no placement crosses the 512 boundary
+    assert(got.filter(col("off_in_seq") + col("eff_tok") > 512).count() == 0)
+    // truncation flag is exactly the oversize predicate
+    assert(got.filter((col("n_tok") > 512) =!= (col("truncated") === 1L))
+      .count() == 0)
+    // bins are dense: first placement at 0, placements contiguous
+    // (sum of lengths == top of bin)
+    val bins = got.groupBy("bucket", "seq")
+      .agg(min("off_in_seq").as("lo"), sum("eff_tok").as("filled"),
+        max(col("off_in_seq") + col("eff_tok")).as("top"))
+    assert(bins.filter(col("lo") =!= 0L || col("filled") =!= col("top"))
+      .count() == 0)
+    // greedy shelf: a new bin opens ONLY when its first doc (the one
+    // placed at offset 0) would not have fit in the previous bin
+    val firstDoc = got.filter(col("off_in_seq") === 0L)
+      .select(col("bucket"), col("seq"), col("eff_tok").as("first_eff"))
+    val wasteful = firstDoc.filter(col("seq") > 0)
+      .withColumn("prev_seq", col("seq") - 1)
+      .join(bins.select(col("bucket"), col("seq").as("prev_seq"),
+        col("filled").as("prev_filled")), Seq("bucket", "prev_seq"))
+      .filter(col("prev_filled") + col("first_eff") <= 512)
+    assert(wasteful.count() == 0, "a bin opened while the doc still fit")
+    // the length-aware point: never MORE bins than the same shelf fill
+    // in arrival order (simulated exactly, same capacity/truncation)
+    val lens = corpus
+      .select(col("doc_id"), (col("doc_id") % 8).as("bucket"),
+        size(ext.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def shelfBins(docs: Seq[Long]): Long = {
+      var bins = 1L; var free = 512L
+      docs.foreach { n =>
+        val eff = math.min(n, 512L)
+        if (eff > free) { bins += 1; free = 512L }
+        free -= eff
+      }
+      bins
+    }
+    val arrival = lens.groupBy(_._2).map { case (_, ds) =>
+      shelfBins(ds.sortBy(_._1).map(_._3).toSeq)
+    }.sum
+    val lengthAware = bins.count()
+    assert(lengthAware <= arrival,
+      s"length-aware used $lengthAware bins vs arrival order's $arrival")
+    got.unpersist()
+  }
+
+  test("tx19 scored decontamination: doc set matches tx08, flag equals its predicate") {
+    val got = run("tx19_scored_decontamination").cache()
+    // tx19 refines tx08 (same shingle geometry, same eval slice): the
+    // overlapping-doc SETS must be identical
+    val tx08Docs = run("tx08_decontamination").select("doc_id")
+    assert(got.select("doc_id").except(tx08Docs).count() == 0)
+    assert(tx08Docs.except(got.select("doc_id")).count() == 0)
+    // the flag is exactly its documented predicate
+    assert(got.filter(
+      ((col("n_rare_overlap") >= 1) ||
+        (col("n_overlap_occ") * 5 >= col("n_occ"))) =!=
+        (col("contaminated") === 1L)).count() == 0)
+    // occurrence accounting: overlaps can never exceed the doc total
+    assert(got.filter(col("n_overlap_occ") > col("n_occ")).count() == 0)
+    assert(got.filter(col("n_rare_overlap") > col("n_overlap")).count() == 0)
+    got.unpersist()
+  }
+
   test("mm05 alignment: scores are valid cosines, keep tracks the threshold, every paired row scored") {
     val got = run("mm05_alignment_filter").cache()
     // cosine bound: |align| <= 1 (in e6 fixed point)

@@ -55,4 +55,58 @@ class GenSourceSpec extends SparkSpec {
       .map(_.toString).sorted.toSeq
     assert(df.collect().map(_.toString).sorted.toSeq == viaPost)
   }
+
+  test("graft-gen: option keys are case-insensitive; bad configs fail loudly") {
+    val df = spark.read.format("graft-gen")
+      .option("Rows", 123).option("PARTITIONS", 2).load()
+    assert(df.count() == 123, "differently-cased option silently ignored")
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-gen").option("rows", -1).load().count()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-gen").option("partitions", 0).load().count()
+    }
+  }
+
+  test("graft-gen: complete aggregate pushdown (count/min/max of id), values match unpushed") {
+    val df = read(4).agg(
+      count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScan in the plan")
+    assert(scans.head.scan.description().contains("PushedAggregates"),
+      s"aggregates not pushed: ${scans.head.scan.description()}")
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10000L, 0L, 9999L)),
+      s"pushed aggregate values wrong: $r")
+    // composes with filter pushdown: the agg sees the narrowed span
+    val f = read(4).filter(col("id") >= 9000L && col("id") < 9500L)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).collect()(0)
+    assert((f.getLong(0), f.getLong(1), f.getLong(2)) == ((500L, 9000L, 9499L)))
+    // empty span: count 0, null extrema — matches post-scan semantics
+    val e = read(4).filter(col("id") < 0L)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+    // an aggregate that is NOT closed-form must stay post-scan and
+    // still be correct (grp is a hash of id — the source must refuse)
+    val g = read(4).agg(min(col("grp")), max(col("grp"))).collect()(0)
+    val gPost = read(4).select("grp").collect().map(_.getLong(0))
+    assert(g.getLong(0) == gPost.min && g.getLong(1) == gPost.max)
+  }
+
+  test("graft-gen: limit pushdown truncates the generated span exactly") {
+    val df = read(4).limit(7)
+    assert(df.count() == 7)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("[0, 7)"),
+      s"limit not pushed into the span: ${scans.head.scan.description()}")
+    // composes with filter pushdown: limit truncates the narrowed span
+    val lf = read(4).filter(col("id") >= 9000L).limit(5)
+    assert(lf.collect().map(_.getLong(0)).toSeq == Seq(9000L, 9001L, 9002L, 9003L, 9004L))
+  }
 }

@@ -155,9 +155,22 @@ class StreamingSpec extends SparkSpec {
 
   test("transformWithState running totals equal batch per-user totals (integer cents)") {
     val stream = EventsStream.readEvents(spark, sfDir)
-    val got = EventsStream.runToMemory(spark,
-      EventsStream.userTotalsV2(spark, stream).toDF(),
-      "tws_test", OutputMode.Update())
+    // userTotalsV2 requires (and refuses to set) the session-wide
+    // RocksDB provider; configure it here and restore afterwards so
+    // the other streaming tests keep the default provider.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, EventsStream.RocksDbProvider)
+    val got = try {
+      EventsStream.runToMemory(spark,
+        EventsStream.userTotalsV2(spark, stream).toDF(),
+        "tws_test", OutputMode.Update())
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
     // final state per user = the max emission (totals only grow)
     val finalState = got.groupBy("user_id")
       .agg(max("n_events").as("n_events"),
