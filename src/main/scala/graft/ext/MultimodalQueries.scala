@@ -347,7 +347,8 @@ object MultimodalQueries {
         // nothing quadratic.
         val tok = Tables.table(s, dir, "documents").select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("t"))
-        val dim = (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+        graft.functions.HashOps.register(s)
+        val dim = (graft.functions.HashOps.md5Seg32(col("t"), 0)
           .bitwiseAND(lit(Int.MaxValue.toLong)) % 64).as("dim")
         val tc = tok.select(col("doc_id"), dim)
           .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("cnt"))

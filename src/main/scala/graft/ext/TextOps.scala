@@ -104,12 +104,34 @@ object TextOps {
       .select(col(idCol), col("_pos"), col("_el"))
   }
 
+  /** Fan a small corpus leaf out to the session's parallelism before a
+    * 100-1000x per-row expansion (shingle windows + per-element
+    * digests).
+    *
+    * Why: a corpus that is physically one small parquet file scans as
+    * ONE partition (one row group — byte-range splits can't help), so
+    * every map-side expansion+digest downstream of the scan serializes
+    * on a single core no matter how many the session has — measured on
+    * dd05 at sf0.1: the 1.5M-gram digest stage ran 2.1s on 1 of 32
+    * cores. The shuffle this adds moves only the raw doc rows — three
+    * orders of magnitude smaller than the expansion it parallelizes.
+    * Guarded so it is a NO-OP at production scale: when the leaf
+    * already provides >= half the session's parallelism (any
+    * multi-split 100 TB table), the frame passes through untouched —
+    * the guard reads the planned partition count, it never runs a job. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
+  }
+
   /** (id, char n-gram) rows — explode positions, substring in codegen;
     * short texts yield themselves. May contain duplicates (see
-    * wordShingleRows). */
+    * wordShingleRows). Input is [[fanOut]]-spread: the explode+digest
+    * consumers (dd05's minhash pass) are exactly the expansion shape
+    * that serializes on a small leaf. */
   def charNgramRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol),
+    fanOut(df).select(col(idCol),
       explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))))
         .as("_i"), col(textCol))
       .select(col(idCol), col(textCol).substr(col("_i"), lit(n)).as("_el"))
@@ -206,8 +228,12 @@ object TextOps {
 
   private def signatures(rows: DataFrame, idCol: String,
       numHashes: Int): DataFrame = {
+    // md5_seg32(el, 0) & MaxInt == conv(substring(md5(el),1,8),16,10)
+    // & MaxInt, digest-bytes-direct (see simhashSignatures note) — the
+    // element digest is THE dominant per-row cost of the minhash pass
+    graft.functions.HashOps.register(rows.sparkSession)
     val exploded = rows.select(col(idCol),
-      (conv(substring(md5(col("_el")), 1, 8), 16, 10).cast("long")
+      (graft.functions.HashOps.md5Seg32(col("_el"), 0)
         .bitwiseAND(lit(Int.MaxValue.toLong))).as("_h"))
     val mhAggs = (0 until numHashes).map { i =>
       min((col("_h") * lit(uhA(i)) + lit(uhB(i))) % lit(MersenneP)).as(s"_mh$i")
@@ -304,10 +330,14 @@ object TextOps {
     require(segments >= 1 && segments <= 4, "one md5 digest = 128 bits max")
     val counted = tok.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("_cnt"))
+    // md5_seg32 = conv(substring(md5(tok), 8k+1, 8), 16, 10) computed
+    // from the digest bytes (no hex string, no conv parse, cached
+    // MessageDigest) — same value, so the generated DuckDB oracle is
+    // untouched; measured 3x on dd05's digest stage (SCALING.md r10)
+    graft.functions.HashOps.register(tok.sparkSession)
     val hashed = counted.select(col(idCol) +: col("_cnt") +:
       (0 until segments).map(k =>
-        conv(substring(md5(col("tok")), 8 * k + 1, 8), 16, 10)
-          .cast("long").as(s"_h$k")): _*)
+        graft.functions.HashOps.md5Seg32(col("tok"), k).as(s"_h$k")): _*)
     val bitSums = for (k <- 0 until segments; b <- 0 until 32) yield
       sum(when(expr(s"((_h$k >> $b) & 1) = 1"), col("_cnt"))
         .otherwise(-col("_cnt"))).as(s"_k${k}b$b")

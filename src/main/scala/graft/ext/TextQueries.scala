@@ -544,8 +544,9 @@ object TextQueries {
         // task). The sum stays integer until the final mean, so fold
         // order can never change the score — engine-portable by
         // construction. keep = positive raw score.
-        val f = (conv(substring(md5(col("_tok")), 1, 8), 16, 10)
-          .cast("long") % QsD).cast("int")
+        graft.functions.HashOps.register(s)
+        val f = (graft.functions.HashOps.md5Seg32(col("_tok"), 0)
+          % QsD).cast("int")
         val w = element_at(typedLit(qsWeights), f + 1)
         docs(s, dir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("_tok"))
@@ -855,8 +856,9 @@ object TextQueries {
         // corpus-wide narrow map passes; contrast dd12's signature
         // index, whose checkpointed frame is per-DOC (n rows), not
         // per-occurrence.
+        graft.functions.HashOps.register(s)
         val hashed = el.select(col("_el"),
-          (conv(substring(md5(col("_el")), 1, 8), 16, 10).cast("long")
+          (graft.functions.HashOps.md5Seg32(col("_el"), 0)
             .bitwiseAND(lit(Int.MaxValue.toLong))).as("h"))
         def posArr = array((0 until d).map(i => struct(lit(i).as("r"),
           ((col("h") * lit(TextOps.uhA(i)) + lit(TextOps.uhB(i)))
