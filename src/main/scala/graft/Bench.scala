@@ -100,18 +100,36 @@ object Bench {
     // FlagRatio x its pinned floor is named in "flagged" with both
     // numbers, so a consumer re-runs it isolated instead of reading a
     // phantom regression. Floors are sf0.1-specific.
-    val flagged = if (sfDir.contains("sf0.1")) {
+    val flaggedEntries = if (sfDir.contains("sf0.1")) {
       results.collect { case (k, v, true)
         if BenchFloors.floors.get(k).exists(f => v > BenchFloors.FlagRatio * f) =>
         "\"" + k + "\":[" + r3(v) + "," + r3(BenchFloors.floors(k)) + "]"
-      }.mkString("{", ",", "}")
-    } else "{}"
+      }
+    } else Seq.empty
+    val flagged = flaggedEntries.mkString("{", ",", "}")
     // Sub-phase decomposition (OpMetrics): operators with conflated
     // phases (ss03's ML fit vs probe) report per-phase medians so an
     // episode attributes itself to a phase.
-    val decomp = graft.core.OpMetrics.drainMedians().toSeq.sorted
+    val decompEntries = graft.core.OpMetrics.drainMedians().toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    val decomp = decompEntries.mkString("{", ",", "}")
+    // Digest-line variants of flagged/decomp are CAPPED: the digest must
+    // stay inside the ~2000-char harness capture no matter how many
+    // floors pin or phases register — full detail is on the long line.
+    def capJson(entries: Seq[String], cap: Int): String = {
+      val kept = new StringBuilder
+      var dropped = 0
+      entries.foreach { e =>
+        val piece = (if (kept.nonEmpty) "," else "") + e
+        if (kept.length + piece.length <= cap) kept.append(piece)
+        else dropped += 1
+      }
+      if (dropped > 0)
+        kept.append((if (kept.nonEmpty) "," else "") + "\"_dropped\":" + dropped)
+      "{" + kept + "}"
+    }
+    val flaggedDigest = capJson(flaggedEntries, 300)
+    val decompDigest = capJson(decompEntries, 200)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,$sentinelJson,"flagged":$flagged,"decomp":$decomp,"sf":"$sfDir"}""")
     // The harness that captures this output keeps only the LAST ~2000
     // characters of stdout, and the full per-query line above is ~4x
@@ -126,7 +144,7 @@ object Bench {
       .toSeq.sorted.mkString("{", ",", "}")
     val slow = results.filter(_._3).sortBy(-_._2)
     // greedily keep the slowest queries while the digest stays under budget
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"families":$fams,"failed":$failed,$sentinelJson,"flagged":$flagged,"decomp":$decomp,"sf":"$sfDir","slowest":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"families":$fams,"failed":$failed,$sentinelJson,"flagged":$flaggedDigest,"decomp":$decompDigest,"sf":"$sfDir","slowest":{"""
     val budget = 1900 - head.length - 2
     val kept = new StringBuilder
     slow.foreach { case (k, v, _) =>

@@ -300,8 +300,7 @@ object DedupQueries {
             "the ~9n^2/128 candidate stream dominates. Use dd07_simhash_wide " +
             "(14-bit chunks) at scale, or raise spark.conf " +
             "graft.ext.simhash64MaxDocs to override.")
-        val tok = docs(s, dir)
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val tok = TextOps.tokenRows(docs(s, dir), "doc_id", "text")
         TextOps.simhashPairs(tok, "doc_id", segments = 2, radius = 8)
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -335,8 +334,7 @@ object DedupQueries {
       "dd07_simhash_wide",
       "Wide SimHash near-dup: 128-bit signatures, 9 pigeonhole chunks of 14-15 bits - dd04's scale path (2^14-value chunks cut false candidates ~128x)",
       (s, dir) => {
-        val tok = docs(s, dir)
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val tok = TextOps.tokenRows(docs(s, dir), "doc_id", "text")
         TextOps.simhashPairs(tok, "doc_id", segments = 4, radius = 8)
           .orderBy(col("a_id"), col("b_id"))
       },

@@ -345,8 +345,8 @@ object MultimodalQueries {
         // co-partitioned join against the 64-row-per-vector component
         // relation, one narrow per-vector norm agg — everything keyed,
         // nothing quadratic.
-        val tok = Tables.table(s, dir, "documents").select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("t"))
+        val tok = TextOps.fanOut(Tables.table(s, dir, "documents"))
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
         graft.functions.HashOps.register(s)
         val dim = (graft.functions.HashOps.md5Seg32(col("t"), 0)
           .bitwiseAND(lit(Int.MaxValue.toLong)) % 64).as("dim")

@@ -49,7 +49,7 @@ object TextOps {
       n: Int): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     if (n == 1)
-      return df.select(col(idCol),
+      return fanOut(df).select(col(idCol),
         explode(tokens(col(textCol))).as("_el"))
     // the positioned sibling carries the lead-window pass AND the
     // per-document skew guard (see wordShinglePosRows)
@@ -83,7 +83,11 @@ object TextOps {
     // materialized by the projection, so the guard reads it for free.
     val maxTokens = df.sparkSession.conf
       .getOption("graft.ext.maxDocTokens").map(_.toLong).getOrElse(1000000L)
-    val guarded = df
+    // fanOut-spread: the posexplode below is a ~n_tokens-per-row
+    // expansion that runs on the scan partitioning — one core for a
+    // small single-file leaf. The window pass re-shuffles by doc id
+    // anyway, so spreading the explode costs nothing extra downstream.
+    val guarded = fanOut(df)
       .select(col(idCol), tokens(col(textCol)).as("_t"))
       .filter(assert_true(size(col("_t")) <= maxTokens,
         concat(lit("wordShingleRows: document "), col(idCol).cast("string"),
@@ -123,6 +127,15 @@ object TextOps {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
   }
+
+  /** (id, "tok") token rows — the whitespace-token explode that feeds
+    * the SimHash family (dd04/dd07/tx13/mm05). Input is [[fanOut]]-
+    * spread: the explode plus the (id, tok) map-side partial count in
+    * simhashSignatures otherwise serialize on a small single-file
+    * leaf's one scan partition (same shape as dd05's charNgramRows
+    * fix, SCALING.md r10/r11). No-op at production parallelism. */
+  def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fanOut(df).select(col(idCol), explode(tokens(col(textCol))).as("tok"))
 
   /** (id, char n-gram) rows — explode positions, substring in codegen;
     * short texts yield themselves. May contain duplicates (see
@@ -333,7 +346,7 @@ object TextOps {
     // md5_seg32 = conv(substring(md5(tok), 8k+1, 8), 16, 10) computed
     // from the digest bytes (no hex string, no conv parse, cached
     // MessageDigest) — same value, so the generated DuckDB oracle is
-    // untouched; measured 3x on dd05's digest stage (SCALING.md r10)
+    // untouched; A/B vs the conv spelling recorded in SCALING.md r11
     graft.functions.HashOps.register(tok.sparkSession)
     val hashed = counted.select(col(idCol) +: col("_cnt") +:
       (0 until segments).map(k =>

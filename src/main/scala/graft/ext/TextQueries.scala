@@ -392,7 +392,7 @@ object TextQueries {
         // full corpus scan at plan-construction time, outside the
         // measured query.
         val n1 = docs(s, dir).agg(count(lit(1)).as("n"))
-        val tf = docs(s, dir)
+        val tf = TextOps.fanOut(docs(s, dir))
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
@@ -436,7 +436,7 @@ object TextQueries {
         // final top-20 is a TakeOrderedAndProject, not a global sort.
         // (Full BPE iterates this with a re-tokenize between rounds;
         // each round is exactly this query shape over the corpus.)
-        docs(s, dir)
+        TextOps.fanOut(docs(s, dir))
           .select(explode(TextOps.tokens(col("text"))).as("tok"))
           .filter(length(col("tok")) >= 2)
           .select(explode(expr(
@@ -476,7 +476,7 @@ object TextQueries {
       "Frequent-token sketch: Misra-Gries heavy hitters (k=20, mergeable Aggregator, <=k counters per map task)",
       (s, dir) => {
         val mg = udaf(new graft.functions.Sketches.MisraGries(20))
-        docs(s, dir)
+        TextOps.fanOut(docs(s, dir))
           .select(explode(TextOps.tokens(col("text"))).as("tok"))
           .agg(mg(col("tok")).as("sketch"))
           .select(posexplode(col("sketch.items")))
@@ -503,7 +503,7 @@ object TextQueries {
         // vocabulary so the sketch genuinely evicts AND the N/29
         // frequency floor (~3.45%) keeps a non-empty survivor set.
         val k = 28
-        val tok = docs(s, dir)
+        val tok = TextOps.fanOut(docs(s, dir))
           .select(explode(TextOps.tokens(col("text"))).as("tok"))
         val mg = udaf(new graft.functions.Sketches.MisraGries(k))
         val survivors = tok.agg(mg(col("tok")).as("sketch"))
@@ -548,7 +548,7 @@ object TextQueries {
         val f = (graft.functions.HashOps.md5Seg32(col("_tok"), 0)
           % QsD).cast("int")
         val w = element_at(typedLit(qsWeights), f + 1)
-        docs(s, dir)
+        TextOps.fanOut(docs(s, dir))
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("_tok"))
           .select(col("doc_id"), w.as("_w"))
           .groupBy(col("doc_id"))

@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * already had. This expression reuses one MessageDigest per task and
   * reads the segment bytes big-endian, skipping every intermediate
   * string. Same value, so every existing DuckDB oracle
-  * (`('0x' || substr(md5(el), 1+8*k, 8))::BIGINT`) holds unchanged —
-  * measured 3x faster on dd05's digest stage (SCALING.md round 10).
+  * (`('0x' || substr(md5(el), 1+8*k, 8))::BIGINT`) holds unchanged.
+  * Measured A/B vs the conv spelling: SCALING.md round 11
+  * (Dd05Probe, sf0.1 + 500k-doc corpus).
   *
   * `seg` ∈ [0, 3] (md5 is 16 bytes = 4 segments). Null in → null out.
   */
@@ -39,10 +40,12 @@ case class Md5Seg32(child: Expression, seg: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_seg32"
 
-  @transient private lazy val md =
-    java.security.MessageDigest.getInstance("MD5")
-
+  // Per-call instance: the interpreted path is cold (codegen path has
+  // per-task instances), and a shared MessageDigest is not thread-safe
+  // if one expression object is ever evaluated from two threads (e.g.
+  // driver-side folding of a shared Column across concurrent queries).
   override def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
     Md5Seg32.seg32(d, seg)
   }
@@ -57,10 +60,13 @@ case class Md5Seg32(child: Expression, seg: Int) extends UnaryExpression {
     val o = seg * 4
     nullSafeCodeGen(ctx, ev, in => {
       val d = ctx.freshName("d")
+      // The OR-chain MUST stay on one generated line: Spark's code-block
+      // assembly re-applies stripMargin, so a continuation line starting
+      // with `|` loses that operator and Janino fails ("is not a type"),
+      // silently dropping the projection to interpreted mode (r10 bug).
       s"""
          |byte[] $d = $mdRef.digest($in.getBytes());
-         |${ev.value} = (($d[$o] & 0xffL) << 24) | (($d[${o + 1}] & 0xffL) << 16)
-         |  | (($d[${o + 2}] & 0xffL) << 8) | ($d[${o + 3}] & 0xffL);
+         |${ev.value} = (($d[$o] & 0xffL) << 24) | (($d[${o + 1}] & 0xffL) << 16) | (($d[${o + 2}] & 0xffL) << 8) | ($d[${o + 3}] & 0xffL);
        """.stripMargin
     })
   }

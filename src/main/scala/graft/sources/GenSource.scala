@@ -167,11 +167,21 @@ private[sources] class GenScanBuilder(rows: Long, seed: Long, parts: Int)
   }
 
   override def build(): Scan = {
-    // filters narrowed [lo, hi) first; a pushed limit truncates it
-    val hiL = if (limit >= 0) math.min(hi, lo + limit) else hi
     agg match {
-      case Some(a) => new GenAggScan(lo, hiL, a)
-      case None => new GenScan(lo, hiL, seed, parts, required)
+      // DSv2 semantics (cf. JDBC): a limit pushed alongside a pushed
+      // aggregate applies to the AGGREGATED output, not the input span
+      // — the agg scan emits exactly one row, so any limit >= 1 is a
+      // no-op and must NOT truncate the pre-aggregate id span (a
+      // truncated span would make COUNT(*) = min(n, limit)). Today
+      // EliminateLimits removes Limit above a global aggregate
+      // (maxRows = 1) so the combination is unreachable, but we don't
+      // couple correctness to that optimizer internal.
+      case Some(a) => new GenAggScan(lo, hi, a)
+      case None =>
+        // filters narrowed [lo, hi) first; a pushed limit truncates it
+        // EXACTLY (any `limit` rows satisfy an unordered LIMIT)
+        val hiL = if (limit >= 0) math.min(hi, lo + limit) else hi
+        new GenScan(lo, hiL, seed, parts, required)
     }
   }
 }

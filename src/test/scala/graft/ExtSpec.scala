@@ -1207,7 +1207,7 @@ class ExtSpec extends SparkSpec {
     got.unpersist()
   }
 
-  test("dp11 length-aware packing: capacity respected, bins dense and greedy, no doc split, beats arrival order") {
+  test("dp11 length-aware packing: capacity respected, bins dense and greedy, no doc split, bin count within bounds") {
     val got = run("dp11_length_aware_packing").cache()
     val corpus = sources.Tables.table(spark, sfDir, "documents")
     // every doc exactly once — whole-doc packing never splits or drops
@@ -1235,27 +1235,21 @@ class ExtSpec extends SparkSpec {
         col("filled").as("prev_filled")), Seq("bucket", "prev_seq"))
       .filter(col("prev_filled") + col("first_eff") <= 512)
     assert(wasteful.count() == 0, "a bin opened while the doc still fit")
-    // the length-aware point: never MORE bins than the same shelf fill
-    // in arrival order (simulated exactly, same capacity/truncation)
-    val lens = corpus
-      .select(col("doc_id"), (col("doc_id") % 8).as("bucket"),
-        size(ext.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    def shelfBins(docs: Seq[Long]): Long = {
-      var bins = 1L; var free = 512L
-      docs.foreach { n =>
-        val eff = math.min(n, 512L)
-        if (eff > free) { bins += 1; free = 512L }
-        free -= eff
-      }
-      bins
-    }
-    val arrival = lens.groupBy(_._2).map { case (_, ds) =>
-      shelfBins(ds.sortBy(_._1).map(_._3).toSeq)
-    }.sum
-    val lengthAware = bins.count()
-    assert(lengthAware <= arrival,
-      s"length-aware used $lengthAware bins vs arrival order's $arrival")
+    // bin-count bounds that genuinely hold for next-fit-decreasing
+    // (beating arrival-order next-fit is NOT an invariant: cap 512,
+    // arrival [300,200,300,200] packs 2 bins, decreasing packs 3 — so
+    // a cross-order comparison would only be a fixture accident).
+    // Lower bound: bins >= ceil(sum(eff)/512) per bucket. Upper bound:
+    // the greedy-shelf property asserted above (a bin opens only when
+    // its first doc did not fit) implies adjacent bins jointly exceed
+    // the capacity, so bins <= 2*ceil(sum(eff)/512) + 1 per bucket.
+    val bounds = bins.groupBy("bucket")
+      .agg(count(lit(1)).as("n_bins"), sum("filled").as("tot"))
+      .withColumn("opt_lb", ceil(col("tot") / 512.0).cast("long"))
+    assert(bounds.filter(col("n_bins") < col("opt_lb")).count() == 0,
+      "a bucket packed below the volume lower bound (impossible fill)")
+    assert(bounds.filter(col("n_bins") > col("opt_lb") * 2 + 1).count() == 0,
+      "a bucket exceeded the next-fit 2*OPT+1 guarantee")
     got.unpersist()
   }
 
