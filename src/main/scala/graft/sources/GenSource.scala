@@ -2,10 +2,13 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
+import java.util.OptionalLong
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -78,7 +81,7 @@ object GenSource {
   }
 }
 
-private[sources] class GenTable(rows: Long, seed: Long, parts: Int)
+private[graft] class GenTable(rows: Long, seed: Long, parts: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft_gen(rows=$rows, seed=$seed)"
   override def schema(): StructType = GenSource.schema
@@ -88,7 +91,7 @@ private[sources] class GenTable(rows: Long, seed: Long, parts: Int)
     new GenScanBuilder(rows, seed, parts)
 }
 
-private[sources] class GenScanBuilder(rows: Long, seed: Long, parts: Int)
+private[graft] class GenScanBuilder(rows: Long, seed: Long, parts: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -189,9 +192,15 @@ private[sources] class GenScanBuilder(rows: Long, seed: Long, parts: Int)
 /** Completely-pushed aggregate scan: one partition, one row, values
   * computed closed-form from the (post-filter, post-limit) id span —
   * the generator's analog of parquet footer-stats aggregate pushdown. */
-private[sources] class GenAggScan(lo: Long, hi: Long, agg: Aggregation)
-    extends Scan with Batch {
+private[graft] class GenAggScan(lo: Long, hi: Long, agg: Aggregation)
+    extends Scan with Batch with SupportsReportStatistics {
   private val n = math.max(hi - lo, 0L)
+  /** A completely-pushed global aggregate emits exactly one row. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(8L * agg.aggregateExpressions.length.max(1))
+    override def numRows(): OptionalLong = OptionalLong.of(1L)
+  }
   private val funcs = agg.aggregateExpressions.toIndexedSeq
   override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
     case (f, i) =>
@@ -215,7 +224,7 @@ private[sources] class GenAggScan(lo: Long, hi: Long, agg: Aggregation)
   }
 }
 
-private[sources] class GenAggReaderFactory(values: Array[Any])
+private[graft] class GenAggReaderFactory(values: Array[Any])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
@@ -227,12 +236,83 @@ private[sources] class GenAggReaderFactory(values: Array[Any])
   }
 }
 
-private[sources] class GenScan(lo: Long, hi: Long, seed: Long, parts: Int,
-    required: StructType) extends Scan with Batch {
+private[graft] class GenScan(lo0: Long, hi0: Long, seed: Long, parts: Int,
+    required: StructType) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+  // Runtime-narrowed span: starts at the compile-time pushed range and
+  // shrinks further if a runtime filter (DPP subquery result) arrives
+  // before partition planning.
+  private var lo = lo0
+  private var hi = hi0
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-gen [$lo, $hi) seed=$seed PushedIdRange: [$lo, $hi)"
+
+  /** Post-pushdown stats (numRows = the narrowed span, width = the
+    * PRUNED schema) so Catalyst's join planning sees the real scan
+    * output size — a filtered graft-gen side under the broadcast
+    * threshold broadcasts like a filtered parquet scan would. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(hi - lo, 0L)
+    private val rowBytes = required.fields.map(_.dataType match {
+      case StringType => 20L // "t<d>" + UTF8String overhead estimate
+      case _ => 8L
+    }).sum.max(8L)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(n * rowBytes)
+    override def numRows(): OptionalLong = OptionalLong.of(n)
+  }
+
+  /** Runtime partition pruning (the DSv2 analog of dynamic partition
+    * pruning): `id` is span-partitioned, so any runtime predicate that
+    * bounds `id` — the IN-set a DPP subquery produces, or a range —
+    * narrows [lo, hi) BEFORE planInputPartitions, and pruned spans are
+    * simply never generated. Narrowing keeps the span contiguous
+    * (IN-set → [min, max]): dropping non-matching rows is the join's
+    * job either way; the win here is skipping whole partitions. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def idRef(e: V2Expression): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames()(0) == "id"
+      case _ => false
+    }
+    // match via the public Literal interface (the Scala case class's
+    // companion is pickled private[sql] in Spark 4.x)
+    def lit(e: V2Expression): Option[Long] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value match {
+          case v: java.lang.Long => Some(v.longValue)
+          case v: java.lang.Integer => Some(v.longValue)
+          case _ => None
+        }
+      case _ => None
+    }
+    predicates.foreach { p =>
+      (p.name, p.children) match {
+        case ("IN", cs) if cs.nonEmpty && idRef(cs.head) =>
+          val vs = cs.tail.flatMap(lit)
+          // only narrow when EVERY member is a literal we understand —
+          // a partially-parsed IN-set must not drop valid spans
+          if (vs.length == cs.length - 1 && vs.nonEmpty) {
+            lo = math.max(lo, vs.min); hi = math.min(hi, vs.max + 1)
+          }
+        case ("=", Array(a, b)) if idRef(a) =>
+          lit(b).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v + 1) }
+        case (">=", Array(a, b)) if idRef(a) =>
+          lit(b).foreach(v => lo = math.max(lo, v))
+        case (">", Array(a, b)) if idRef(a) =>
+          lit(b).foreach(v => lo = math.max(lo, v + 1))
+        case ("<=", Array(a, b)) if idRef(a) =>
+          lit(b).foreach(v => hi = math.min(hi, v + 1))
+        case ("<", Array(a, b)) if idRef(a) =>
+          lit(b).foreach(v => hi = math.min(hi, v))
+        case _ => () // unrecognized predicates are advisory — keep the span
+      }
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(hi - lo, 0L)
@@ -245,10 +325,10 @@ private[sources] class GenScan(lo: Long, hi: Long, seed: Long, parts: Int,
     new GenReaderFactory(seed, required.fieldNames)
 }
 
-private[sources] case class GenPartition(start: Long, end: Long)
+private[graft] case class GenPartition(start: Long, end: Long)
     extends InputPartition
 
-private[sources] class GenReaderFactory(seed: Long, fields: Array[String])
+private[graft] class GenReaderFactory(seed: Long, fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GenPartition]

@@ -109,4 +109,67 @@ class GenSourceSpec extends SparkSpec {
     val lf = read(4).filter(col("id") >= 9000L).limit(5)
     assert(lf.collect().map(_.getLong(0)).toSeq == Seq(9000L, 9001L, 9002L, 9003L, 9004L))
   }
+
+  test("graft-gen: reported statistics reach the optimizer post-pushdown") {
+    // the V2 scan relation must expose the NARROWED span's row count,
+    // so join planning sees the real scan output size
+    val df = read(4).filter(col("id") >= 9000L && col("id") < 9500L)
+    val rel = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(rel.nonEmpty, "no V2 scan relation in the optimized plan")
+    val stats = rel.head.stats
+    assert(stats.rowCount.contains(BigInt(500)),
+      s"stats row count should be the narrowed span (500): ${stats.rowCount}")
+    assert(stats.sizeInBytes < 100000,
+      s"narrowed scan should report a small size: ${stats.sizeInBytes}")
+    // stats-driven broadcast: a filtered graft-gen side far below the
+    // broadcast threshold must plan as the build side of a broadcast
+    // join against a large table, with NO shuffle on the big side
+    val big = read(8, 200000L)
+    val dim = read(4).filter(col("id") >= 9990L) // 10 rows by stats
+    val j = big.join(dim.select(col("id").as("k"), col("grp").as("dgrp")),
+      col("id") === col("k"))
+    // the AQE wrapper hides its children from collect(); the initial
+    // plan's treeString shows the stats-driven join choice
+    val planStr = j.queryExecution.executedPlan.treeString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"10-row-by-stats gen side did not broadcast:\n$planStr")
+    assert(!planStr.contains("SortMergeJoin"),
+      s"big gen side should not shuffle-sort:\n$planStr")
+    assert(j.count() == 10)
+  }
+
+  test("graft-gen: runtime filter narrows the span before partition planning") {
+    // direct contract check: an IN predicate on id narrows [lo, hi)
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import graft.sources.{GenPartition, GenScan, GenScanBuilder}
+    val sb = new GenScanBuilder(10000L, 7L, 8)
+    val scan = sb.build().asInstanceOf[GenScan]
+    assert(scan.planInputPartitions().length == 8)
+    val in = new Predicate("IN",
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("id"),
+        Expressions.literal(4000L), Expressions.literal(4010L),
+        Expressions.literal(4005L)))
+    scan.filter(Array(in))
+    assert(scan.description().contains("[4000, 4011)"),
+      s"IN-set did not narrow the span: ${scan.description()}")
+    val spans = scan.planInputPartitions().map(_.asInstanceOf[GenPartition])
+    assert(spans.head.start == 4000L && spans.last.end == 4011L,
+      "partitions not re-planned over the narrowed span")
+    // a range predicate narrows too; an unrecognized one is a no-op
+    val sb2 = new GenScanBuilder(10000L, 7L, 4)
+    val scan2 = sb2.build().asInstanceOf[GenScan]
+    scan2.filter(Array(
+      new Predicate(">=", Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("id"), Expressions.literal(9000L))),
+      new Predicate("ENDS_WITH", Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("tag"), Expressions.literal("1")))))
+    assert(scan2.description().contains("[9000, 10000)"),
+      s"range runtime filter not applied: ${scan2.description()}")
+    // and filterAttributes advertises id (the span-partitioned column)
+    assert(scan2.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+  }
 }
