@@ -101,10 +101,8 @@ object Bench {
     // numbers, so a consumer re-runs it isolated instead of reading a
     // phantom regression. Floors are sf0.1-specific.
     val flaggedEntries = if (sfDir.contains("sf0.1")) {
-      results.collect { case (k, v, true)
-        if BenchFloors.floors.get(k).exists(f => v > BenchFloors.FlagRatio * f) =>
-        "\"" + k + "\":[" + r3(v) + "," + r3(BenchFloors.floors(k)) + "]"
-      }
+      BenchFloors.flagged(results.collect { case (k, v, true) => (k, v) })
+        .map { case (k, v, f) => "\"" + k + "\":[" + r3(v) + "," + r3(f) + "]" }
     } else Seq.empty
     val flagged = flaggedEntries.mkString("{", ",", "}")
     // Sub-phase decomposition (OpMetrics): operators with conflated

@@ -23,5 +23,95 @@ object BenchFloors {
     * for isolated re-run, it does not excuse it). */
   val FlagRatio = 3.0
 
-  val floors: Map[String, Double] = Map.empty
+  /** The readings that exceed FlagRatio x their pinned floor, as
+    * (query, reading, floor) — extracted from Bench's reporting loop so
+    * the spec can prove the mechanism actually fires (the r10 version
+    * shipped with zero floors pinned, making `"flagged":{}` vacuous). */
+  def flagged(readings: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+    readings.collect {
+      case (k, v) if floors.get(k).exists(f => v > FlagRatio * f) =>
+        (k, v, floors(k))
+    }
+
+  // 77 queries >= 0.5s, min over 3 board(s)
+  val floors: Map[String, Double] = Map(
+    "dd03_minhash_lsh" -> 2.323,
+    "dd04_simhash" -> 2.412,
+    "dd05_ngram_jaccard" -> 1.689,
+    "dd07_simhash_wide" -> 2.105,
+    "dd08_dedup_clusters" -> 3.408,
+    "dd10_dedup_clusters_lsh" -> 3.084,
+    "dd12_embedding_neardup_lsh" -> 1.182,
+    "dd13_semdedup" -> 2.966,
+    "dd16_cc_star" -> 3.585,
+    "dd17_incremental_minhash" -> 0.556,
+    "g03_triangle_count" -> 0.928,
+    "g07_pagerank" -> 1.277,
+    "g07b_pagerank_top100" -> 1.615,
+    "impala_orig_q59" -> 0.592,
+    "impala_q59" -> 0.530,
+    "impala_q65" -> 0.637,
+    "mm05_alignment_filter" -> 0.840,
+    "q03_top_orders" -> 0.905,
+    "q05_region_volume" -> 0.836,
+    "q12_correlated_subquery" -> 0.930,
+    "q13_uncorrelated_subquery" -> 0.716,
+    "q14_window_rank" -> 0.653,
+    "q20_grouping_sets" -> 0.818,
+    "q35_cast_key_join" -> 0.772,
+    "q37_rollup_rank" -> 1.074,
+    "ss02_ann_lsh" -> 1.164,
+    "ss03_ann_ivf" -> 1.101,
+    "ss03b_ann_ivf_fixed" -> 0.726,
+    "ss06_knn_graph" -> 1.135,
+    "ss07_hybrid_search" -> 0.902,
+    "ss08_ann_ivf_quantized" -> 0.584,
+    "ss09_ann_pq" -> 0.611,
+    "tpcds_q1" -> 0.590,
+    "tpcds_q11_exact" -> 0.503,
+    "tpcds_q14a" -> 2.041,
+    "tpcds_q14b" -> 1.697,
+    "tpcds_q17" -> 0.554,
+    "tpcds_q22" -> 0.528,
+    "tpcds_q23a" -> 0.801,
+    "tpcds_q23b" -> 0.854,
+    "tpcds_q24a" -> 0.806,
+    "tpcds_q24b" -> 0.534,
+    "tpcds_q25" -> 0.581,
+    "tpcds_q39a" -> 0.601,
+    "tpcds_q4" -> 0.647,
+    "tpcds_q47" -> 1.426,
+    "tpcds_q49" -> 0.693,
+    "tpcds_q4_exact" -> 0.752,
+    "tpcds_q5" -> 0.526,
+    "tpcds_q50" -> 0.512,
+    "tpcds_q51" -> 0.635,
+    "tpcds_q53" -> 0.533,
+    "tpcds_q54" -> 0.644,
+    "tpcds_q57" -> 1.093,
+    "tpcds_q58" -> 0.586,
+    "tpcds_q59" -> 0.611,
+    "tpcds_q60" -> 0.505,
+    "tpcds_q64" -> 0.764,
+    "tpcds_q65" -> 0.676,
+    "tpcds_q67" -> 0.656,
+    "tpcds_q70" -> 0.632,
+    "tpcds_q72" -> 1.310,
+    "tpcds_q74_exact" -> 0.500,
+    "tpcds_q75" -> 0.738,
+    "tpcds_q78" -> 0.547,
+    "tpcds_q88" -> 0.514,
+    "tx04_fingerprint" -> 1.066,
+    "tx05b_heavy_hitters_exact" -> 0.848,
+    "tx06_ngram_repetition" -> 0.895,
+    "tx08_decontamination" -> 1.149,
+    "tx10_tfidf_terms" -> 1.272,
+    "tx11_bpe_pairs" -> 0.597,
+    "tx12_bm25_search" -> 0.772,
+    "tx13_model_quality_filter" -> 0.518,
+    "tx16_lm_bigram_score" -> 0.888,
+    "tx18_cms_counts" -> 1.048,
+    "tx19_scored_decontamination" -> 1.267
+  )
+
 }

@@ -789,5 +789,50 @@ object DedupQueries {
           .orderBy(col("vec_id"))
       },
       Some(ccOracleSql)),
+
+    CatalogQuery(
+      "dd17_incremental_minhash",
+      "Incremental NEAR-dup probe: new batch (doc_id % 5 = 4) MinHash-signed and probed against the standing corpus's banded LSH index, exact-Jaccard verified — history is never re-paired with itself",
+      (s, dir) => {
+        // dd11's standing-index shape composed with dd03's signatures:
+        // dd11 catches only EXACT re-ingestion (content hash); this is
+        // the near-dup flavor real curation pipelines run daily. The
+        // history side folds once into a (band, bucket) index — at
+        // 100 TB a persisted bucketed table maintained by appending
+        // each accepted batch's buckets, here derived in-query — the
+        // batch signs ONLY itself (cost ∝ batch size), the probe join
+        // co-partitions on (band, bucket), and history-history pairs
+        // are never generated. Flooded history buckets collapse to
+        // their min-id representative (bounded work per batch doc).
+        // Same shingle/LSH/verify constants as dd03, so a pair this op
+        // reports is exactly a dd03 pair that crosses the batch split.
+        val d = docs(s, dir)
+        val isBatch = pmod(col("doc_id"), lit(5)) === 4
+        val histRows = TextOps.wordShingleRows(
+          d.filter(!isBatch), "doc_id", "text", 3)
+        val batchRows = TextOps.wordShingleRows(
+          d.filter(isBatch), "doc_id", "text", 3)
+        val roll = TextOps.lshProbePairs(histRows, batchRows, "doc_id",
+            numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+            threshNum = 8, threshDen = 10)
+          .groupBy(col("batch_id"))
+          .agg(min(col("hist_id")).as("dup_of"),
+            count(lit(1)).as("n_matches"))
+        d.filter(isBatch).select(col("doc_id"))
+          .join(roll, col("doc_id") === col("batch_id"), "left")
+          .select(col("doc_id"),
+            when(col("dup_of").isNotNull, lit("near_dup_history"))
+              .otherwise(lit("new")).as("status"),
+            col("dup_of").cast("long").as("dup_of"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+          .orderBy(col("doc_id"))
+      },
+      // generated from the identical constants as the Spark plan (same
+      // md5-segment/mod-p chain as dd03's oracle, band join restricted
+      // to batch -> capped history)
+      Some(TextOps.lshProbeOracleSql(TextOps.wordShingleSql(3),
+        batchPred = "doc_id % 5 = 4", histPred = "doc_id % 5 <> 4",
+        numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+        threshNum = 8, threshDen = 10))),
   )
 }

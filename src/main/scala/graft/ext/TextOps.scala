@@ -254,6 +254,21 @@ object TextOps {
     exploded.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
   }
 
+  /** (id, band, bucket) rows from a signature frame. Bucket key = the
+    * band's minhash tuple rendered as a string — no re-hash at all, so
+    * the key is reproducible in any engine (the tuple IS the LSH
+    * identity; hashing it again only saved key bytes). */
+  private def bandBuckets(mh: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"_mh$i"))
+      struct(lit(b).as("band"), concat_ws(",", bandCols: _*).as("bucket"))
+    }
+    mh.select(col(idCol), explode(array(bandStructs: _*)).as("_bb"))
+      .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+  }
+
   /** Banded-LSH candidate pairs from a signature frame. */
   private def candidatesFromSignatures(
       mh0: DataFrame,
@@ -273,16 +288,7 @@ object TextOps {
     // a third). The frame is narrow (id + numHashes longs), so the
     // one-time block write is far below one recompute.
     val mh = mh0.localCheckpoint(true)
-    // bucket key = the band's minhash tuple rendered as a string — no
-    // re-hash at all, so the key is reproducible in any engine (the
-    // tuple IS the LSH identity; hashing it again only saved key bytes)
-    val bandStructs = (0 until nBands).map { b =>
-      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"_mh$i"))
-      struct(lit(b).as("band"), concat_ws(",", bandCols: _*).as("bucket"))
-    }
-    val buckets = mh
-      .select(col(idCol), explode(array(bandStructs: _*)).as("_bb"))
-      .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
+    val buckets = bandBuckets(mh, idCol, numHashes, rowsPerBand)
 
     // one aggregation yields both the size gate and the representative;
     // the join back is co-partitioned on the same (band, bucket) key
@@ -632,6 +638,128 @@ object TextOps {
     val sets = rows.groupBy(col(idCol)).agg(collect_set(col("_el")).as("_set"))
     val cand = lshCandidatesFromRows(rows, idCol, numHashes, rowsPerBand, maxBucketSize)
     jaccardJoin(cand, sets, idCol, "_set", threshNum, threshDen)
+  }
+
+  /** Incremental LSH probe: near-dup candidates of a NEW batch against
+    * a STANDING corpus, without re-pairing the corpus with itself.
+    *
+    * The incremental sibling of [[lshCandidatesFromRows]] (dd17): the
+    * history side folds once into a banded (band, bucket) index — at
+    * 100 TB that index is a persisted bucketed table the daily batch
+    * joins into, maintained by appending each accepted batch's buckets;
+    * here it is derived in-query from the history rows. The batch signs
+    * ONLY itself (signature cost ∝ batch, not corpus), the probe join
+    * co-partitions both sides on (band, bucket), and history-history
+    * pairs are never generated.
+    *
+    * Flooded history buckets (> maxBucketSize members) keep only their
+    * REPRESENTATIVE (min id): a batch doc landing in one still gets a
+    * bounded comparison against the rep instead of n_bucket joins —
+    * same bounded-work/degraded-recall trade as the batch path's
+    * star-chaining, adapted to the asymmetric probe (there is no
+    * batch-to-batch chain to ride here).
+    *
+    * Output: (batch_id, hist_id) DISTINCT candidate pairs. */
+  def lshProbeCandidates(
+      histRows: DataFrame,
+      batchRows: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val hb = bandBuckets(signatures(histRows, idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val stats = hb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_rep"))
+    val kept = hb.join(stats, Seq("band", "bucket"))
+      .filter(col("_n") <= maxBucketSize || col(idCol) === col("_rep"))
+      .select(col("band"), col("bucket"), col(idCol).as("hist_id"))
+    val bb = bandBuckets(signatures(batchRows, idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+      .select(col("band"), col("bucket"), col(idCol).as("batch_id"))
+    bb.join(kept, Seq("band", "bucket"))
+      .select(col("batch_id"), col("hist_id")).distinct()
+  }
+
+  /** End-to-end incremental near-dup probe: [[lshProbeCandidates]] +
+    * exact-Jaccard verification of each (batch, history) candidate.
+    * `allRows` must cover both sides' element rows (the verify sets);
+    * only candidate pairs' sets meet, so the set agg stays one pass.
+    * Output: batch_id, hist_id, inter, uni. */
+  def lshProbePairs(
+      histRows: DataFrame,
+      batchRows: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int,
+      threshNum: Int,
+      threshDen: Int): DataFrame = {
+    val cand = lshProbeCandidates(histRows, batchRows, idCol,
+      numHashes, rowsPerBand, maxBucketSize)
+      .select(col("batch_id").as("a_id"), col("hist_id").as("b_id"))
+    val sets = histRows.union(batchRows)
+      .groupBy(col(idCol)).agg(collect_set(col("_el")).as("_set"))
+    jaccardJoin(cand, sets, idCol, "_set", threshNum, threshDen)
+      .select(col("a_id").as("batch_id"), col("b_id").as("hist_id"),
+        col("inter"), col("uni"))
+  }
+
+  /** DuckDB value oracle for an incremental-probe catalog entry
+    * (dd17): same CTE chain constants as [[lshPairsOracleSql]], with
+    * the band join restricted to batch → capped-history and a per-batch
+    * -doc status rollup. `batchPred` / `histPred` are SQL predicates
+    * over `doc_id` selecting each side. */
+  def lshProbeOracleSql(shingleSql: String, batchPred: String,
+      histPred: String, numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int, threshNum: Int, threshDen: Int): String = {
+    require(numHashes % rowsPerBand == 0)
+    val nBands = numHashes / rowsPerBand
+    val mhs = (0 until numHashes).map(i =>
+      s"min((h * ${uhA(i)} + ${uhB(i)}) % $MersenneP) AS _mh$i").mkString(", ")
+    val bands = (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"_mh$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS ($shingleSql),
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(el), 1, 8))::BIGINT & 2147483647 AS h FROM sh),
+       |mh AS (SELECT doc_id, $mhs FROM h GROUP BY doc_id),
+       |bk AS ($bands),
+       |hb AS (SELECT * FROM bk WHERE $histPred),
+       |bb AS (SELECT * FROM bk WHERE $batchPred),
+       |ct AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+       |       FROM hb GROUP BY band, bucket),
+       |keep AS (SELECT hb.doc_id, hb.band, hb.bucket
+       |         FROM hb JOIN ct USING (band, bucket)
+       |         WHERE ct.n <= $maxBucketSize OR hb.doc_id = ct.rep),
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, k.doc_id AS hist_id
+       |         FROM bb b JOIN keep k USING (band, bucket)),
+       |dsh AS (SELECT DISTINCT doc_id, el FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+       |iv AS (SELECT c.batch_id, c.hist_id, count(*) AS inter
+       |       FROM cand c
+       |       JOIN dsh x ON x.doc_id = c.batch_id
+       |       JOIN dsh y ON y.doc_id = c.hist_id AND y.el = x.el
+       |       GROUP BY c.batch_id, c.hist_id),
+       |ver AS (SELECT iv.batch_id, iv.hist_id
+       |  FROM iv
+       |  JOIN sz sa ON sa.doc_id = iv.batch_id
+       |  JOIN sz sb ON sb.doc_id = iv.hist_id
+       |  WHERE inter * $threshDen >= (sa.n + sb.n - inter) * $threshNum),
+       |roll AS (SELECT batch_id, CAST(min(hist_id) AS BIGINT) AS dup_of,
+       |         CAST(count(*) AS BIGINT) AS n_matches
+       |         FROM ver GROUP BY batch_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN roll.dup_of IS NOT NULL THEN 'near_dup_history'
+       |       ELSE 'new' END AS status,
+       |  roll.dup_of,
+       |  CAST(COALESCE(roll.n_matches, 0) AS BIGINT) AS n_matches
+       |FROM (SELECT doc_id FROM documents WHERE $batchPred) d
+       |LEFT JOIN roll ON roll.batch_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Attach both sides' sets to candidate pairs and keep pairs with

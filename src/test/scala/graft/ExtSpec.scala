@@ -583,6 +583,41 @@ class ExtSpec extends SparkSpec {
       (24L, "dup_history", 2L)), s"got ${got.toSeq.sortBy(_._1)}")
   }
 
+  test("dd17 incremental minhash probe: planted near-dups against history; batch-batch pairs are NOT probed") {
+    // batch = doc_id % 5 == 4. Plant: 4 copies history doc 1 exactly
+    // (J=1 — collides in every band, guaranteed candidate); 9 is a
+    // 40-token near-dup of history doc 6 with ONE trailing token
+    // changed (3-shingle Jaccard 35/41 ~ 0.85 >= 0.8); 14 and 19 copy
+    // each other but no history doc — the probe must report both "new"
+    // (within-batch near-dup is the batch's own dd03/dd10 run, NOT the
+    // incremental probe's contract); 24 is unique.
+    val dir = java.nio.file.Files.createTempDirectory("dd17-planted").toString
+    val long6 = (0 until 40).map(i => s"tok${i}word").mkString(" ")
+    val long9 = (0 until 39).map(i => s"tok${i}word").mkString(" ") + " changed"
+    val rows = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely different history content here now",
+      3L -> "another unrelated history document body text",
+      4L -> "the quick brown fox jumps over the lazy dog today",
+      6L -> long6,
+      9L -> long9,
+      14L -> "batch only duplicate pair content shared text body",
+      19L -> "batch only duplicate pair content shared text body",
+      24L -> "a unique batch document matching nothing at all")
+    import spark.implicits._
+    plantDocs(rows.toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("dd17_incremental_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+    assert(got.toSeq.sortBy(_._1) == Seq(
+      (4L, "near_dup_history", 1L, 1L),
+      (9L, "near_dup_history", 6L, 1L),
+      (14L, "new", -1L, 0L),
+      (19L, "new", -1L, 0L),
+      (24L, "new", -1L, 0L)), s"got ${got.toSeq.sortBy(_._1)}")
+  }
+
   test("dd06 embedding near-dup matches brute-force count and threshold") {
     val got = run("dd06_embedding_neardup")
     assert(got.filter(col("cos_e6") < 400000).count() == 0)

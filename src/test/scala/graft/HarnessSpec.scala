@@ -110,4 +110,20 @@ class HarnessSpec extends SparkSpec {
     val r = q.doBenchmark()
     assert(r.failure.isEmpty && r.result.get == 3L)
   }
+
+  test("bench per-query floors: a >3x reading is flagged, the mechanism is live") {
+    // floors are pinned from real boards, so the flag fires on real
+    // names: take any pinned query and synthesize an episode reading
+    val (q, f) = BenchFloors.floors.head
+    assert(BenchFloors.floors.size > 50,
+      s"floors map suspiciously small (${BenchFloors.floors.size}) - re-run scripts/gen_floors.py")
+    val hits = BenchFloors.flagged(Seq(
+      q -> (f * BenchFloors.FlagRatio + 0.01), // episode: flags
+      q -> (f * 2.9),                          // below ratio: quiet
+      "not_a_pinned_query" -> 999.0))          // unpinned: quiet
+    assert(hits == Seq((q, f * BenchFloors.FlagRatio + 0.01, f)),
+      s"flag mechanism wrong: $hits")
+    // every pinned floor respects the >= 0.5s jitter cutoff
+    assert(BenchFloors.floors.values.forall(_ >= 0.5))
+  }
 }
