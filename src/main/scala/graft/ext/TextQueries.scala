@@ -976,5 +976,59 @@ object TextQueries {
               |    AS contaminated
               |FROM tot t JOIN rare USING (doc_id) JOIN occ USING (doc_id)
               |ORDER BY t.doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx20_quality_gate",
+      "Per-language quality-quantile gate: lexical-diversity score, top-30% cohort per language via histogram-cumulative thresholds (ties at the threshold kept) — no per-document rank, no per-language global sort",
+      (s, dir) => {
+        // The curation step "keep the top q% quality per language"
+        // WITHOUT ranking documents: a per-doc rank needs a global sort
+        // of each language partition (5 languages = 5 giant reducers at
+        // 100 TB). Instead the integer score histogram — (lang, score)
+        // with map-side combine, cardinality bounded by distinct scores
+        // — carries the cumulative count; the windowed cumsum runs over
+        // that SMALL histogram only, and the resulting ≤|langs| row
+        // threshold relation joins back (broadcast-sized by
+        // construction). Cohort semantics: threshold = max score whose
+        // ≥-cohort reaches 30% of the language (cum*10 >= n*3, pure
+        // integers), ties at the threshold all kept — so the gate is a
+        // pure predicate on (lang, score), no tie-break rank needed.
+        // Score = round(distinct/total tokens * 1e6) (the repo's
+        // integer-e6 convention: both engines round IEEE doubles
+        // half-away-from-zero).
+        import org.apache.spark.sql.expressions.Window
+        val toks = TextOps.tokens(col("text"))
+        val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+          round(size(array_distinct(toks)) * lit(1e6) / size(toks))
+            .cast("long").as("score_e6"))
+        val n = scored.groupBy(col("lang")).agg(count(lit(1)).as("_n"))
+        val hist = scored.groupBy(col("lang"), col("score_e6"))
+          .agg(count(lit(1)).as("_c"))
+        val cum = hist.withColumn("_cum", sum(col("_c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("score_e6").desc)))
+        val thr = cum.join(n, "lang")
+          .filter(col("_cum") * 10 >= col("_n") * 3)
+          .groupBy(col("lang")).agg(max(col("score_e6")).as("thr_e6"))
+        scored.join(thr, "lang")
+          .filter(col("score_e6") >= col("thr_e6"))
+          .select(col("doc_id"), col("lang"), col("score_e6"), col("thr_e6"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id, lang,
+             |    CAST(round(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1e6
+             |      / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS score_e6
+             |  FROM documents),
+             |n AS (SELECT lang, count(*) AS n FROM s GROUP BY lang),
+             |h AS (SELECT lang, score_e6, count(*) AS c FROM s GROUP BY lang, score_e6),
+             |cum AS (SELECT lang, score_e6,
+             |    sum(c) OVER (PARTITION BY lang ORDER BY score_e6 DESC) AS cum
+             |  FROM h),
+             |thr AS (SELECT cum.lang, max(score_e6) AS thr_e6
+             |  FROM cum JOIN n USING (lang)
+             |  WHERE cum * 10 >= n * 3 GROUP BY cum.lang)
+             |SELECT s.doc_id, s.lang, s.score_e6, thr.thr_e6
+             |FROM s JOIN thr USING (lang)
+             |WHERE s.score_e6 >= thr.thr_e6
+             |ORDER BY s.doc_id""".stripMargin)),
   )
 }

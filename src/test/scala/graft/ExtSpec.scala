@@ -618,6 +618,30 @@ class ExtSpec extends SparkSpec {
       (24L, "new", -1L, 0L)), s"got ${got.toSeq.sortBy(_._1)}")
   }
 
+  test("tx20 quality gate: per-language cohort thresholds, ties at the threshold kept") {
+    // en: 10 docs, 10 tokens each, k distinct tokens -> score k*100000.
+    // Scores [8,7,7,6,5,4,3,2,1,1]: cumulative-from-top hits 30% of 10
+    // at score 7 (cum=3), so thr=700000 and docs {8,7,7} pass — BOTH
+    // ties at the threshold. es: 3 docs [9,5,2]: cum(9)*10=10 >= 3*3,
+    // so thr=900000 and only the top doc passes. Thresholds are
+    // per-language (the es doc with score 5 would pass the en
+    // threshold but not its own).
+    val dir = java.nio.file.Files.createTempDirectory("tx20-planted").toString
+    def t(k: Int) = ((1 to k).map(i => s"t$i") ++ Seq.fill(10 - k)("t1")).mkString(" ")
+    val ks = Seq(8, 7, 7, 6, 5, 4, 3, 2, 1, 1)
+    val en = ks.zipWithIndex.map { case (k, i) => (i.toLong, t(k), "en") }
+    val es = Seq((100L, t(9), "es"), (101L, t(5), "es"), (102L, t(2), "es"))
+    import spark.implicits._
+    plantDocs((en ++ es).toDF("doc_id", "text", "lang"), dir)
+    val got = SparkEntry.queries("tx20_quality_gate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq.sortBy(_._1) == Seq(
+      (0L, "en", 800000L, 700000L),
+      (1L, "en", 700000L, 700000L),
+      (2L, "en", 700000L, 700000L),
+      (100L, "es", 900000L, 900000L)), s"got ${got.toSeq.sortBy(_._1)}")
+  }
+
   test("dd06 embedding near-dup matches brute-force count and threshold") {
     val got = run("dd06_embedding_neardup")
     assert(got.filter(col("cos_e6") < 400000).count() == 0)
