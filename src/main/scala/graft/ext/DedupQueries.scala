@@ -191,16 +191,26 @@ object DedupQueries {
       // propagation round, so the loop starts a round ahead and the
       // identity-init distinct-shuffle disappears (every vertex
       // appears as dst because edges carry both directions)
-      var labels = edges.groupBy(col("dst"))
-        .agg(min(col("src")).as("mn"))
-        .select(col("dst").as("v"), least(col("dst"), col("mn")).as("lbl"))
-        .localCheckpoint(true)
+      // Sub-phase attribution (OpMetrics, the ss03 lesson): the eager
+      // seed checkpoint forces the ENTIRE upstream pair pipeline
+      // (shingle → LSH → verify for dd10) plus the 1-hop minimum, and
+      // the loop is pure propagation — two different cost stories a
+      // single bench number conflates. "<what>_pairs_seed" /
+      // "<what>_cc_loop" medians surface in Bench's decomp line, so an
+      // episode names the phase it hit.
+      var labels = graft.core.OpMetrics.timed(s"${what}_pairs_seed") {
+        edges.groupBy(col("dst"))
+          .agg(min(col("src")).as("mn"))
+          .select(col("dst").as("v"), least(col("dst"), col("mn")).as("lbl"))
+          .localCheckpoint(true)
+      }
       var converged = false
       var iters = 0
       // dev-only per-round forensics (rounds vs time-per-round — the
       // two candidate costs of an iterative CC at scale); inert unless
       // SPARK_GRAFT_CC_LOG is set, which bench/verify never set
       val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
+      graft.core.OpMetrics.timed(s"${what}_cc_loop") {
       while (!converged && iters < 25) {
         val t0 = if (ccLog) System.nanoTime() else 0L
         val cand = edges.join(labels, edges("src") === labels("v"))
@@ -217,6 +227,7 @@ object DedupQueries {
         iters += 1
         if (ccLog) println(f"[cc:$what] round $iters%2d: $changed%8d changed, " +
           f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
       }
       require(converged,
         s"$what label propagation did not converge within $iters rounds")
