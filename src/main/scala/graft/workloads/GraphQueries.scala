@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.CatalogQuery
+import graft.operators.HypercubeJoin
 import graft.sources.Tables
 
 /** Graph-pattern multi-join workloads (the summerDG fork's signature
@@ -240,5 +241,34 @@ object GraphQueries {
               |  FROM p5)
               |SELECT CAST(rank AS BIGINT) AS rank, node, rank_e6
               |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin)),
+
+    CatalogQuery(
+      "g08_hypercube_triangle",
+      "Triangle count via the HyperCube/Shares one-round multi-way replication join (the reference fork's spark.sql.hypercube.* executor, Spark-first) — same result as g03's binary-join plan",
+      (s, dir) => {
+        // g03's triangle as a NATURAL join over attrs (x, y, z):
+        // R1(x,y) ⋈ R2(y,z) ⋈ R3(z,x), run through the hypercube
+        // operator with the symmetric 3×3×3 cube (27 cells; the exact
+        // share solver returns (3,3,3) for equal sizes — spec-pinned).
+        // The win over g03's plan is not this fixture (the fold joins
+        // carry the same data volume here) but SKEW: a heavy shared
+        // vertex splits across the other two attrs' 9 cells instead of
+        // landing in one reducer — asserted by the spread spec.
+        val e = edges(s, dir)
+        val rels = Seq(
+          HypercubeJoin.Rel(e.select(col("src").as("x"), col("tgt").as("y")), Seq("x", "y")),
+          HypercubeJoin.Rel(e.select(col("src").as("y"), col("tgt").as("z")), Seq("y", "z")),
+          HypercubeJoin.Rel(e.select(col("src").as("z"), col("tgt").as("x")), Seq("z", "x")))
+        val sh = HypercubeJoin.shares(rels.map(r => (r.attrs, 1.0)), 27)
+        HypercubeJoin.join(rels, sh)
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      // value-identical to g03 (the hypercube join is a pure physical
+      // re-expression) — the oracle is g03's triangle SQL verbatim
+      Some(s"""WITH $edgesSql
+              |SELECT count(*) AS n_triangles
+              |FROM edges a
+              |JOIN edges b ON a.tgt = b.src
+              |JOIN edges c ON b.tgt = c.src AND c.tgt = a.src""".stripMargin)),
   )
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.HypercubeJoin
+import graft.operators.HypercubeJoin.Rel
+
+/** HyperCube/Shares one-round multi-way join (operators/HypercubeJoin):
+  * exact share solver, natural-join parity with the binary-join plan,
+  * exactly-once results, and the skew-spread property that is the
+  * operator's reason to exist. */
+class HypercubeSpec extends SparkSpec {
+
+  // deterministic synthetic edges: ~300 edges over 40 nodes, dense
+  // enough for triangles
+  private def synthEdges: DataFrame =
+    spark.range(300).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(40)).as("src"),
+      pmod(xxhash64(col("id"), lit(2)), lit(40)).as("tgt"))
+      .distinct()
+
+  test("shares: symmetric triangle gets the symmetric cube; skewed sizes push the big relation's missing attr to share 1") {
+    val tri = Seq(Seq("x", "y") -> 1.0, Seq("y", "z") -> 1.0, Seq("z", "x") -> 1.0)
+    assert(HypercubeJoin.shares(tri, 27) == Map("x" -> 3, "y" -> 3, "z" -> 3))
+    // product is exactly P for every solution
+    val sh64 = HypercubeJoin.shares(tri, 64)
+    assert(sh64.values.product == 64)
+    // R1(x,y) enormous -> replicating it is the dominant cost -> its
+    // missing attr z must get share 1 (R1 is then never replicated)
+    val skew = HypercubeJoin.shares(
+      Seq(Seq("x", "y") -> 1e6, Seq("y", "z") -> 10.0, Seq("z", "x") -> 10.0), 27)
+    assert(skew("z") == 1, s"big relation still replicated: $skew")
+    assert(skew("x") * skew("y") == 27)
+  }
+
+  test("join: natural-join parity with the binary-join plan, payload columns carried, results exactly once") {
+    val e = synthEdges
+    val rels = Seq(
+      Rel(e.select(col("src").as("x"), col("tgt").as("y"),
+        (col("src") * 1000 + col("tgt")).as("r1_payload")), Seq("x", "y")),
+      Rel(e.select(col("src").as("y"), col("tgt").as("z")), Seq("y", "z")),
+      Rel(e.select(col("src").as("z"), col("tgt").as("x")), Seq("z", "x")))
+    val sh = HypercubeJoin.shares(rels.map(r => (r.attrs, 1.0)), 27)
+    val cube = HypercubeJoin.join(rels, sh)
+      .select("x", "y", "z", "r1_payload")
+    // the same triangle join, binary-join formulation
+    val a = e.as("a"); val b = e.as("b"); val c = e.as("c")
+    val plain = a.join(b, col("a.tgt") === col("b.src"))
+      .join(c, col("b.tgt") === col("c.src") && col("c.tgt") === col("a.src"))
+      .select(col("a.src").as("x"), col("a.tgt").as("y"), col("b.tgt").as("z"),
+        (col("a.src") * 1000 + col("a.tgt")).as("r1_payload"))
+    val got = cube.collect().map(_.toString).sorted.toSeq
+    val want = plain.collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty, "fixture produced no triangles — strengthen synthEdges")
+    // sorted-multiset equality: parity AND exactly-once (a replication
+    // bug would duplicate rows, a coordinate bug would drop them)
+    assert(got == want)
+  }
+
+  test("cubed: a heavy join value spreads across the other attrs' cells instead of one reducer") {
+    import spark.implicits._
+    // 60 R1 rows sharing y=0 (the heavy key) with distinct x
+    val r1 = (0 until 60).map(i => (i.toLong, 0L)).toDF("x", "y")
+    val sh = Map("x" -> 3, "y" -> 3, "z" -> 3)
+    val cells = HypercubeJoin.cubed(Rel(r1, Seq("x", "y")), Seq("x", "y", "z"), sh)
+      .select("_hc_x", "_hc_y", "_hc_z").distinct().count()
+    // binary join on y: all 60 rows meet in ONE reducer. Hypercube:
+    // cy is fixed but (cx, cz) spread the key across up to 3*3 cells.
+    assert(cells >= 6, s"heavy key spread across only $cells cells")
+    // replication factor is exactly the missing attr's share
+    val rows = HypercubeJoin.cubed(Rel(r1, Seq("x", "y")), Seq("x", "y", "z"), sh).count()
+    assert(rows == 60L * sh("z"))
+  }
+
+  test("g08 catalog entry matches g03's result on the fixture") {
+    // the smoke fixture's folded graph may have zero triangles — the
+    // synthetic-edges parity test above guarantees a nonempty case;
+    // here the catalog entries must agree whatever the fixture holds
+    val g08 = run("g08_hypercube_triangle").collect()(0).getLong(0)
+    val g03 = run("g03_triangle_count").collect()(0).getLong(0)
+    assert(g08 == g03, s"hypercube $g08 vs binary $g03")
+  }
+}
