@@ -113,4 +113,168 @@ object HypercubeJoin {
     * so the solver never forces a count job). */
   def joinAuto(rels: Seq[Rel], totalP: Int): DataFrame =
     join(rels, shares(rels.map(r => (r.attrs, r.df.count().toDouble)), totalP))
+
+  /** The GENUINE one-round hypercube: replicated inputs shuffle ONCE to
+    * their cells, and the multi-way join runs LOCALLY per cell — no
+    * intermediate result ever shuffles. [[join]] keeps Catalyst
+    * planning but pays a shuffle per fold of the (possibly enormous)
+    * intermediate; this pays only the replicated-input shuffle
+    * (Σ_j |R_j| · Π_{a∉S_j} p_a rows), which is the quantity the
+    * Shares solver minimizes — on a hub-skewed triangle the
+    * intermediate is O(K²) while the replicated input is O(K·p).
+    *
+    * Mechanics: every tuple keys by its linearized cell id, one
+    * groupByKey co-locates each cell's fragments (cell load is exactly
+    * what the Shares LP bounds — that is the theory's guarantee that
+    * this fits an executor), and an in-memory hash fold joins the
+    * fragments. Imperative per-partition code is justified here: the
+    * fold's NO-SHUFFLE property is the operator's point and cannot be
+    * declared in DataFrame algebra (Catalyst re-plans each fold join
+    * with its own exchange).
+    *
+    * Output columns: each attribute once, then every relation's
+    * payload columns in relation order (natural-join semantics; null
+    * attr values never match, as in [[join]]). */
+  def joinLocal(rels: Seq[Rel], shares: Map[String, Int]): DataFrame = {
+    require(rels.nonEmpty, "no relations")
+    val attrs = rels.flatMap(_.attrs).distinct
+    require(attrs.forall(shares.contains),
+      s"missing shares for ${attrs.filterNot(shares.contains)}")
+    val spark = rels.head.df.sparkSession
+    val coords = attrs.map(coordCol)
+    // linearized cell id on top of the cubed frames
+    val cell: Column = attrs.map(a => col(coordCol(a)))
+      .zip(attrs.map(a => shares(a)))
+      .foldLeft(lit(0)) { case (acc, (c, p)) => acc * p + c }
+    val relSchemas = rels.map(_.df.schema)
+    // (cell, (relIdx, row)) — row as Seq[Any] in the rel's own order
+    val tagged = rels.zipWithIndex.map { case (r, i) =>
+      cubed(r, attrs, shares).withColumn("_hc_cell", cell)
+        .drop(coords: _*)
+        .rdd.map { row =>
+          (row.getAs[Int]("_hc_cell"),
+            (i, Range(0, row.length - 1).map(row.get)))
+        }
+    }.reduce(_ union _)
+    val nRels = rels.size
+    val relAttrs = rels.map(_.attrs)
+    val relCols = relSchemas.map(_.fieldNames.toSeq)
+    // output: attrs (in first-appearance order) then per-rel payloads
+    val payloadCols = rels.zipWithIndex.flatMap { case (r, i) =>
+      relCols(i).filterNot(attrs.contains).map(c => (i, c))
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      attrs.map { a =>
+        val (ri, fi) = firstFieldOf(a, relCols)
+        relSchemas(ri).fields(fi).copy(name = a)
+      } ++ payloadCols.map { case (ri, c) =>
+        relSchemas(ri).fields(relCols(ri).indexOf(c))
+      })
+    val nCells = attrs.map(shares(_)).product
+    // precomputed index plumbing (serialized into the closure):
+    // attrPos(j)(k)  = position in attrs of rel j's k-th attr column
+    // attrSrc(j)(k)  = position in rel j's row of that attr
+    // paySrc(j)(k)   = position in rel j's row of its k-th payload col
+    // payDst(j)(k)   = position in the global payload layout
+    // boundAttrs(j)  = attr positions already bound before rel j folds
+    //                  that rel j also has (= the join key)
+    val attrIdx = attrs.zipWithIndex.toMap
+    val attrPos = relAttrs.map(_.map(attrIdx).toArray).toArray
+    val attrSrc = relAttrs.zipWithIndex
+      .map { case (as, j) => as.map(relCols(j).indexOf).toArray }.toArray
+    val payOfRel = relCols.zipWithIndex
+      .map { case (cs, j) => cs.filterNot(attrs.contains) }
+    val paySrc = payOfRel.zipWithIndex
+      .map { case (ps, j) => ps.map(relCols(j).indexOf).toArray }.toArray
+    val payOffsets = payOfRel.map(_.size).scanLeft(0)(_ + _).toArray
+    val nPay = payOffsets.last
+    val nAttrs = attrs.size
+    val keyPos: Array[Array[Int]] = {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      relAttrs.indices.map { j =>
+        val key = attrPos(j).filter(seen.contains)
+        attrPos(j).foreach(seen.add)
+        key
+      }.toArray
+    }
+    val joinedRdd = tagged.groupByKey(math.min(nCells,
+      spark.sparkContext.defaultParallelism * 4)).flatMap { case (_, it) =>
+      // fragments per relation, in this cell
+      val frags = Array.fill(nRels)(
+        scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Any]])
+      it.foreach { case (i, row) => frags(i) += row }
+      // accumulated tuple = bound attr values (attrs layout, null =
+      // unbound) + payload values (global layout); arrays, not maps —
+      // the fold allocates two array copies per intermediate tuple
+      def start(): Iterator[(Array[Any], Array[Any])] =
+        frags(0).iterator.flatMap { r =>
+          if (attrSrc(0).exists(p => r(p) == null)) None
+          else {
+            val b = new Array[Any](nAttrs); val pay = new Array[Any](nPay)
+            var k = 0
+            while (k < attrPos(0).length) { b(attrPos(0)(k)) = r(attrSrc(0)(k)); k += 1 }
+            k = 0
+            while (k < paySrc(0).length) { pay(payOffsets(0) + k) = r(paySrc(0)(k)); k += 1 }
+            Some((b, pay))
+          }
+        }
+      var acc: Iterator[(Array[Any], Array[Any])] = start()
+      var j = 1
+      while (j < nRels) {
+        val jj = j
+        // index fragment jj by its key attrs' values
+        val idx = new scala.collection.mutable.HashMap[
+          List[Any], scala.collection.mutable.ArrayBuffer[IndexedSeq[Any]]]()
+        frags(jj).foreach { r =>
+          if (!attrSrc(jj).exists(p => r(p) == null)) {
+            val key = keyPos(jj).map(a =>
+              r(attrSrc(jj)(attrPos(jj).indexOf(a)))).toList
+            idx.getOrElseUpdate(key,
+              scala.collection.mutable.ArrayBuffer.empty) += r
+          }
+        }
+        val prev = acc
+        acc = prev.flatMap { case (b, pay) =>
+          val key = keyPos(jj).map(b(_)).toList
+          idx.get(key) match {
+            case None => Iterator.empty
+            case Some(rs) => rs.iterator.flatMap { r =>
+              // non-key attrs of rel jj must be UNBOUND so far (true by
+              // keyPos construction) — extend the binding
+              val b2 = b.clone(); val pay2 = pay.clone()
+              var k = 0
+              var ok = true
+              while (k < attrPos(jj).length) {
+                val a = attrPos(jj)(k); val v = r(attrSrc(jj)(k))
+                if (b2(a) == null) b2(a) = v
+                else if (b2(a) != v) ok = false
+                k += 1
+              }
+              if (!ok) Iterator.empty
+              else {
+                k = 0
+                while (k < paySrc(jj).length) {
+                  pay2(payOffsets(jj) + k) = r(paySrc(jj)(k)); k += 1
+                }
+                Iterator.single((b2, pay2))
+              }
+            }
+          }
+        }
+        j += 1
+      }
+      acc.map { case (b, pay) =>
+        org.apache.spark.sql.Row.fromSeq(b.toSeq ++ pay.toSeq)
+      }
+    }
+    spark.createDataFrame(joinedRdd, outSchema)
+  }
+
+  /** (relIdx, fieldIdx) of the first relation carrying attribute `a`. */
+  private def firstFieldOf(a: String,
+      relCols: Seq[Seq[String]]): (Int, Int) = {
+    val ri = relCols.indexWhere(_.contains(a))
+    (ri, relCols(ri).indexOf(a))
+  }
+
 }

@@ -58,6 +58,58 @@ class HypercubeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("join: 4-attribute square parity (g08b's shape) on a dense synthetic graph") {
+    val e = synthEdges
+    val rels = Seq(
+      Rel(e.select(col("src").as("h"), col("tgt").as("p")), Seq("h", "p")),
+      Rel(e.select(col("src").as("h"), col("tgt").as("q")), Seq("h", "q")),
+      Rel(e.select(col("src").as("r"), col("tgt").as("p")), Seq("r", "p")),
+      Rel(e.select(col("src").as("r"), col("tgt").as("q")), Seq("r", "q")))
+    val sh = HypercubeJoin.shares(rels.map(r => (r.attrs, 1.0)), 16)
+    assert(sh.values.product == 16)
+    val cube = HypercubeJoin.join(rels, sh)
+      .filter(col("p") =!= col("q") && col("r") =!= col("h"))
+      .select("h", "p", "q", "r")
+    val a = e.as("a"); val b = e.as("b"); val c = e.as("c"); val d = e.as("d")
+    val plain = a.join(b, col("a.src") === col("b.src") && col("a.tgt") =!= col("b.tgt"))
+      .join(c, col("a.tgt") === col("c.tgt") && col("c.src") =!= col("a.src"))
+      .join(d, col("c.src") === col("d.src") && col("d.tgt") === col("b.tgt"))
+      .select(col("a.src").as("h"), col("a.tgt").as("p"),
+        col("b.tgt").as("q"), col("c.src").as("r"))
+    val got = cube.collect().map(_.toString).sorted.toSeq
+    val want = plain.collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty, "no squares in the synthetic graph — densify synthEdges")
+    assert(got == want)
+  }
+
+  test("joinLocal: one-round local fold matches the declarative join on triangle AND square shapes") {
+    val e = synthEdges
+    val tri = Seq(
+      Rel(e.select(col("src").as("x"), col("tgt").as("y"),
+        (col("src") * 1000 + col("tgt")).as("r1_payload")), Seq("x", "y")),
+      Rel(e.select(col("src").as("y"), col("tgt").as("z")), Seq("y", "z")),
+      Rel(e.select(col("src").as("z"), col("tgt").as("x")), Seq("z", "x")))
+    val shTri = HypercubeJoin.shares(tri.map(r => (r.attrs, 1.0)), 27)
+    val gotTri = HypercubeJoin.joinLocal(tri, shTri)
+      .select("x", "y", "z", "r1_payload")
+      .collect().map(_.toString).sorted.toSeq
+    val wantTri = HypercubeJoin.join(tri, shTri)
+      .select("x", "y", "z", "r1_payload")
+      .collect().map(_.toString).sorted.toSeq
+    assert(wantTri.nonEmpty && gotTri == wantTri)
+    val sq = Seq(
+      Rel(e.select(col("src").as("h"), col("tgt").as("p")), Seq("h", "p")),
+      Rel(e.select(col("src").as("h"), col("tgt").as("q")), Seq("h", "q")),
+      Rel(e.select(col("src").as("r"), col("tgt").as("p")), Seq("r", "p")),
+      Rel(e.select(col("src").as("r"), col("tgt").as("q")), Seq("r", "q")))
+    val shSq = HypercubeJoin.shares(sq.map(r => (r.attrs, 1.0)), 16)
+    val gotSq = HypercubeJoin.joinLocal(sq, shSq).select("h", "p", "q", "r")
+      .collect().map(_.toString).sorted.toSeq
+    val wantSq = HypercubeJoin.join(sq, shSq).select("h", "p", "q", "r")
+      .collect().map(_.toString).sorted.toSeq
+    assert(wantSq.nonEmpty && gotSq == wantSq)
+  }
+
   test("cubed: a heavy join value spreads across the other attrs' cells instead of one reducer") {
     import spark.implicits._
     // 60 R1 rows sharing y=0 (the heavy key) with distinct x
