@@ -158,7 +158,7 @@ object GraphQueries {
       "g04_square_count",
       "Square 4-way join with distinctness filters (reference SquareQueryPerformance shape), on a folded subgraph",
       (s, dir) => {
-        val e = edges(s, dir).filter(col("src") % 4 === 0 && col("tgt") % 4 === 0)
+        val e = edges(s, dir).filter(col("src") % 2 === 0 && col("tgt") % 2 === 0)
         val a = e.as("a"); val b = e.as("b"); val c = e.as("c"); val d = e.as("d")
         a.join(b, col("a.src") === col("b.src") && col("a.tgt") =!= col("b.tgt"))
           .join(c, col("a.tgt") === col("c.tgt") && col("c.src") =!= col("a.src"))
@@ -166,7 +166,7 @@ object GraphQueries {
           .agg(count(lit(1)).as("n_squares"))
       },
       Some(s"""WITH $edgesSql,
-              |sq AS (SELECT * FROM edges WHERE src % 4 = 0 AND tgt % 4 = 0)
+              |sq AS (SELECT * FROM edges WHERE src % 2 = 0 AND tgt % 2 = 0)
               |SELECT count(*) AS n_squares
               |FROM sq a
               |JOIN sq b ON a.src = b.src AND a.tgt <> b.tgt
@@ -270,5 +270,74 @@ object GraphQueries {
               |FROM edges a
               |JOIN edges b ON a.tgt = b.src
               |JOIN edges c ON b.tgt = c.src AND c.tgt = a.src""".stripMargin)),
+
+    CatalogQuery(
+      "g08b_hypercube_square",
+      "Square count via a 4-attribute ONE-ROUND hypercube (2x2x2x2 cube, joinLocal: single replicated shuffle + per-cell local fold) — g04's equi-skeleton, distinctness filters applied post-join",
+      (s, dir) => {
+        // g04's square as a natural join over attrs (h, p, q, r):
+        // a(h→p), b(h→q), c(r→p), d(r→q) — shared src hub h, shared
+        // dst pair (p, q), second src r. The hypercube carries the
+        // EQUI skeleton; the three distinctness predicates are
+        // post-join filters exactly as in g04's binary plan. 4 attrs,
+        // P=16 → the symmetric (2,2,2,2) cube. This entry runs the
+        // genuinely one-round joinLocal path (g08 covers the cascade
+        // path), so BOTH executors sit under the DuckDB value gate.
+        val e = edges(s, dir).filter(col("src") % 2 === 0 && col("tgt") % 2 === 0)
+        val rels = Seq(
+          HypercubeJoin.Rel(e.select(col("src").as("h"), col("tgt").as("p")), Seq("h", "p")),
+          HypercubeJoin.Rel(e.select(col("src").as("h"), col("tgt").as("q")), Seq("h", "q")),
+          HypercubeJoin.Rel(e.select(col("src").as("r"), col("tgt").as("p")), Seq("r", "p")),
+          HypercubeJoin.Rel(e.select(col("src").as("r"), col("tgt").as("q")), Seq("r", "q")))
+        // P=32 (a (2,2,2,4) cube): one cell per local[32] slot — the
+        // cell is the parallelism unit in the one-round executor. At
+        // this fixture the replicated-input shuffle dominates either
+        // way (~3 s at sf0.1, P=16 and P=32 measure equal); the cube
+        // sizing matters at the scale where cell LOAD is the bound.
+        val sh = HypercubeJoin.shares(rels.map(r => (r.attrs, 1.0)), 32)
+        HypercubeJoin.joinLocal(rels, sh)
+          .filter(col("p") =!= col("q") && col("r") =!= col("h") && col("q") =!= col("p"))
+          .agg(count(lit(1)).as("n_squares"))
+      },
+      // g04's square SQL with the same variable mapping: a=(h,p),
+      // b=(h,q), c=(r,p), d=(r,q); g04's three distinctness filters
+      // (a.tgt<>b.tgt, c.src<>a.src, d.tgt<>c.tgt) = (p<>q, r<>h, q<>p)
+      Some(s"""WITH $edgesSql,
+              |sq AS (SELECT * FROM edges WHERE src % 2 = 0 AND tgt % 2 = 0)
+              |SELECT count(*) AS n_squares
+              |FROM sq a
+              |JOIN sq b ON a.src = b.src AND a.tgt <> b.tgt
+              |JOIN sq c ON a.tgt = c.tgt AND c.src <> a.src
+              |JOIN sq d ON c.src = d.src AND d.tgt = b.tgt AND d.tgt <> c.tgt""".stripMargin)),
+
+    CatalogQuery(
+      "g09_kcore_peel",
+      "Bounded k-core peeling (k=5, 4 rounds) over the undirected fold graph — iterative degree filter + endpoint semi-joins, the dense-subgraph extraction shape",
+      (s, dir) => {
+        // Bounded rounds, not a fixpoint, for the same reason as g07b's
+        // bounded PageRank: a fixed unrolled depth is what a DuckDB
+        // oracle can mirror exactly. At sf0.01 the peel genuinely
+        // iterates (1848 -> 1822 -> 1816 -> 1816 survivors).
+        graft.operators.GraphPatterns.kcorePeel(edges(s, dir), 5, 4)
+          .groupBy(col("a").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          val prev = if (r == 1) "sym" else s"e${r - 1}"
+          s"""k$r AS (SELECT a FROM $prev GROUP BY a HAVING count(*) >= 5),
+             |e$r AS (SELECT s.a, s.b FROM $prev s
+             |        JOIN k$r x ON s.a = x.a JOIN k$r y ON s.b = y.a)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |sym AS (SELECT src AS a, tgt AS b FROM edges WHERE src <> tgt
+           |        UNION
+           |        SELECT tgt, src FROM edges WHERE src <> tgt),
+           |$rounds
+           |SELECT a AS node, count(*) AS deg FROM e4
+           |GROUP BY a ORDER BY node""".stripMargin
+      }),
   )
 }
