@@ -33,6 +33,27 @@ class GraphIntegrationSpec extends SparkSpec {
     assert(GraphPatterns.triangleCount(withCycle) == 3L)
   }
 
+  test("kcorePeel: clique survives, pendant chain peels round 1, near-core node peels round 2") {
+    import spark.implicits._
+    // 6-clique {0..5} (undirected degree 5 each) + pendant chain
+    // 5->6->7->8 + near-core node 10 wired to 0,1,2,3 and chain node 6:
+    // round 1 removes {6,7,8} (deg 3/2/1); that drops node 10 to deg 4,
+    // so round 2 removes it; rounds 3-4 are stable at the clique.
+    // Self-loop and a reversed duplicate must not change anything.
+    val clique = for (i <- 0 to 5; j <- 0 to 5 if i < j) yield (i.toLong, j.toLong)
+    val extra = Seq((5L, 6L), (6L, 7L), (7L, 8L),
+      (10L, 0L), (10L, 1L), (10L, 2L), (10L, 3L), (6L, 10L),
+      (3L, 3L), (1L, 0L)) // self-loop + reversed dup
+    val edges = (clique ++ extra).toDF("src", "tgt")
+    val after1 = GraphPatterns.kcorePeel(edges, 5, 1)
+    assert(after1.select("a").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L))
+    val after4 = GraphPatterns.kcorePeel(edges, 5, 4)
+    val got = after4.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (i <- 0 to 5; j <- 0 to 5 if i != j) yield (i.toLong, j.toLong)).toSet
+    assert(got == want)
+  }
+
   test("degree-product counts equal naive join counts on a generated graph") {
     val edges = graft.datagen.Generators.randomEdges(spark, 200, 2000)
       .toDF("src", "tgt").distinct().cache()
