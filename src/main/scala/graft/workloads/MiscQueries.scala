@@ -252,5 +252,37 @@ object MiscQueries {
              |   OR l_shipdate BETWEEN '1996-01-01' AND '1996-02-29'
              |GROUP BY 1
              |ORDER BY ship_year""".stripMargin)),
+
+    CatalogQuery(
+      "q41_range_join",
+      "Pure range (point-in-interval) join via bin bucketing: orders against month-start audit windows — no equi key exists, the bin id supplies the hash-join key",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        // ~84 10-day audit windows, one per distinct order month; the
+        // interval relation is DERIVED so the query stays pure-range
+        // (a real deployment joins a points fact to an interval dim of
+        // any size — RangeJoinSpec asserts the no-broadcast plan shape)
+        val win = o
+          .select(date_trunc("month", col("o_orderdate")).as("w_start"))
+          .distinct()
+          .withColumn("w_end", col("w_start") + expr("INTERVAL 9 DAYS"))
+        val pts = o.select(col("o_orderdate"), col("o_totalprice"))
+        graft.operators.RangeJoin
+          .pointInInterval(pts, win, "o_orderdate", "w_start", "w_end",
+            binWidth = 7L * 86400) // 7-day bins vs 9-day intervals
+          .groupBy(col("w_start"))
+          .agg(count(lit(1)).as("n_orders"),
+            Parity.dsum(col("o_totalprice"), 2).as("sum_price"))
+          .orderBy(col("w_start"))
+      },
+      Some(s"""WITH win AS (
+             |  SELECT DISTINCT date_trunc('month', o_orderdate) AS w_start
+             |  FROM orders),
+             |w2 AS (SELECT w_start, w_start + INTERVAL 9 DAY AS w_end FROM win)
+             |SELECT w_start, count(*) AS n_orders,
+             |  ${Parity.dsumSql("o_totalprice", 2)} AS sum_price
+             |FROM orders JOIN w2 ON o_orderdate BETWEEN w_start AND w_end
+             |GROUP BY w_start
+             |ORDER BY w_start""".stripMargin)),
   )
 }
