@@ -1030,5 +1030,53 @@ object TextQueries {
              |FROM s JOIN thr USING (lang)
              |WHERE s.score_e6 >= thr.thr_e6
              |ORDER BY s.doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx21_source_overlap",
+      "Pairwise source-overlap matrix: exact 3-token shingle-set Jaccard between every source pair — the corpus-governance report (which sources duplicate each other) behind mixture de-weighting decisions",
+      (s, dir) => {
+        // Exact set semantics so DuckDB can mirror it: distinct
+        // (source, shingle) rows, per-source set sizes, pairwise
+        // intersections via a self-join hashed on the shingle string.
+        // Scale shape: both aggregates map-side combine; the self-join's
+        // per-shingle fanout is bounded by #sources² (a handful), and
+        // the output is |sources|² rows. The distinct-shingle shuffle is
+        // the honest cost — at petabyte scale you would estimate this
+        // matrix from dd03's per-doc minhash signatures instead (same
+        // report, sampled); this exact form is the oracle-able baseline
+        // that calibrates such an estimator.
+        val d = docs(s, dir)
+        val ss = TextOps.wordShingleRows(d, "doc_id", "text", 3)
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("_el").as("el")).distinct()
+        val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = ss.as("a").join(ss.as("b"),
+            col("a.el") === col("b.el") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sz.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+          .join(sz.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+            round(col("n_inter") * lit(1e6) /
+              (col("n_a") + col("n_b") - col("n_inter"))).cast("long").as("jaccard_e6"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH sh AS (${TextOps.wordShingleSql(3)}),
+             |ss AS (SELECT DISTINCT d.source, s.el
+             |  FROM sh s JOIN documents d USING (doc_id)),
+             |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+             |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+             |    count(*) AS n_inter
+             |  FROM ss a JOIN ss b ON a.el = b.el AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b,
+             |  CAST(n_inter AS BIGINT) AS n_inter,
+             |  CAST(round(n_inter * 1e6 / (sa.n + sb.n - n_inter)) AS BIGINT)
+             |    AS jaccard_e6
+             |FROM inter
+             |JOIN sz sa ON sa.source = src_a
+             |JOIN sz sb ON sb.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
   )
 }

@@ -642,6 +642,39 @@ class ExtSpec extends SparkSpec {
       (100L, "es", 900000L, 900000L)), s"got ${got.toSeq.sortBy(_._1)}")
   }
 
+  test("tx21 source overlap: planted shared shingles give the exact Jaccard matrix") {
+    // A = {w1w2w3, w2w3w4, x1x2x3} (3), B = {w1w2w3, w2w3w4} (2) via an
+    // identical doc, C = {z1z2z3} disjoint. Only (A, B) overlaps:
+    // inter 2, union 3 -> jaccard_e6 = round(2e6/3) = 666667.
+    val dir = java.nio.file.Files.createTempDirectory("tx21-planted").toString
+    import spark.implicits._
+    plantDocs(Seq(
+      (0L, "w1 w2 w3 w4", "A"), (1L, "x1 x2 x3", "A"),
+      (2L, "w1 w2 w3 w4", "B"), (3L, "z1 z2 z3", "C"))
+      .toDF("doc_id", "text", "source"), dir)
+    val got = SparkEntry.queries("tx21_source_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("A", "B", 3L, 2L, 2L, 666667L)), s"got ${got.toSeq}")
+  }
+
+  test("tx21 on the fixture: bounds hold and intersections match a driver union-find-free recount") {
+    val got = run("tx21_source_overlap").cache()
+    assert(got.count() > 0)
+    assert(got.filter(col("n_inter") > least(col("n_a"), col("n_b"))).count() == 0)
+    assert(got.filter(col("jaccard_e6") < 0 || col("jaccard_e6") > 1000000).count() == 0)
+    // independent recount of one pair via the array formulation
+    val first = got.orderBy(col("jaccard_e6").desc).head()
+    val (sa, sb) = (first.getString(0), first.getString(1))
+    val d = Tables.table(spark, sfDir, "documents")
+    def shingleSet(src: String) = d.filter(col("source") === src)
+      .select(explode(TextOps.wordShingles(col("text"), 3)).as("el"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (setA, setB) = (shingleSet(sa), shingleSet(sb))
+    assert(first.getLong(2) == setA.size && first.getLong(3) == setB.size)
+    assert(first.getLong(4) == (setA & setB).size)
+  }
+
   test("dd06 embedding near-dup matches brute-force count and threshold") {
     val got = run("dd06_embedding_neardup")
     assert(got.filter(col("cos_e6") < 400000).count() == 0)
