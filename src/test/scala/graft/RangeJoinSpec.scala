@@ -60,6 +60,67 @@ class RangeJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("RangeJoinRule: SQL BETWEEN join rewrites to a binned equi join, values intact, both orientations") {
+    val prevOpts = spark.experimental.extraOptimizations
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // brute-force truth BEFORE the rule is injected
+    val brute = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("tag", "iv").collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    try {
+      spark.experimental.extraOptimizations = prevOpts :+ graft.plans.RangeJoinRule
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "7")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      pts.createOrReplaceTempView("rj_pts")
+      ivs.createOrReplaceTempView("rj_ivs")
+      for (sql <- Seq(
+        "SELECT tag, iv FROM rj_pts JOIN rj_ivs ON p BETWEEN lo AND hi",
+        "SELECT tag, iv FROM rj_ivs JOIN rj_pts ON p BETWEEN lo AND hi")) {
+        val df = spark.sql(sql)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"rule did not fire for [$sql]:\n$plan")
+        assert(plan.contains("Generate") &&
+          (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")),
+          s"expected exploded bins + equi join for [$sql]:\n$plan")
+        val got = df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        assert(got == brute, s"values diverged for [$sql]")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = prevOpts
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
+  test("RangeJoinRule guards: no conf, equi-keyed, or non-inner joins pass through untouched") {
+    val prevOpts = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prevOpts :+ graft.plans.RangeJoinRule
+      // conf unset -> BETWEEN join keeps its nested-loop plan
+      val noConf = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .queryExecution.executedPlan.toString
+      assert(!noConf.contains("Generate"))
+      spark.conf.set("spark.graft.rangeJoin.binWidth", "7")
+      // a cross-side equality means Spark already hashes: not rewritten
+      import spark.implicits._
+      val l = Seq((1L, 5L, "x")).toDF("k", "p", "tag")
+      val r = Seq((1L, 0L, 10L, "I")).toDF("k", "lo", "hi", "iv")
+      val keyedPlan = l.join(r,
+          l("k") === r("k") && col("p") >= col("lo") && col("p") <= col("hi"))
+        .queryExecution.executedPlan.toString
+      assert(!keyedPlan.contains("Generate"), keyedPlan)
+      // left-outer BETWEEN join: out of scope, untouched
+      val outer = pts.join(ivs,
+          col("p") >= col("lo") && col("p") <= col("hi"), "left")
+        .queryExecution.executedPlan.toString
+      assert(!outer.contains("Generate"), outer)
+    } finally {
+      spark.experimental.extraOptimizations = prevOpts
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    }
+  }
+
   test("q41 catalog entry matches its brute-force twin on the fixture") {
     val got = run("q41_range_join").collect()
     val o = graft.sources.Tables.table(spark, sfDir, "orders")
