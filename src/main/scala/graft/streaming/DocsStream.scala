@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ext.TextOps
+
+/** Streaming near-dup ADMISSION over a document stream: each
+  * micro-batch is MinHash-signed and LSH-probed against the standing
+  * corpus — the initial corpus plus every batch accepted SO FAR — and
+  * against itself; matched docs are rejected, survivors append to the
+  * standing state so later batches dedupe against them. This is dd17's
+  * incremental probe run continuously (the batch twin carries the
+  * DuckDB oracle; the streaming twin is gated by state-accrual and
+  * replay specs — the §2.9 twin convention).
+  *
+  * Scale/failure design:
+  *   - Admission is inherently sequential ACROSS batches (whether doc
+  *     N is a dup depends on what was admitted before it), so the
+  *     state lives in storage, not executor memory: a parquet dir
+  *     keyed by batch_id. At 100 TB it becomes a bucketed table whose
+  *     (band, bucket) index the probe join reads directly; the probe's
+  *     per-batch cost is signing ∝ batch size, and history-history
+  *     pairs never form (TextOps.lshProbePairs).
+  *   - Both sinks are overwrite-by-batchId — idempotent under the
+  *     at-least-once replay Structured Streaming guarantees — and the
+  *     standing view EXCLUDES the current batchId, so a replayed batch
+  *     never dedupes against its own previous attempt.
+  *   - Within a batch, a doc matching a SMALLER-id history-clean doc
+  *     of the same batch is rejected (`near_dup_batch`). This is one
+  *     LSH pass, not a chained closure: if A rejects B and C matches
+  *     only B, C is admitted — the same single-pass admission semantics
+  *     a per-batch index insert would give, and it keeps the batch path
+  *     free of an iterative CC (dd10 owns that shape).
+  */
+object DocsStream {
+
+  // dd03/dd17's constants, so a rejected doc is exactly a dd17 pair
+  private val Hashes = 36
+  private val RowsPerBand = 6
+  private val MaxBucket = 100
+  private val TNum = 8
+  private val TDen = 10
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Accepted docs from every batch EXCEPT `excludeBatchId` (replay
+    * safety); empty frame when no batch has landed yet. */
+  private[graft] def acceptedState(spark: SparkSession, stateDir: String,
+      excludeBatchId: Long): DataFrame =
+    try {
+      spark.read.option("basePath", stateDir).parquet(stateDir)
+        .filter(col("batch_id") =!= excludeBatchId)
+        .select(col("doc_id"), col("text"))
+    } catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], docSchema)
+    }
+
+  /** One admission round: probe `batch` against `standing`, then the
+    * history-clean residue against itself (smaller id wins). Returns
+    * (doc_id, status, dup_of, n_matches) for every batch doc. */
+  private[graft] def decide(standing: DataFrame, batch: DataFrame): DataFrame = {
+    val histRows = TextOps.wordShingleRows(standing, "doc_id", "text", 3)
+    val batchRows = TextOps.wordShingleRows(batch, "doc_id", "text", 3)
+    val histRoll = TextOps.lshProbePairs(histRows, batchRows, "doc_id",
+        Hashes, RowsPerBand, MaxBucket, TNum, TDen)
+      .groupBy(col("batch_id"))
+      .agg(min(col("hist_id")).as("hist_dup_of"),
+        count(lit(1)).as("hist_matches"))
+    val withHist = batch.select(col("doc_id"))
+      .join(histRoll, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"), col("hist_dup_of"),
+        coalesce(col("hist_matches"), lit(0L)).as("hist_matches"))
+    val cleanIds = withHist.filter(col("hist_dup_of").isNull).select("doc_id")
+    val cleanRows = batchRows.join(cleanIds, "doc_id")
+    val intraRoll = TextOps.lshNearDupPairs(cleanRows, "doc_id",
+        Hashes, RowsPerBand, MaxBucket, TNum, TDen)
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(min(col("a_id")).as("batch_dup_of"),
+        count(lit(1)).as("batch_matches"))
+    withHist.join(intraRoll, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hist_dup_of").isNotNull, lit("near_dup_history"))
+          .when(col("batch_dup_of").isNotNull, lit("near_dup_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("hist_dup_of"), col("batch_dup_of"))
+          .cast("long").as("dup_of"),
+        (col("hist_matches") +
+          coalesce(col("batch_matches"), lit(0L))).as("n_matches"))
+  }
+
+  /** Start the admission stream. `docs` is a streaming (doc_id, text)
+    * frame; decisions land in `decisionsDir/batch_id=N`, accepted docs
+    * in `stateDir/batch_id=N`, both overwrite-by-batchId. */
+  def nearDupAdmission(
+      spark: SparkSession,
+      docs: DataFrame,
+      initialCorpus: DataFrame,
+      stateDir: String,
+      decisionsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+        val standing = initialCorpus.select(col("doc_id"), col("text"))
+          .union(acceptedState(spark, stateDir, excludeBatchId = batchId))
+        val decisions = decide(standing, b).localCheckpoint(true)
+        decisions.coalesce(1).write.mode("overwrite")
+          .parquet(s"$decisionsDir/batch_id=$batchId")
+        b.join(decisions.filter(col("status") === "new").select("doc_id"), "doc_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/batch_id=$batchId")
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+}

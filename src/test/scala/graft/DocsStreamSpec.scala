@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.DocsStream
+
+/** Streaming near-dup admission: state accrual across micro-batches,
+  * single-pass intra-batch semantics, and replay exclusion.
+  *
+  * Jaccard geometry of the planted texts (3-token shingles over 50
+  * unique tokens, threshold 8/10): one isolated token change = 45/51 =
+  * 0.88 (rejected as dup), two = 42/54 = 0.78 (admitted) — so a
+  * doc can match a REJECTED doc's text while staying below threshold
+  * against what that doc itself matched.
+  */
+class DocsStreamSpec extends SparkSpec {
+
+  private val toks = (1 to 50).map(i => s"w$i")
+  private def text(changes: (Int, String)*) =
+    changes.foldLeft(toks) { case (t, (pos, w)) => t.updated(pos - 1, w) }
+      .mkString(" ")
+  private val aText = text()
+  private val bText = text(25 -> "B25")              // J(A,B) = 0.88
+  private val cText = text(25 -> "B25", 10 -> "C10") // J(B,C) = 0.88, J(A,C) = 0.78
+  private val fText = (1 to 50).map(i => s"f$i").mkString(" ")
+  private val gText = (1 to 50).map(i => s"g$i").mkString(" ")
+
+  test("admission stream: history probe, intra-batch keep-min, state accrual, rejected docs stay out of state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("docs-stream").toString
+    val corpus = Seq((0L, aText), (1L, "unrelated short text")).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = DocsStream.nearDupAdmission(spark,
+      ms.toDF().toDF("doc_id", "text"), corpus,
+      s"$base/state", s"$base/decisions", s"$base/ck")
+    try {
+      // batch 0: B ~ corpus A (reject); F fresh (admit); F again
+      // (intra-batch reject, smaller id wins)
+      ms.addData((10L, bText), (11L, fText), (12L, fText))
+      q.processAllAvailable()
+      // batch 1: F again (matches doc 11 accepted in batch 0 — state
+      // accrual); C ~ rejected B but NOT ~ corpus A (admit — rejected
+      // docs must not pollute the standing state); G fresh
+      ms.addData((20L, fText), (21L, cText), (22L, gText))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dec = spark.read.parquet(s"$base/decisions")
+      .select("doc_id", "status", "dup_of").collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(dec == Map(
+      10L -> ("near_dup_history", 0L),
+      11L -> ("new", -1L),
+      12L -> ("near_dup_batch", 11L),
+      20L -> ("near_dup_history", 11L),
+      21L -> ("new", -1L),
+      22L -> ("new", -1L)), s"got $dec")
+    // the standing state holds exactly the admitted docs
+    val state = spark.read.parquet(s"$base/state")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(state == Seq(11L, 21L, 22L))
+  }
+
+  test("acceptedState excludes the current batch id (replay safety)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("docs-state").toString
+    Seq((1L, "one")).toDF("doc_id", "text")
+      .write.parquet(s"$base/state/batch_id=0")
+    Seq((2L, "two")).toDF("doc_id", "text")
+      .write.parquet(s"$base/state/batch_id=1")
+    val got = DocsStream.acceptedState(spark, s"$base/state", excludeBatchId = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+    // missing dir -> empty frame, not a throw
+    assert(DocsStream.acceptedState(spark, s"$base/nope", 0).count() == 0)
+  }
+}
