@@ -58,25 +58,29 @@ object GraphPatterns {
     * the cost is one map-combined O(E) aggregate plus two endpoint
     * semi-joins, each hashed on its key — the shape that survives a
     * 100 TB edge set. */
-  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kcorePeelTrace(edges, k, rounds).last
+
+  /** The surviving symmetric edge set after EACH round, index r-1 =
+    * after r rounds — the peeling profile g09 reports. Every round is
+    * localCheckpoint'd: each round reads the previous edge set TWICE
+    * (degree agg + semi-join probe), so lazy lineage would re-evaluate
+    * the whole prefix 2^rounds times (measured: 37.7 s vs 2.3 s for
+    * the 4-round catalog entry at sf0.1) — the same fix dd16's
+    * star-contraction loop uses. */
+  def kcorePeelTrace(edges: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
     require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got ($k, $rounds)")
     val e = edges.filter(col("src") =!= col("tgt"))
     val sym = e.select(col("src").as("a"), col("tgt").as("b"))
       .union(e.select(col("tgt").as("a"), col("src").as("b")))
       .distinct()
       .localCheckpoint(true)
-    // each round reads `cur` TWICE (degree agg + semi-join probe);
-    // without materialization that doubles the lineage per round —
-    // 2^rounds re-evaluations of the whole prefix (measured: 37.7 s vs
-    // 2-3 s at sf0.1). localCheckpoint per round is the same fix dd16's
-    // star-contraction loop uses; the final round stays lazy for the
-    // caller to compose.
-    (1 to rounds).foldLeft(sym) { (cur, r) =>
+    (1 to rounds).scanLeft(sym) { (cur, _) =>
       val keep = cur.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("a")
-      val next = cur.join(keep, Seq("a"), "left_semi")
+      cur.join(keep, Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
-      if (r == rounds) next else next.localCheckpoint(true)
-    }
+        .localCheckpoint(true)
+    }.tail
   }
 }

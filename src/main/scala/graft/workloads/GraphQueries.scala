@@ -312,16 +312,23 @@ object GraphQueries {
 
     CatalogQuery(
       "g09_kcore_peel",
-      "Bounded k-core peeling (k=5, 4 rounds) over the undirected fold graph — iterative degree filter + endpoint semi-joins, the dense-subgraph extraction shape",
+      "Bounded k-core peeling profile (k=5, 4 rounds) over the undirected fold graph — per-round survivor counts from an iterative degree filter + endpoint semi-joins, the dense-subgraph extraction shape",
       (s, dir) => {
         // Bounded rounds, not a fixpoint, for the same reason as g07b's
         // bounded PageRank: a fixed unrolled depth is what a DuckDB
         // oracle can mirror exactly. At sf0.01 the peel genuinely
-        // iterates (1848 -> 1822 -> 1816 -> 1816 survivors).
-        graft.operators.GraphPatterns.kcorePeel(edges(s, dir), 5, 4)
-          .groupBy(col("a").as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .orderBy(col("node"))
+        // iterates (1848 -> 1822 -> 1816 -> 1816 survivors); the
+        // PROFILE output (one row per round) stays non-empty even when
+        // a sparse graph peels to nothing (sf0.001 does by round 2).
+        val trace = graft.operators.GraphPatterns
+          .kcorePeelTrace(edges(s, dir), 5, 4)
+        trace.zipWithIndex.map { case (df, i) =>
+          df.agg(
+            countDistinct(col("a")).as("n_nodes"),
+            count(lit(1)).as("n_edges"))
+            .select(lit((i + 1).toLong).as("round"),
+              col("n_nodes"), col("n_edges"))
+        }.reduce(_ unionByName _).orderBy(col("round"))
       },
       Some {
         val rounds = (1 to 4).map { r =>
@@ -331,13 +338,18 @@ object GraphQueries {
              |        JOIN k$r x ON s.a = x.a JOIN k$r y ON s.b = y.a)"""
             .stripMargin
         }.mkString(",\n")
+        val profile = (1 to 4).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS round,
+             |  count(DISTINCT a) AS n_nodes, count(*) AS n_edges
+             |FROM e$r""".stripMargin
+        }.mkString("\nUNION ALL\n")
         s"""WITH $edgesSql,
            |sym AS (SELECT src AS a, tgt AS b FROM edges WHERE src <> tgt
            |        UNION
            |        SELECT tgt, src FROM edges WHERE src <> tgt),
            |$rounds
-           |SELECT a AS node, count(*) AS deg FROM e4
-           |GROUP BY a ORDER BY node""".stripMargin
+           |$profile
+           |ORDER BY round""".stripMargin
       }),
   )
 }
