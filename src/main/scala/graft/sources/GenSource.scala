@@ -56,11 +56,13 @@ class GenSource extends TableProvider with DataSourceRegister {
     def opt(k: String, d: String) = opts.getOrDefault(k, d)
     val rows = opt("rows", "1000").toLong
     val parts = opt("partitions", "4").toInt
+    val perBatch = opt("rowsPerBatch", "1000").toLong
     // Validate up front: a negative/zero config must fail loudly, not
     // plan an empty scan that silently returns zero rows.
     require(rows >= 0, s"graft-gen: rows must be >= 0, got $rows")
     require(parts >= 1, s"graft-gen: partitions must be >= 1, got $parts")
-    new GenTable(rows, opt("seed", "42").toLong, parts)
+    require(perBatch >= 1, s"graft-gen: rowsPerBatch must be >= 1, got $perBatch")
+    new GenTable(rows, opt("seed", "42").toLong, parts, perBatch)
   }
 }
 
@@ -81,17 +83,20 @@ object GenSource {
   }
 }
 
-private[graft] class GenTable(rows: Long, seed: Long, parts: Int)
+private[graft] class GenTable(rows: Long, seed: Long, parts: Int,
+    perBatch: Long = 1000L)
     extends Table with SupportsRead {
   override def name(): String = s"graft_gen(rows=$rows, seed=$seed)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, seed, parts)
+    new GenScanBuilder(rows, seed, parts, perBatch)
 }
 
-private[graft] class GenScanBuilder(rows: Long, seed: Long, parts: Int)
+private[graft] class GenScanBuilder(rows: Long, seed: Long, parts: Int,
+    perBatch: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -184,7 +189,7 @@ private[graft] class GenScanBuilder(rows: Long, seed: Long, parts: Int)
         // filters narrowed [lo, hi) first; a pushed limit truncates it
         // EXACTLY (any `limit` rows satisfy an unordered LIMIT)
         val hiL = if (limit >= 0) math.min(hi, lo + limit) else hi
-        new GenScan(lo, hiL, seed, parts, required)
+        new GenScan(lo, hiL, seed, parts, required, perBatch)
     }
   }
 }
@@ -237,7 +242,7 @@ private[graft] class GenAggReaderFactory(values: Array[Any])
 }
 
 private[graft] class GenScan(lo0: Long, hi0: Long, seed: Long, parts: Int,
-    required: StructType) extends Scan with Batch
+    required: StructType, perBatch: Long = 1000L) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   // Runtime-narrowed span: starts at the compile-time pushed range and
   // shrinks further if a runtime filter (DPP subquery result) arrives
@@ -323,6 +328,53 @@ private[graft] class GenScan(lo0: Long, hi0: Long, seed: Long, parts: Int,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GenReaderFactory(seed, required.fieldNames)
+
+  /** Micro-batch streaming read of the same deterministic rows: ids
+    * advance `rowsPerBatch` per trigger from lo until the span is
+    * exhausted, so `readStream.format("graft-gen")` is a bounded,
+    * replayable event feed (offsets are plain id positions — a
+    * restarted query resumes from the checkpointed id and regenerates
+    * IDENTICAL rows, the pure-hash-of-id contract doing the
+    * exactly-once work). Column pruning applies to the stream exactly
+    * as to the batch scan (`required` is shared). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GenMicroBatchStream(lo, hi, seed, parts, perBatch,
+      required.fieldNames)
+}
+
+private[graft] class GenOffset(val endId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = endId.toString
+}
+
+private[graft] class GenMicroBatchStream(lo: Long, hi: Long, seed: Long,
+    parts: Int, perBatch: Long, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  // high-water mark: advances one batch span per trigger poll; planning
+  // and reading stay pure functions of the (start, end) offsets, so
+  // replay of any committed range is deterministic
+  private var latest = lo
+  override def initialOffset(): Offset = new GenOffset(lo)
+  override def latestOffset(): Offset = {
+    latest = math.min(hi, latest + perBatch)
+    new GenOffset(latest)
+  }
+  override def deserializeOffset(json: String): Offset =
+    new GenOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].endId
+    val e = end.asInstanceOf[GenOffset].endId
+    val n = math.max(e - s, 0L)
+    (0 until parts).map { p =>
+      GenPartition(s + n * p / parts, s + n * (p + 1) / parts): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(seed, fields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[graft] case class GenPartition(start: Long, end: Long)

@@ -172,4 +172,40 @@ class GenSourceSpec extends SparkSpec {
     // and filterAttributes advertises id (the span-partitioned column)
     assert(scan2.filterAttributes().map(_.describe()).toSeq == Seq("id"))
   }
+
+  test("graft-gen: micro-batch streaming read — bounded id feed, batch-sized triggers, batch parity") {
+    import org.apache.spark.sql.functions._
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft-gen")
+      .option("rows", 100).option("rowsPerBatch", 30).option("seed", 7)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sizes.synchronized { sizes += ((id, b.count())) }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // 100 rows at 30/trigger: 30, 30, 30, 10 — bounded, then quiescent
+    assert(sizes.sortBy(_._1).map(_._2).toSeq == Seq(30L, 30L, 30L, 10L),
+      s"got $sizes")
+
+    // content parity with the batch scan: same (id -> grp, val, tag)
+    val streamed = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+      val q2 = spark.readStream.format("graft-gen")
+        .option("rows", 100).option("rowsPerBatch", 64).option("seed", 7)
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf += b.collect() }; ()
+        }
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      buf.flatten.map(_.toString).sorted.toSeq
+    }
+    val batch = spark.read.format("graft-gen")
+      .option("rows", 100).option("seed", 7).load()
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, "streamed rows diverge from the batch scan")
+  }
 }
