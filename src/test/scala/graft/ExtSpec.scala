@@ -675,6 +675,40 @@ class ExtSpec extends SparkSpec {
     assert(first.getLong(4) == (setA & setB).size)
   }
 
+  test("dp12 water-filling: saturated sources cap at availability, deficit redistributes, budget never overdrawn") {
+    // S1 = 10 tokens, S2 = 90, S3 = 10000; budget = 60% of 10100 = 6060.
+    // sqrt-temperature shares give S1/S2 allocations far above their
+    // availability -> both saturate round 1; S3 absorbs the deficit:
+    // planned = (6060 - 100) * t3 div t3 = 5960, spending the budget
+    // exactly (10 + 90 + 5960).
+    val dir = java.nio.file.Files.createTempDirectory("dp12-planted").toString
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    plantDocs((Seq((0L, doc(10), "S1"), (1L, doc(90), "S2")) ++
+      (0 until 10).map(i => (10L + i, doc(1000), "S3")))
+      .toDF("doc_id", "text", "source"), dir)
+    val got = SparkEntry.queries("dp12_token_budget_plan")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    // exact integer mirror of the 3-round plan
+    def rate(n: Long) = math.min(524288L, math.floor(524288.0 / math.sqrt(n)).toLong)
+    val avail = Map("S1" -> 10L, "S2" -> 90L, "S3" -> 10000L)
+    val target = avail.map { case (s, n) => s -> n * rate(n) }
+    val budget = (avail.values.sum * 6) / 10
+    val a1 = target.map { case (s, t) => s -> budget * t / target.values.sum }
+    val sat1 = avail.keySet.filter(s => a1(s) >= avail(s))
+    assert(sat1 == Set("S1", "S2"))
+    val t3 = target.filterNot(kv => sat1(kv._1)).values.sum
+    val planned3 = math.min(avail("S3"),
+      (budget - sat1.toSeq.map(avail).sum) * target("S3") / t3)
+    assert(got == Map(
+      "S1" -> ((10L, 10L, 1L)),
+      "S2" -> ((90L, 90L, 1L)),
+      "S3" -> ((10000L, planned3, 0L))), s"got $got")
+    assert(got.values.map(_._2).sum <= budget)
+    assert(got.values.map(_._2).sum == budget) // this fixture spends exactly
+  }
+
   test("dd06 embedding near-dup matches brute-force count and threshold") {
     val got = run("dd06_embedding_neardup")
     assert(got.filter(col("cos_e6") < 400000).count() == 0)
