@@ -13,7 +13,10 @@ object PlanAudit {
     val dirIdx = args.indexOf("-d")
     val dir = if (dirIdx >= 0) args(dirIdx + 1) else "/root/testdata/sf0.001"
     val names = args.zipWithIndex.collect {
-      case (a, i) if a != "-v" && a != "-d" && i != dirIdx + 1 => a
+      // guard dirIdx >= 0: with no -d flag, dirIdx + 1 == 0 would
+      // silently drop the FIRST query name
+      case (a, i) if a != "-v" && a != "-d" &&
+        (dirIdx < 0 || i != dirIdx + 1) => a
     }.toSeq
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
