@@ -269,6 +269,17 @@ object TextOps {
       .select(col(idCol), col("_bb.band").as("band"), col("_bb.bucket").as("bucket"))
   }
 
+  /** (id, band, bucket) rows for an external index builder
+    * ([[DedupIndex]]): the signature + banding pass, same constants
+    * family as the in-query LSH paths, exposed so the index table a
+    * probe joins into can be PERSISTED instead of derived per run. */
+  def bandBucketRows(rows: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    bandBuckets(signatures(rows, idCol, numHashes), idCol,
+      numHashes, rowsPerBand)
+  }
+
   /** Banded-LSH candidate pairs from a signature frame. */
   private def candidatesFromSignatures(
       mh0: DataFrame,
