@@ -721,63 +721,72 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ss01's exact top-5 — also ss10's ground truth. */
+  private def exactTop5(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    topNeighbors(
+      q.join(e, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
+  }
+
+  // exact oracle (see dd06 note on IEEE-identical cosines); the
+  // row_number tiebreak (cos DESC, id ASC) mirrors TopKByScore's
+  // `beats` ordering exactly
+  private[ext] val ss01OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id,
+      |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+      |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+      |    END AS nv
+      |  FROM e),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(q.nv, c.nv) AS cos
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+      |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** ss02's LSH top-5 — also ss10's candidate under evaluation. */
+  private def lshTop5(s: SparkSession, dir: String): DataFrame = {
+    val eT = sigRows(embeddings(s, dir))
+    // query probes: 10 queries × NTables rows — broadcastable
+    val qT = broadcast(eT.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("t"), col("sig")))
+    // score, THEN distinct on the narrow (q_id, vec_id, cos) triple:
+    // dedups cross-table hits without shuffling the vectors
+    topNeighbors(
+      qT.join(eT, Seq("t", "sig"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos"))
+        .distinct())
+  }
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
       "ss01_ann_bruteforce",
       "Exact top-5 cosine neighbors for 10 query vectors — broadcast queries, bounded top-k agg, no corpus shuffle",
-      (s, dir) => {
-        val e = embeddings(s, dir)
-        val q = broadcast(e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv")))
-        topNeighbors(
-          q.join(e, col("vec_id") =!= col("q_id"))
-            .select(col("q_id"), col("vec_id"),
-              graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
-      },
-      // exact oracle (see dd06 note on IEEE-identical cosines); the
-      // row_number tiebreak (cos DESC, id ASC) mirrors TopKByScore's
-      // `beats` ordering exactly
-      Some("""WITH e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |n AS (
-             |  SELECT vec_id,
-             |    CASE WHEN list_dot_product(v, v) = 0 THEN v
-             |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-             |    END AS nv
-             |  FROM e),
-             |scored AS (
-             |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-             |    list_dot_product(q.nv, c.nv) AS cos
-             |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
-             |  WHERE q.vec_id < 10),
-             |ranked AS (
-             |  SELECT q_id, neighbor_id, cos,
-             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
-             |  FROM scored)
-             |SELECT q_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
-             |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
-             |FROM ranked WHERE rk <= 5
-             |ORDER BY q_id, rank""".stripMargin)),
+      (s, dir) => exactTop5(s, dir),
+      Some(ss01OracleSql)),
 
     CatalogQuery(
       "ss02_ann_lsh",
       "LSH-bucketed ANN: 8 independent 6-bit hyperplane tables, exact re-rank inside matched buckets",
-      (s, dir) => {
-        val eT = sigRows(embeddings(s, dir))
-        // query probes: 10 queries × NTables rows — broadcastable
-        val qT = broadcast(eT.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("t"), col("sig")))
-        // score, THEN distinct on the narrow (q_id, vec_id, cos) triple:
-        // dedups cross-table hits without shuffling the vectors
-        topNeighbors(
-          qT.join(eT, Seq("t", "sig"))
-            .filter(col("vec_id") =!= col("q_id"))
-            .select(col("q_id"), col("vec_id"),
-              graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos"))
-            .distinct())
-      },
+      (s, dir) => lshTop5(s, dir),
       // Value oracle: the hyperplanes are dyadic rationals rendered
       // exactly in SQL, the sign test is an IEEE-exact comparison on
       // the same left-to-right dot (dd06/ss01 precedent), so DuckDB
@@ -1142,6 +1151,45 @@ object SimilarityQueries {
               graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
       },
       Some(ss09OracleSql)),
+
+    CatalogQuery(
+      "ss10_recall_eval",
+      "Index-quality evaluation as a query: recall@5 of the LSH ANN (ss02) against exact top-5 (ss01) per query vector — the monitoring report an ANN deployment recomputes after every index rebuild",
+      (s, dir) => {
+        // Evaluation-as-query: both sides reuse the exact builders the
+        // catalog serves (same tiebreak, same IEEE-identical cosines),
+        // so the recall number is the PRODUCTION index's number, not a
+        // reimplementation's. Cost = the two ANN queries + a semi-join
+        // on (q_id, neighbor_id) over 5·|Q| rows — the eval relation is
+        // tiny at any corpus size; recall_e6 = hits · 1e6/5 exact.
+        val exact = exactTop5(s, dir).select(col("q_id"), col("neighbor_id"))
+        val lsh = lshTop5(s, dir).select(col("q_id"), col("neighbor_id"))
+        val hits = exact.join(lsh, Seq("q_id", "neighbor_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), lit(5L).as("n_exact"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)) * lit(200000L)).as("recall_e6"))
+          .orderBy(col("q_id"))
+      },
+      // both full chains as CTE-wrapped subqueries (DuckDB allows WITH
+      // inside a parenthesized subquery), joined exactly as above
+      Some(s"""WITH ex AS (
+             |  SELECT q_id, neighbor_id FROM ($ss01OracleSql) t),
+             |ls AS (
+             |  SELECT q_id, neighbor_id FROM (${ss02OracleSql}) t),
+             |hit AS (
+             |  SELECT e.q_id, count(*) AS n_hit
+             |  FROM ex e JOIN ls l
+             |    ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id
+             |  GROUP BY e.q_id)
+             |SELECT q.q_id, CAST(5 AS BIGINT) AS n_exact,
+             |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+             |  CAST(coalesce(n_hit, 0) * 200000 AS BIGINT) AS recall_e6
+             |FROM (SELECT DISTINCT q_id FROM ex) q
+             |LEFT JOIN hit USING (q_id)
+             |ORDER BY q.q_id""".stripMargin)),
   )
 
   /** ss09's O(n) ADC stage: (q_id, vec_id, adc) for every
