@@ -277,4 +277,78 @@ object HypercubeJoin {
     (ri, relCols(ri).indexOf(a))
   }
 
+  /** [[joinLocal]]'s semantics as a PLANNED operator: builds the
+    * homogenized fragment union in DataFrame space, wraps it in
+    * [[graft.plans.HypercubeJoinNode]], and lets Catalyst do the rest —
+    * EnsureRequirements inserts the ONE replicated-input shuffle the
+    * physical operator declares, so the one-round property is visible
+    * in EXPLAIN as the plan's single Exchange. Requires
+    * [[graft.plans.HypercubeStrategy]] to be registered
+    * (`spark.sql.extensions=graft.plans.GraftExtensions`, or
+    * `spark.experimental.extraStrategies`). Output columns: each
+    * attribute once, then every relation's payload columns in relation
+    * order — same shape as [[joinLocal]]. */
+  def joinPlanned(rels: Seq[Rel], shares: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    require(rels.nonEmpty, "no relations")
+    val attrs = rels.flatMap(_.attrs).distinct
+    require(attrs.forall(shares.contains),
+      s"missing shares for ${attrs.filterNot(shares.contains)}")
+    val spark = rels.head.df.sparkSession
+    val cell: Column = attrs.map(a => col(coordCol(a)))
+      .zip(attrs.map(shares)).foldLeft(lit(0)) { case (acc, (c, p)) => acc * p + c }
+    val relCols = rels.map(_.df.schema.fieldNames.toSeq)
+    val attrType = attrs.map { a =>
+      val ri = relCols.indexWhere(_.contains(a))
+      a -> rels(ri).df.schema(a).dataType
+    }.toMap
+    // the fold compares attr values by object equality — exclude types
+    // whose internal representation breaks that
+    attrs.foreach { a =>
+      val bad = attrType(a) match {
+        case _: StructType | _: ArrayType | _: MapType | BinaryType => true
+        case _ => false
+      }
+      require(!bad, s"hypercube attribute $a must be an atomic, non-binary type, got ${attrType(a)}")
+    }
+    val payloadCols = rels.zipWithIndex.flatMap { case (_, i) =>
+      relCols(i).filterNot(attrs.contains).map(c => (i, c))
+    }
+    val unified = rels.zipWithIndex.map { case (r, i) =>
+      val nonNull = r.attrs.map(col(_).isNotNull).reduce(_ && _)
+      val base = cubed(r.copy(df = r.df.filter(nonNull)), attrs, shares)
+        .withColumn("_hc_cell", cell.cast("int"))
+      val attrCols = attrs.map { a =>
+        if (r.attrs.contains(a)) col(a).cast(attrType(a)).as(s"_hca_$a")
+        else lit(null).cast(attrType(a)).as(s"_hca_$a")
+      }
+      val payCols = payloadCols.map { case (ri, c) =>
+        val t = rels(ri).df.schema(c).dataType
+        if (ri == i) col(c).cast(t).as(s"_hcp_${ri}_$c")
+        else lit(null).cast(t).as(s"_hcp_${ri}_$c")
+      }
+      base.select((Seq(col("_hc_cell"), lit(i).as("_hc_rel")) ++
+        attrCols ++ payCols): _*)
+    }.reduce(_ unionByName _)
+    val attrIdx = attrs.zipWithIndex.toMap
+    val keyPos = {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      rels.map { r =>
+        val pos = r.attrs.map(attrIdx)
+        val key = pos.filter(seen.contains)
+        pos.foreach(seen.add)
+        key
+      }
+    }
+    val analyzed = unified.queryExecution.analyzed
+    val outAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      attrs.map(a => AttributeReference(a, attrType(a), nullable = true)()) ++
+        payloadCols.map { case (ri, c) =>
+          AttributeReference(c, rels(ri).df.schema(c).dataType, nullable = true)()
+        }
+    org.apache.spark.sql.graftshim.GraftShim.ofRows(spark,
+      graft.plans.HypercubeJoinNode(outAttrs, rels.size, keyPos,
+        analyzed.output, analyzed))
+  }
 }

@@ -123,9 +123,13 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`)
-  * registers every graft planner extension; runtime injection via
-  * `spark.experimental.extraOptimizations` works on a live session. */
+  * registers every graft planner extension; on a live session the
+  * runtime equivalents are `spark.experimental.extraOptimizations`
+  * (the rule) and `spark.experimental.extraStrategies` (the
+  * hypercube strategy). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRule)
+    ext.injectPlannerStrategy(_ => HypercubeStrategy)
+  }
 }

@@ -311,6 +311,38 @@ object GraphQueries {
               |JOIN sq d ON c.src = d.src AND d.tgt = b.tgt AND d.tgt <> c.tgt""".stripMargin)),
 
     CatalogQuery(
+      "g08c_hypercube_planned",
+      "Square count via the PLANNED one-round hypercube (custom LogicalPlan + SparkStrategy + SparkPlan: HypercubeJoinExec, single cell Exchange in EXPLAIN) — same semantics as g08b",
+      (s, dir) => {
+        // Register the strategy if this session lacks it — additive and
+        // inert for every other query (it matches only
+        // HypercubeJoinNode, which only joinPlanned constructs), unlike
+        // a conf mutation; production sessions register it via
+        // spark.sql.extensions=graft.plans.GraftExtensions instead.
+        if (!s.experimental.extraStrategies.contains(graft.plans.HypercubeStrategy))
+          s.experimental.extraStrategies =
+            s.experimental.extraStrategies :+ graft.plans.HypercubeStrategy
+        val e = edges(s, dir).filter(col("src") % 2 === 0 && col("tgt") % 2 === 0)
+        val rels = Seq(
+          HypercubeJoin.Rel(e.select(col("src").as("h"), col("tgt").as("p")), Seq("h", "p")),
+          HypercubeJoin.Rel(e.select(col("src").as("h"), col("tgt").as("q")), Seq("h", "q")),
+          HypercubeJoin.Rel(e.select(col("src").as("r"), col("tgt").as("p")), Seq("r", "p")),
+          HypercubeJoin.Rel(e.select(col("src").as("r"), col("tgt").as("q")), Seq("r", "q")))
+        val sh = HypercubeJoin.shares(rels.map(r => (r.attrs, 1.0)), 32)
+        HypercubeJoin.joinPlanned(rels, sh)
+          .filter(col("p") =!= col("q") && col("r") =!= col("h") && col("q") =!= col("p"))
+          .agg(count(lit(1)).as("n_squares"))
+      },
+      // identical semantics to g08b: g04's square SQL
+      Some(s"""WITH $edgesSql,
+              |sq AS (SELECT * FROM edges WHERE src % 2 = 0 AND tgt % 2 = 0)
+              |SELECT count(*) AS n_squares
+              |FROM sq a
+              |JOIN sq b ON a.src = b.src AND a.tgt <> b.tgt
+              |JOIN sq c ON a.tgt = c.tgt AND c.src <> a.src
+              |JOIN sq d ON c.src = d.src AND d.tgt = b.tgt AND d.tgt <> c.tgt""".stripMargin)),
+
+    CatalogQuery(
       "g09_kcore_peel",
       "Bounded k-core peeling profile (k=5, 4 rounds) over the undirected fold graph — per-round survivor counts from an iterative degree filter + endpoint semi-joins, the dense-subgraph extraction shape",
       (s, dir) => {

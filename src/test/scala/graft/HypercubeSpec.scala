@@ -110,6 +110,49 @@ class HypercubeSpec extends SparkSpec {
     assert(wantSq.nonEmpty && gotSq == wantSq)
   }
 
+  test("joinPlanned: the physical operator matches joinLocal on triangle and square, with exactly ONE exchange") {
+    val prev = spark.experimental.extraStrategies
+    try {
+      spark.experimental.extraStrategies = prev :+ graft.plans.HypercubeStrategy
+      val e = synthEdges
+      val tri = Seq(
+        Rel(e.select(col("src").as("x"), col("tgt").as("y"),
+          (col("src") * 1000 + col("tgt")).as("r1_payload")), Seq("x", "y")),
+        Rel(e.select(col("src").as("y"), col("tgt").as("z")), Seq("y", "z")),
+        Rel(e.select(col("src").as("z"), col("tgt").as("x")), Seq("z", "x")))
+      val shTri = HypercubeJoin.shares(tri.map(r => (r.attrs, 1.0)), 27)
+      val planned = HypercubeJoin.joinPlanned(tri, shTri)
+        .select("x", "y", "z", "r1_payload")
+      val got = planned.collect().map(_.toString).sorted.toSeq
+      val want = HypercubeJoin.joinLocal(tri, shTri)
+        .select("x", "y", "z", "r1_payload")
+        .collect().map(_.toString).sorted.toSeq
+      assert(want.nonEmpty && got == want)
+      // the one-round property, readable in the plan: the HypercubeJoin
+      // node with a SINGLE cell shuffle under it (the replicated-input
+      // exchange; synthEdges' own prep shuffles sit below the union and
+      // don't belong to the operator); with AQE the string repeats the
+      // tree as Final + Initial, so count within the final section only
+      val plan = planned.queryExecution.executedPlan.toString
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert(finalPlan.contains("HypercubeJoin"), s"strategy did not fire:\n$plan")
+      assert("Exchange hashpartitioning\\(_hc_cell".r.findAllIn(finalPlan).size == 1,
+        s"expected exactly one cell exchange:\n$plan")
+
+      val sq = Seq(
+        Rel(e.select(col("src").as("h"), col("tgt").as("p")), Seq("h", "p")),
+        Rel(e.select(col("src").as("h"), col("tgt").as("q")), Seq("h", "q")),
+        Rel(e.select(col("src").as("r"), col("tgt").as("p")), Seq("r", "p")),
+        Rel(e.select(col("src").as("r"), col("tgt").as("q")), Seq("r", "q")))
+      val shSq = HypercubeJoin.shares(sq.map(r => (r.attrs, 1.0)), 16)
+      val gotSq = HypercubeJoin.joinPlanned(sq, shSq).select("h", "p", "q", "r")
+        .collect().map(_.toString).sorted.toSeq
+      val wantSq = HypercubeJoin.joinLocal(sq, shSq).select("h", "p", "q", "r")
+        .collect().map(_.toString).sorted.toSeq
+      assert(wantSq.nonEmpty && gotSq == wantSq)
+    } finally spark.experimental.extraStrategies = prev
+  }
+
   test("cubed: a heavy join value spreads across the other attrs' cells instead of one reducer") {
     import spark.implicits._
     // 60 R1 rows sharing y=0 (the heavy key) with distinct x
