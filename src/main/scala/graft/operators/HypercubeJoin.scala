@@ -347,8 +347,9 @@ object HypercubeJoin {
         payloadCols.map { case (ri, c) =>
           AttributeReference(c, rels(ri).df.schema(c).dataType, nullable = true)()
         }
+    val nCells = attrs.map(shares(_)).product
     org.apache.spark.sql.graftshim.GraftShim.ofRows(spark,
-      graft.plans.HypercubeJoinNode(outAttrs, rels.size, keyPos,
+      graft.plans.HypercubeJoinNode(outAttrs, rels.size, nCells, keyPos,
         analyzed.output, analyzed))
   }
 }

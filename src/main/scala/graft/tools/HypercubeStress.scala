@@ -70,9 +70,19 @@ object HypercubeStress {
       HypercubeJoin.joinLocal(rels,
         HypercubeJoin.shares(rels.map(r => (r.attrs, 1.0)), p)).count()
     }
+    def cubePlanned(): Long = {
+      spark.experimental.extraStrategies = Seq(graft.plans.HypercubeStrategy)
+      val rels = Seq(
+        Rel(edges.select(col("src").as("x"), col("tgt").as("y")), Seq("x", "y")),
+        Rel(edges.select(col("src").as("y"), col("tgt").as("z")), Seq("y", "z")),
+        Rel(edges.select(col("src").as("z"), col("tgt").as("x")), Seq("z", "x")))
+      HypercubeJoin.joinPlanned(rels,
+        HypercubeJoin.shares(rels.map(r => (r.attrs, 1.0)), p)).count()
+    }
     timed("binary")(binary())
     timed("hypercube")(cube())
     timed("cube_local")(cubeLocal())
+    timed("cube_planned")(cubePlanned())
     // and with AQE's skew mitigation off, the undiluted comparison
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     timed("binary_noskewfix")(binary())
