@@ -410,5 +410,61 @@ object MultimodalQueries {
              |      * 1000000.0) END) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM ag JOIN ni ON ni.vec_id = ag.doc_id
              |ORDER BY ag.doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "mm06_segment_dedup",
+      "Cross-video duplicated-segment detection: 3-frame shingles over mm03's sampled frame hashes, pairs of media sharing any >=3-frame run — the copied-clip report a video pipeline runs before training",
+      (s, dir) => {
+        // dd05's shingle idea lifted from tokens to FRAMES: mm03's
+        // per-frame md5 sequence (stride-4 sampled, codegen'd binary
+        // slicing, no decode) shingled 3-wide, so a match is a
+        // contiguous >= 3-sampled-frame run copied between two medias —
+        // byte-identical segments, the pre-embedding exact tier of
+        // video dedup (near-dup segments are dd12's embedding path).
+        // One shuffle hashed on the shingle; per-shingle fanout is the
+        // segment's cross-corpus spread (measured max 4 on the
+        // fixtures; a production run caps flooded segments exactly like
+        // TextOps' LSH buckets). Output is |matching pairs| rows.
+        val frames = mediaTable(s, dir)
+          .withColumn("nf", floor(length(col("payload")) / lit(16)).cast("long"))
+          .withColumn("fr", when(col("nf") > 0, expr(
+            "transform(sequence(0, cast(nf as int) - 1, 4)," +
+              " i -> md5(substr(payload, i * 16 + 1, 16)))"))
+            .otherwise(array().cast("array<string>")))
+        val segs = frames
+          .withColumn("seg", explode(when(size(col("fr")) >= 3, expr(
+            "transform(sequence(0, size(fr) - 3)," +
+              " i -> concat(fr[i], '|', fr[i+1], '|', fr[i+2]))"))
+            .otherwise(array().cast("array<string>"))))
+          .select(col("doc_id"), col("seg")).distinct()
+        segs.as("a").join(segs.as("b"),
+            col("a.seg") === col("b.seg") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared_segs"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      // same construction over the documents' text bytes (the payloads
+      // are ASCII, so VARCHAR substr slices identical bytes — mm03's
+      // precedent); DuckDB arrays are 1-based where Spark subscripts
+      // are 0-based, hence the shifted indices
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(text) >= 16 THEN
+             |      list_transform(range(0, CAST(floor(length(text) / 16) AS BIGINT), 4),
+             |        i -> md5(substr(text, CAST(i*16+1 AS INT), 16)))
+             |    ELSE [] END AS fr
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(fr) >= 3 THEN
+             |    list_transform(range(1, len(fr) - 1),
+             |      i -> fr[i] || '|' || fr[i+1] || '|' || fr[i+2])
+             |    ELSE [] END) AS seg
+             |  FROM f),
+             |d AS (SELECT DISTINCT doc_id, seg FROM sh)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  count(*) AS n_shared_segs
+             |FROM d a JOIN d b ON a.seg = b.seg AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2
+             |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

@@ -709,6 +709,22 @@ class ExtSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == budget) // this fixture spends exactly
   }
 
+  test("mm06 segment dedup: a planted shared 160-byte prefix yields exactly one shared 3-frame segment") {
+    // stride-4 sampling of 16-byte frames hashes offsets 0, 64, 128 —
+    // all inside the 160-byte shared prefix, so A and B share exactly
+    // one 3-frame shingle; C shares nothing.
+    val dir = java.nio.file.Files.createTempDirectory("mm06-planted").toString
+    import spark.implicits._
+    val prefix = ("abcdefghijklmnop" * 10) // 160 bytes
+    plantDocs(Seq(
+      (0L, prefix + "X" * 16, "S"),
+      (1L, prefix + "Y" * 16, "S"),
+      (2L, "z" * 176, "S")).toDF("doc_id", "text", "source"), dir)
+    val got = SparkEntry.queries("mm06_segment_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 1L, 1L)), s"got $got")
+  }
+
   test("dd06 embedding near-dup matches brute-force count and threshold") {
     val got = run("dd06_embedding_neardup")
     assert(got.filter(col("cos_e6") < 400000).count() == 0)
