@@ -26,28 +26,27 @@ object DedupIndex {
   val Hashes = 36
   val RowsPerBand = 6
 
+  private def writeBuckets(docs: DataFrame, table: String, nBuckets: Int,
+      mode: String): Unit =
+    TextOps.bandBucketRows(
+        TextOps.wordShingleRows(docs, "doc_id", "text", 3),
+        "doc_id", Hashes, RowsPerBand)
+      .write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(table)
+
   /** Create/overwrite the index table from a corpus of (doc_id, text).
     * Bucketed AND sorted by (band, bucket): the probe join and the
     * bucket-size stats aggregate both run shuffle-free on the index
     * side. */
   def build(docs: DataFrame, table: String, nBuckets: Int = 8): Unit =
-    TextOps.bandBucketRows(
-        TextOps.wordShingleRows(docs, "doc_id", "text", 3),
-        "doc_id", Hashes, RowsPerBand)
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
-      .saveAsTable(table)
+    writeBuckets(docs, table, nBuckets, "overwrite")
 
   /** Append an accepted batch's buckets (same bucket spec, so the
     * bucketed-join property survives ingestion — the DocsStream
     * admission loop's state-append as a table operation). */
   def append(docs: DataFrame, table: String, nBuckets: Int = 8): Unit =
-    TextOps.bandBucketRows(
-        TextOps.wordShingleRows(docs, "doc_id", "text", 3),
-        "doc_id", Hashes, RowsPerBand)
-      .write.mode("append").format("parquet")
-      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
-      .saveAsTable(table)
+    writeBuckets(docs, table, nBuckets, "append")
 
   /** Near-dup pairs of `batch` against the persisted index: banded
     * candidates (flooded index buckets collapse to their min-id
@@ -63,10 +62,7 @@ object DedupIndex {
       threshNum: Int = 8,
       threshDen: Int = 10): DataFrame = {
     val idx = spark.table(table)
-    val stats = idx.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_n"), min(col("doc_id")).as("_rep"))
-    val kept = idx.join(stats, Seq("band", "bucket"))
-      .filter(col("_n") <= maxBucketSize || col("doc_id") === col("_rep"))
+    val kept = TextOps.capFloodedBuckets(idx, "doc_id", maxBucketSize)
       .select(col("band"), col("bucket"), col("doc_id").as("hist_id"))
     val batchRows = TextOps.wordShingleRows(batch, "doc_id", "text", 3)
     val bb = TextOps.bandBucketRows(batchRows, "doc_id", Hashes, RowsPerBand)

@@ -681,16 +681,28 @@ object TextOps {
     require(numHashes % rowsPerBand == 0)
     val hb = bandBuckets(signatures(histRows, idCol, numHashes),
       idCol, numHashes, rowsPerBand)
-    val stats = hb.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_rep"))
-    val kept = hb.join(stats, Seq("band", "bucket"))
-      .filter(col("_n") <= maxBucketSize || col(idCol) === col("_rep"))
+    val kept = capFloodedBuckets(hb, idCol, maxBucketSize)
       .select(col("band"), col("bucket"), col(idCol).as("hist_id"))
     val bb = bandBuckets(signatures(batchRows, idCol, numHashes),
       idCol, numHashes, rowsPerBand)
       .select(col("band"), col("bucket"), col(idCol).as("batch_id"))
     bb.join(kept, Seq("band", "bucket"))
       .select(col("batch_id"), col("hist_id")).distinct()
+  }
+
+  /** The probe side's flooded-bucket rule, in ONE place so the in-query
+    * path and the persisted-index path ([[DedupIndex.probe]]) can never
+    * diverge: buckets with > maxBucketSize members keep only their
+    * min-id REPRESENTATIVE — bounded comparisons per probing doc,
+    * degraded recall on the flooded bucket. Input/output: (idCol, band,
+    * bucket) rows. */
+  private[ext] def capFloodedBuckets(buckets: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
+    val stats = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_rep"))
+    buckets.join(stats, Seq("band", "bucket"))
+      .filter(col("_n") <= maxBucketSize || col(idCol) === col("_rep"))
+      .select(col("band"), col("bucket"), col(idCol))
   }
 
   /** End-to-end incremental near-dup probe: [[lshProbeCandidates]] +

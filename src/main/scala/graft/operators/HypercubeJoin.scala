@@ -74,6 +74,21 @@ object HypercubeJoin {
     candidates.minBy(p => (cost(p), attrs.map(p(_)).mkString(",")))
   }
 
+  /** Every executor hashes attr values into cell coordinates
+    * (`xxhash64`), and xxhash64(1: INT) != xxhash64(1L: BIGINT) — a
+    * shared attribute carried with DIFFERENT types would silently land
+    * matching tuples in different cells (and the fold's boxed equality
+    * would reject them even co-located). Fail loudly instead; callers
+    * cast to a common type up front. */
+  private def requireConsistentAttrTypes(rels: Seq[Rel]): Unit = {
+    val byAttr = rels.flatMap(r => r.attrs.map(a => a -> r.df.schema(a).dataType))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    val bad = byAttr.filter(_._2.size > 1)
+    require(bad.isEmpty,
+      s"hypercube attribute type mismatch across relations: " +
+        bad.map { case (a, ts) => s"$a -> ${ts.mkString("/")}" }.mkString(", "))
+  }
+
   /** The cube-coordinate assignment for one relation: attributes the
     * relation HAS hash to a fixed coordinate; attributes it LACKS
     * explode over their full share range (the replication).
@@ -98,6 +113,7 @@ object HypercubeJoin {
     val attrs = rels.flatMap(_.attrs).distinct
     require(attrs.forall(shares.contains),
       s"missing shares for ${attrs.filterNot(shares.contains)}")
+    requireConsistentAttrTypes(rels)
     shares.foreach { case (a, p) =>
       require(p >= 1, s"share for $a must be >= 1, got $p") }
     val coords = attrs.map(coordCol)
@@ -140,6 +156,7 @@ object HypercubeJoin {
     val attrs = rels.flatMap(_.attrs).distinct
     require(attrs.forall(shares.contains),
       s"missing shares for ${attrs.filterNot(shares.contains)}")
+    requireConsistentAttrTypes(rels)
     val spark = rels.head.df.sparkSession
     val coords = attrs.map(coordCol)
     // linearized cell id on top of the cubed frames
@@ -295,6 +312,7 @@ object HypercubeJoin {
     val attrs = rels.flatMap(_.attrs).distinct
     require(attrs.forall(shares.contains),
       s"missing shares for ${attrs.filterNot(shares.contains)}")
+    requireConsistentAttrTypes(rels)
     val spark = rels.head.df.sparkSession
     val cell: Column = attrs.map(a => col(coordCol(a)))
       .zip(attrs.map(shares)).foldLeft(lit(0)) { case (acc, (c, p)) => acc * p + c }

@@ -66,14 +66,17 @@ case class HypercubeJoinExec(
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
-  /** The single shuffle: co-locate every fragment of a cell, ONE CELL
-    * PER PARTITION. The cell is the operator's parallelism unit (the
-    * Shares LP bounds per-cell load, nothing bounds a multi-cell
-    * partition), and pinning requiredNumPartitions also stops AQE from
-    * advisory-coalescing the replicated shuffle by BYTES — the fold is
-    * compute-bound per row, and letting a small-byte shuffle collapse
-    * to one partition serialized all folds on one core (measured:
-    * 10.5 s vs 3.4 s on the K=8000 hub-skew stress before this pin). */
+  /** The single shuffle: co-locate every fragment of a cell. Pinning
+    * requiredNumPartitions = nCells stops AQE from advisory-coalescing
+    * the replicated shuffle by BYTES — the fold is compute-bound per
+    * row, and letting a small-byte shuffle collapse to one partition
+    * serialized every fold on one core (measured: 10.5 s vs 3.4 s on
+    * the K=8000 hub-skew stress before this pin). Cells map to
+    * partitions by HASH, not identity: some partitions carry a few
+    * cells (their folds run sequentially) and ~1/e stay empty — the
+    * pin's job is preventing the byte-based collapse, and the expected
+    * max cells/partition stays O(log n / log log n) of even. Pick the
+    * cube P at-or-above the cluster's parallelism, as with joinLocal. */
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(child.output.head),
       requiredNumPartitions = Some(nCells)))

@@ -40,12 +40,16 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val ConfKey = "spark.graft.rangeJoin.binWidth"
 
+  // NOT TimestampNTZType: Spark refuses CAST(ts_ntz AS BIGINT)
+  // (DATATYPE_MISMATCH), so a rewrite would turn a slow-but-working
+  // BNLJ query into an analysis error
   private val binnable: Set[DataType] =
-    Set(ByteType, ShortType, IntegerType, LongType,
-      TimestampType, TimestampNTZType)
+    Set(ByteType, ShortType, IntegerType, LongType, TimestampType)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(ConfKey, "0").toLong
+    // toLongOption: this runs on EVERY plan once registered — a
+    // malformed width must disable the rule, not fail unrelated queries
+    val w = conf.getConfString(ConfKey, "0").toLongOption.getOrElse(0L)
     if (w <= 0) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>

@@ -350,17 +350,22 @@ private[graft] class GenOffset(val endId: Long)
 
 private[graft] class GenMicroBatchStream(lo: Long, hi: Long, seed: Long,
     parts: Int, perBatch: Long, fields: Array[String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-  // high-water mark: advances one batch span per trigger poll; planning
-  // and reading stay pure functions of the (start, end) offsets, so
-  // replay of any committed range is deterministic
-  private var latest = lo
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  // STATELESS offsets: the next offset is a pure function of the START
+  // offset the engine hands in (SupportsAdmissionControl), so a
+  // restarted query structurally cannot regress below its checkpoint —
+  // a mutable high-water mark would reset with the new stream instance
+  // and re-emit committed id ranges (caught by the restart spec).
   override def initialOffset(): Offset = new GenOffset(lo)
-  override def latestOffset(): Offset = {
-    latest = math.min(hi, latest + perBatch)
-    new GenOffset(latest)
-  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-gen uses the SupportsAdmissionControl latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    new GenOffset(
+      math.min(hi, start.asInstanceOf[GenOffset].endId + perBatch))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset =
     new GenOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

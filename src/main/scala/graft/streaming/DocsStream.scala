@@ -28,12 +28,16 @@ import graft.ext.TextOps
   *     at-least-once replay Structured Streaming guarantees — and the
   *     standing view EXCLUDES the current batchId, so a replayed batch
   *     never dedupes against its own previous attempt.
-  *   - Within a batch, a doc matching a SMALLER-id history-clean doc
-  *     of the same batch is rejected (`near_dup_batch`). This is one
-  *     LSH pass, not a chained closure: if A rejects B and C matches
-  *     only B, C is admitted — the same single-pass admission semantics
-  *     a per-batch index insert would give, and it keeps the batch path
-  *     free of an iterative CC (dd10 owns that shape).
+  *   - Within a batch, a doc matching ANY smaller-id history-clean doc
+  *     of the same batch is rejected (`near_dup_batch`) — including one
+  *     whose match was itself rejected (A rejects B; C matching only B
+  *     is still rejected). That is deliberately CONSERVATIVE and
+  *     matches dd10's batch semantics, where a near-dup connected
+  *     component keeps exactly its min-id member: B bridges A and C
+  *     into one component, so only A survives. (A sequential
+  *     insert-then-probe index would admit C; that flavor needs the
+  *     per-batch iteration dd10's CC owns — one LSH pass cannot
+  *     express it.)
   */
 object DocsStream {
 

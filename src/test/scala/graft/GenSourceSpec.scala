@@ -208,4 +208,29 @@ class GenSourceSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch, "streamed rows diverge from the batch scan")
   }
+
+  test("graft-gen streaming: restart from the checkpoint resumes at the committed offset") {
+    // a fresh stream instance must restore its high-water mark from the
+    // checkpointed offset (deserializeOffset/commit), not regress to lo
+    // and re-plan already-committed ranges
+    val base = java.nio.file.Files.createTempDirectory("gen-restart").toString
+    def run(): Seq[(Long, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = spark.readStream.format("graft-gen")
+        .option("rows", 100).option("rowsPerBatch", 40).option("seed", 3)
+        .load()
+        .writeStream.option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          buf.synchronized { buf += ((id, b.count())) }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.toSeq
+    }
+    val first = run()
+    assert(first.map(_._2).sum == 100, s"first run incomplete: $first")
+    val second = run()
+    assert(second.map(_._2).sum == 0,
+      s"restart re-emitted committed rows: $second")
+  }
 }
