@@ -64,6 +64,35 @@ class DocsStreamSpec extends SparkSpec {
     assert(state == Seq(11L, 21L, 22L))
   }
 
+  test("intra-batch chain A~B~C rejects BOTH B and C (conservative CC-component semantics, as documented)") {
+    // J(A,B) = J(B,C) = 0.88 >= 0.8, J(A,C) = 0.78 < 0.8: B bridges A
+    // and C into one near-dup component. Like dd10's keep-min over the
+    // component, only A survives — C is rejected via its match to the
+    // (itself rejected) B, NOT admitted as a sequential index insert
+    // would. dup_of records the direct match (B), not the component rep.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("docs-chain").toString
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = DocsStream.nearDupAdmission(spark,
+      ms.toDF().toDF("doc_id", "text"), emptyCorpus,
+      s"$base/state", s"$base/decisions", s"$base/ck")
+    try {
+      ms.addData((1L, aText), (2L, bText), (3L, cText))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.read.parquet(s"$base/decisions")
+      .select("doc_id", "status", "dup_of").collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(dec == Map(
+      1L -> ("new", -1L),
+      2L -> ("near_dup_batch", 1L),
+      3L -> ("near_dup_batch", 2L)), s"got $dec")
+  }
+
   test("acceptedState excludes the current batch id (replay safety)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("docs-state").toString
