@@ -68,18 +68,27 @@ object DedupIndex {
     val bb = TextOps.bandBucketRows(batchRows, "doc_id", Hashes, RowsPerBand)
       .select(col("band"), col("bucket"), col("doc_id").as("batch_id"))
     val cand = bb.join(kept, Seq("band", "bucket"))
-      .select(col("batch_id").as("a_id"), col("hist_id").as("b_id"))
+      .select(col("batch_id"), col("hist_id"))
       .distinct()
-    // verify sets: candidate hist docs only (semi-join-narrowed corpus
-    // read) plus the batch itself
+    // verify sets aggregate PER SIDE (a doc_id on both sides — a
+    // re-submission — must compare batch-content vs history-content,
+    // not a merged set): candidate hist docs only (semi-join-narrowed
+    // corpus read) on one side, the batch itself on the other
     val histDocs = corpus.join(
-      cand.select(col("b_id").as("doc_id")).distinct(), Seq("doc_id"),
+      cand.select(col("hist_id").as("doc_id")).distinct(), Seq("doc_id"),
       "left_semi")
-    val sets = TextOps.wordShingleRows(histDocs, "doc_id", "text", 3)
-      .union(batchRows)
-      .groupBy(col("doc_id")).agg(collect_set(col("_el")).as("_set"))
-    TextOps.jaccardJoin(cand, sets, "doc_id", "_set", threshNum, threshDen)
-      .select(col("a_id").as("batch_id"), col("b_id").as("hist_id"),
-        col("inter"), col("uni"))
+    val histSets = TextOps.wordShingleRows(histDocs, "doc_id", "text", 3)
+      .groupBy(col("doc_id")).agg(collect_set(col("_el")).as("_sb"))
+      .select(col("doc_id").as("hist_id"), col("_sb"))
+    val batchSets = batchRows
+      .groupBy(col("doc_id")).agg(collect_set(col("_el")).as("_sa"))
+      .select(col("doc_id").as("batch_id"), col("_sa"))
+    cand.join(batchSets, "batch_id").join(histSets, "hist_id")
+      .withColumn("inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("uni",
+        size(array_union(col("_sa"), col("_sb"))).cast("long"))
+      .filter(col("inter") * threshDen >= col("uni") * threshNum)
+      .select(col("batch_id"), col("hist_id"), col("inter"), col("uni"))
   }
 }

@@ -23,6 +23,38 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  /** mm06's flooded-segment bound: a frame-shingle shared by more than
+    * this many medias star-chains around its min-id representative
+    * instead of emitting all K² pairs (the dd03 flooded-bucket rule).
+    * Mirrored literally in mm06's DuckDB oracle — change both
+    * together. */
+  val MaxSegSpread = 20
+
+  /** mm06's pair stage over DISTINCT (doc_id, seg) rows: pairs of docs
+    * sharing a segment, counted per pair, with the [[MaxSegSpread]]
+    * flooded-segment rule — segments spread over more than the bound
+    * star-chain around their min-id representative (rep < member, so
+    * the doc_a < doc_b orientation is preserved), bounding a viral
+    * clip's fanout to O(K). Exposed for the planted-flood spec. */
+  private[graft] def sharedSegmentPairs(segs: DataFrame): DataFrame = {
+    // one aggregation yields both the size gate and the
+    // representative; the join back is co-partitioned on seg
+    val stats = segs.groupBy(col("seg"))
+      .agg(count(lit(1)).as("_n"), min(col("doc_id")).as("_rep"))
+    val tagged = segs.join(stats, Seq("seg"))
+    val small = tagged.filter(col("_n") <= MaxSegSpread)
+    val allPairs = small.as("a").join(small.as("b"),
+        col("a.seg") === col("b.seg") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val chained = tagged
+      .filter(col("_n") > MaxSegSpread && col("doc_id") =!= col("_rep"))
+      .select(col("_rep").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.union(chained)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_segs"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-partition media decoder. Format is sniffed from magic bytes so
     * a mixed corpus (images + opaque blobs) takes the right path per
     * row without a schema-level format column. */
@@ -422,9 +454,14 @@ object MultimodalQueries {
         // byte-identical segments, the pre-embedding exact tier of
         // video dedup (near-dup segments are dd12's embedding path).
         // One shuffle hashed on the shingle; per-shingle fanout is the
-        // segment's cross-corpus spread (measured max 4 on the
-        // fixtures; a production run caps flooded segments exactly like
-        // TextOps' LSH buckets). Output is |matching pairs| rows.
+        // segment's cross-corpus spread, CAPPED: a segment shared by
+        // more than MaxSegSpread medias star-chains around its min-id
+        // representative (dd03's flooded-bucket rule lifted to frame
+        // shingles), so a viral clip in K videos costs O(K) pairs, not
+        // K². Pair counts through a flooded segment degrade to
+        // rep-anchored edges — same bounded-work/degraded-resolution
+        // trade as TextOps' LSH buckets, and the fixtures (max spread
+        // 4) are unaffected. Output is |matching pairs| rows.
         val frames = mediaTable(s, dir)
           .withColumn("nf", floor(length(col("payload")) / lit(16)).cast("long"))
           .withColumn("fr", when(col("nf") > 0, expr(
@@ -437,11 +474,7 @@ object MultimodalQueries {
               " i -> concat(fr[i], '|', fr[i+1], '|', fr[i+2]))"))
             .otherwise(array().cast("array<string>"))))
           .select(col("doc_id"), col("seg")).distinct()
-        segs.as("a").join(segs.as("b"),
-            col("a.seg") === col("b.seg") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_shared_segs"))
-          .orderBy(col("doc_a"), col("doc_b"))
+        sharedSegmentPairs(segs)
       },
       // same construction over the documents' text bytes (the payloads
       // are ASCII, so VARCHAR substr slices identical bytes — mm03's
@@ -460,10 +493,21 @@ object MultimodalQueries {
              |      i -> fr[i] || '|' || fr[i+1] || '|' || fr[i+2])
              |    ELSE [] END) AS seg
              |  FROM f),
-             |d AS (SELECT DISTINCT doc_id, seg FROM sh)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  count(*) AS n_shared_segs
-             |FROM d a JOIN d b ON a.seg = b.seg AND a.doc_id < b.doc_id
+             |d AS (SELECT DISTINCT doc_id, seg FROM sh),
+             |st AS (SELECT seg, count(*) AS n, min(doc_id) AS rep
+             |       FROM d GROUP BY seg),
+             |tg AS (SELECT d.doc_id, d.seg, st.n, st.rep
+             |       FROM d JOIN st USING (seg)),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM tg a JOIN tg b
+             |    ON a.seg = b.seg AND a.doc_id < b.doc_id
+             |  WHERE a.n <= 20
+             |  UNION ALL
+             |  SELECT rep AS doc_a, doc_id AS doc_b
+             |  FROM tg WHERE n > 20 AND doc_id <> rep)
+             |SELECT doc_a, doc_b, count(*) AS n_shared_segs
+             |FROM pairs
              |GROUP BY 1, 2
              |ORDER BY doc_a, doc_b""".stripMargin)),
   )

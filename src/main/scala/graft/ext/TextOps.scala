@@ -280,6 +280,63 @@ object TextOps {
       numHashes, rowsPerBand)
   }
 
+  /** (id, _mh0.._mh{k-1}) MinHash signature rows from (id, _el)
+    * element rows — [[signatures]] exposed for signature-level
+    * ESTIMATORS (tx22's source-overlap matrix): one map-side-combinable
+    * min-aggregation pass over the elements, k longs per id out. The
+    * min is duplicate-insensitive, so callers need not pre-distinct
+    * their element rows. */
+  def signatureRows(rows: DataFrame, idCol: String,
+      numHashes: Int): DataFrame =
+    signatures(rows, idCol, numHashes)
+
+  /** Component-match MinHash estimate of the pairwise Jaccard matrix
+    * over the GROUPS of `sigs` (a [[signatureRows]] frame): for each
+    * id pair (a < b), `n_match` = matching signature components of k,
+    * `est_jaccard_e6` = round(n_match/k · 1e6) — the unbiased MinHash
+    * estimator, stderr ≈ √(J(1−J)/k). The pair join runs on the
+    * SIGNATURE frame (one row of k longs per id), so the matrix stage
+    * costs |ids|²·k however large the underlying corpus is — the
+    * petabyte path tx21's exact form calibrates. */
+  def signatureOverlapMatrix(sigs: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val nMatch = (0 until numHashes).map { i =>
+      when(col(s"a._mh$i") === col(s"b._mh$i"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    sigs.as("a").join(sigs.as("b"),
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        nMatch.as("n_match"))
+      .withColumn("est_jaccard_e6",
+        round(col("n_match") * lit(1e6) / lit(numHashes)).cast("long"))
+  }
+
+  /** DuckDB value oracle for a source-level signature-overlap entry
+    * (tx22): the same minhash CTE chain as [[lshPairsOracleSql]] keyed
+    * by `source` instead of doc_id, then the pairwise component-match
+    * count. `shingleSql` yields (doc_id, el); sources come from the
+    * documents table. */
+  def sourceOverlapEstimateOracleSql(shingleSql: String,
+      numHashes: Int): String = {
+    val mhs = (0 until numHashes).map(i =>
+      s"min((h * ${uhA(i)} + ${uhB(i)}) % $MersenneP) AS _mh$i").mkString(", ")
+    val matches = (0 until numHashes).map(i =>
+      s"CASE WHEN a._mh$i = b._mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS ($shingleSql),
+       |ds AS (SELECT d.source, s.el
+       |  FROM sh s JOIN documents d USING (doc_id)),
+       |h AS (SELECT source,
+       |  ('0x' || substr(md5(el), 1, 8))::BIGINT & 2147483647 AS h FROM ds),
+       |mh AS (SELECT source, $mhs FROM h GROUP BY source),
+       |pm AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST($matches AS BIGINT) AS n_match
+       |  FROM mh a JOIN mh b ON a.source < b.source)
+       |SELECT src_a, src_b, n_match,
+       |  CAST(round(n_match * 1e6 / $numHashes) AS BIGINT) AS est_jaccard_e6
+       |FROM pm
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** Banded-LSH candidate pairs from a signature frame. */
   private def candidatesFromSignatures(
       mh0: DataFrame,
@@ -707,8 +764,8 @@ object TextOps {
 
   /** End-to-end incremental near-dup probe: [[lshProbeCandidates]] +
     * exact-Jaccard verification of each (batch, history) candidate.
-    * `allRows` must cover both sides' element rows (the verify sets);
-    * only candidate pairs' sets meet, so the set agg stays one pass.
+    * Verify sets aggregate PER SIDE, so a doc_id appearing on both
+    * sides is legal and compares batch-content vs history-content.
     * Output: batch_id, hist_id, inter, uni. */
   def lshProbePairs(
       histRows: DataFrame,
@@ -721,12 +778,26 @@ object TextOps {
       threshDen: Int): DataFrame = {
     val cand = lshProbeCandidates(histRows, batchRows, idCol,
       numHashes, rowsPerBand, maxBucketSize)
-      .select(col("batch_id").as("a_id"), col("hist_id").as("b_id"))
-    val sets = histRows.union(batchRows)
-      .groupBy(col(idCol)).agg(collect_set(col("_el")).as("_set"))
-    jaccardJoin(cand, sets, idCol, "_set", threshNum, threshDen)
-      .select(col("a_id").as("batch_id"), col("b_id").as("hist_id"),
-        col("inter"), col("uni"))
+    // each side's verify sets aggregate SEPARATELY: a doc_id present on
+    // BOTH sides (a re-submission, a batch that overlaps history) keeps
+    // two distinct sets and verifies batch-content against
+    // history-content — a single union+groupBy would merge the two
+    // sets into one and corrupt that id's Jaccard (inter == uni == 1.0
+    // always). Still one set-agg pass per side; only candidate ids'
+    // sets meet the join.
+    val batchSets = batchRows.groupBy(col(idCol))
+      .agg(collect_set(col("_el")).as("_sa"))
+      .select(col(idCol).as("batch_id"), col("_sa"))
+    val histSets = histRows.groupBy(col(idCol))
+      .agg(collect_set(col("_el")).as("_sb"))
+      .select(col(idCol).as("hist_id"), col("_sb"))
+    cand.join(batchSets, "batch_id").join(histSets, "hist_id")
+      .withColumn("inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("uni",
+        size(array_union(col("_sa"), col("_sb"))).cast("long"))
+      .filter(col("inter") * threshDen >= col("uni") * threshNum)
+      .select(col("batch_id"), col("hist_id"), col("inter"), col("uni"))
   }
 
   /** DuckDB value oracle for an incremental-probe catalog entry

@@ -89,6 +89,27 @@ object HypercubeJoin {
         bad.map { case (a, ts) => s"$a -> ${ts.mkString("/")}" }.mkString(", "))
   }
 
+  /** Every flavor's per-cell fold compares attribute values by OBJECT
+    * equality (boxed `!=` in [[joinLocal]], `HashMap` keys, the
+    * codegen'd comparator in the planned operator) — types whose
+    * runtime representation breaks value-equality would DROP co-located
+    * matches silently (`Array[Byte]` compares by reference), the worst
+    * failure mode there is. Fail loudly for all of them: struct/array/
+    * map and BinaryType attrs are rejected up front. Payload columns
+    * are unaffected (they are carried, never compared). */
+  private def requireAtomicAttrTypes(rels: Seq[Rel]): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    for (r <- rels; a <- r.attrs) {
+      val t = r.df.schema(a).dataType
+      val bad = t match {
+        case _: StructType | _: ArrayType | _: MapType | BinaryType => true
+        case _ => false
+      }
+      require(!bad,
+        s"hypercube attribute $a must be an atomic, non-binary type, got $t")
+    }
+  }
+
   /** The cube-coordinate assignment for one relation: attributes the
     * relation HAS hash to a fixed coordinate; attributes it LACKS
     * explode over their full share range (the replication).
@@ -114,6 +135,7 @@ object HypercubeJoin {
     require(attrs.forall(shares.contains),
       s"missing shares for ${attrs.filterNot(shares.contains)}")
     requireConsistentAttrTypes(rels)
+    requireAtomicAttrTypes(rels)
     shares.foreach { case (a, p) =>
       require(p >= 1, s"share for $a must be >= 1, got $p") }
     val coords = attrs.map(coordCol)
@@ -124,11 +146,45 @@ object HypercubeJoin {
     joined.drop(coords: _*)
   }
 
-  /** Convenience: shares from the relations' actual counts. At scale,
-    * pass estimates instead (`shares` + `join` are separable precisely
-    * so the solver never forces a count job). */
+  /** Relative size estimates from Catalyst's optimized-plan statistics
+    * — parquet footer totals, DSv2 `SupportsReportStatistics` (which
+    * [[graft.sources.GenSource]] reports), CBO column stats — so the
+    * Shares solver runs with ZERO jobs. The solver only compares
+    * RELATIVE weights, so any consistent unit works: exact row counts
+    * when every relation has one, else sizeInBytes when every relation
+    * has a real (non-default-sentinel) estimate. None when Catalyst has
+    * no usable estimate for some relation (mixing units across
+    * relations would bias the solver, so it's all-or-nothing). */
+  private[graft] def statsEstimates(rels: Seq[Rel]): Option[Seq[Double]] = {
+    val stats = rels.map(_.df.queryExecution.optimizedPlan.stats)
+    val rows = stats.map(_.rowCount)
+    if (rows.forall(_.isDefined)) Some(rows.map(_.get.toDouble))
+    else {
+      val unknown = BigInt(
+        rels.head.df.sparkSession.sessionState.conf.defaultSizeInBytes)
+      val sizes = stats.map(_.sizeInBytes)
+      if (sizes.forall(s => s > 0 && s < unknown)) Some(sizes.map(_.toDouble))
+      else None
+    }
+  }
+
+  /** The share vector [[joinAuto]] uses: statistics-based when Catalyst
+    * has estimates (no job runs — the 100 TB path), `count()` jobs only
+    * as the last-resort fallback. Exposed so callers can inspect or
+    * cache the solve. */
+  def autoShares(rels: Seq[Rel], totalP: Int): Map[String, Int] = {
+    val est = statsEstimates(rels)
+      .getOrElse(rels.map(_.df.count().toDouble))
+    shares(rels.map(_.attrs).zip(est), totalP)
+  }
+
+  /** Convenience: [[join]] with [[autoShares]] — plan statistics feed
+    * the solver, so no count job runs against a parquet or DSv2 input.
+    * At scale, pass pre-computed estimates to [[shares]] directly if
+    * you have better ones (`shares` + `join` are separable precisely
+    * for that). */
   def joinAuto(rels: Seq[Rel], totalP: Int): DataFrame =
-    join(rels, shares(rels.map(r => (r.attrs, r.df.count().toDouble)), totalP))
+    join(rels, autoShares(rels, totalP))
 
   /** The GENUINE one-round hypercube: replicated inputs shuffle ONCE to
     * their cells, and the multi-way join runs LOCALLY per cell — no
@@ -157,6 +213,7 @@ object HypercubeJoin {
     require(attrs.forall(shares.contains),
       s"missing shares for ${attrs.filterNot(shares.contains)}")
     requireConsistentAttrTypes(rels)
+    requireAtomicAttrTypes(rels)
     val spark = rels.head.df.sparkSession
     val coords = attrs.map(coordCol)
     // linearized cell id on top of the cubed frames
@@ -307,12 +364,12 @@ object HypercubeJoin {
     * order — same shape as [[joinLocal]]. */
   def joinPlanned(rels: Seq[Rel], shares: Map[String, Int]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
     require(rels.nonEmpty, "no relations")
     val attrs = rels.flatMap(_.attrs).distinct
     require(attrs.forall(shares.contains),
       s"missing shares for ${attrs.filterNot(shares.contains)}")
     requireConsistentAttrTypes(rels)
+    requireAtomicAttrTypes(rels)
     val spark = rels.head.df.sparkSession
     val cell: Column = attrs.map(a => col(coordCol(a)))
       .zip(attrs.map(shares)).foldLeft(lit(0)) { case (acc, (c, p)) => acc * p + c }
@@ -321,15 +378,6 @@ object HypercubeJoin {
       val ri = relCols.indexWhere(_.contains(a))
       a -> rels(ri).df.schema(a).dataType
     }.toMap
-    // the fold compares attr values by object equality — exclude types
-    // whose internal representation breaks that
-    attrs.foreach { a =>
-      val bad = attrType(a) match {
-        case _: StructType | _: ArrayType | _: MapType | BinaryType => true
-        case _ => false
-      }
-      require(!bad, s"hypercube attribute $a must be an atomic, non-binary type, got ${attrType(a)}")
-    }
     val payloadCols = rels.zipWithIndex.flatMap { case (_, i) =>
       relCols(i).filterNot(attrs.contains).map(c => (i, c))
     }

@@ -55,6 +55,26 @@ object HypercubeStrategy extends SparkStrategy {
         n.keyPos.map(_.toArray).toArray, planLater(n.child)) :: Nil
     case _ => Nil
   }
+
+  /** Idempotent, THREAD-SAFE runtime registration for sessions built
+    * without `spark.sql.extensions=graft.plans.GraftExtensions`. The
+    * live planner's strategy list already includes extension-injected
+    * strategies, so an extensions-built session is a no-op here; the
+    * append itself runs under a lock because an unsynchronized
+    * contains-then-append from inside concurrently executing queries
+    * can double-register (and a strategy firing twice plans the node
+    * twice). Sessions that own their builder should prefer the
+    * extensions config; this exists so a catalog query can run on ANY
+    * session. */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      val present =
+        spark.sessionState.planner.strategies.contains(HypercubeStrategy) ||
+          spark.experimental.extraStrategies.contains(HypercubeStrategy)
+      if (!present)
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ HypercubeStrategy
+    }
 }
 
 case class HypercubeJoinExec(

@@ -62,7 +62,14 @@ class GenSource extends TableProvider with DataSourceRegister {
     require(rows >= 0, s"graft-gen: rows must be >= 0, got $rows")
     require(parts >= 1, s"graft-gen: partitions must be >= 1, got $parts")
     require(perBatch >= 1, s"graft-gen: rowsPerBatch must be >= 1, got $perBatch")
-    new GenTable(rows, opt("seed", "42").toLong, parts, perBatch)
+    // standard streaming-source admission option: when set, the source
+    // ASKS the engine for a ReadMaxRows limit (getDefaultReadLimit) and
+    // latestOffset honors whatever limit comes back
+    val maxPerTrigger = Option(opts.get("maxRowsPerTrigger")).map(_.toLong)
+    maxPerTrigger.foreach(m => require(m >= 1,
+      s"graft-gen: maxRowsPerTrigger must be >= 1, got $m"))
+    new GenTable(rows, opt("seed", "42").toLong, parts, perBatch,
+      maxPerTrigger)
   }
 }
 
@@ -84,7 +91,7 @@ object GenSource {
 }
 
 private[graft] class GenTable(rows: Long, seed: Long, parts: Int,
-    perBatch: Long = 1000L)
+    perBatch: Long = 1000L, maxPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_gen(rows=$rows, seed=$seed)"
   override def schema(): StructType = GenSource.schema
@@ -92,11 +99,11 @@ private[graft] class GenTable(rows: Long, seed: Long, parts: Int,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, seed, parts, perBatch)
+    new GenScanBuilder(rows, seed, parts, perBatch, maxPerTrigger)
 }
 
 private[graft] class GenScanBuilder(rows: Long, seed: Long, parts: Int,
-    perBatch: Long = 1000L)
+    perBatch: Long = 1000L, maxPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -189,7 +196,7 @@ private[graft] class GenScanBuilder(rows: Long, seed: Long, parts: Int,
         // filters narrowed [lo, hi) first; a pushed limit truncates it
         // EXACTLY (any `limit` rows satisfy an unordered LIMIT)
         val hiL = if (limit >= 0) math.min(hi, lo + limit) else hi
-        new GenScan(lo, hiL, seed, parts, required, perBatch)
+        new GenScan(lo, hiL, seed, parts, required, perBatch, maxPerTrigger)
     }
   }
 }
@@ -242,7 +249,8 @@ private[graft] class GenAggReaderFactory(values: Array[Any])
 }
 
 private[graft] class GenScan(lo0: Long, hi0: Long, seed: Long, parts: Int,
-    required: StructType, perBatch: Long = 1000L) extends Scan with Batch
+    required: StructType, perBatch: Long = 1000L,
+    maxPerTrigger: Option[Long] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   // Runtime-narrowed span: starts at the compile-time pushed range and
   // shrinks further if a runtime filter (DPP subquery result) arrives
@@ -340,7 +348,7 @@ private[graft] class GenScan(lo0: Long, hi0: Long, seed: Long, parts: Int,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GenMicroBatchStream(lo, hi, seed, parts, perBatch,
-      required.fieldNames)
+      required.fieldNames, maxPerTrigger)
 }
 
 private[graft] class GenOffset(val endId: Long)
@@ -349,7 +357,8 @@ private[graft] class GenOffset(val endId: Long)
 }
 
 private[graft] class GenMicroBatchStream(lo: Long, hi: Long, seed: Long,
-    parts: Int, perBatch: Long, fields: Array[String])
+    parts: Int, perBatch: Long, fields: Array[String],
+    maxPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -362,10 +371,24 @@ private[graft] class GenMicroBatchStream(lo: Long, hi: Long, seed: Long,
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "graft-gen uses the SupportsAdmissionControl latestOffset(start, limit)")
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // honor the engine's admission control: ReadMaxRows (set by
+    // maxRowsPerTrigger-style options or Trigger.AvailableNow's
+    // chunking) CAPS the advance below this source's own perBatch;
+    // ReadAllAvailable and anything unrecognized keep perBatch (this
+    // source has no rate concept beyond rows, so ReadMaxFiles/
+    // composite limits degrade to the configured batch size).
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(perBatch, r.maxRows)
+      case _ => perBatch
+    }
     new GenOffset(
-      math.min(hi, start.asInstanceOf[GenOffset].endId + perBatch))
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+      math.min(hi, start.asInstanceOf[GenOffset].endId + cap))
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(m => ReadLimit.maxRows(m))
+      .getOrElse(ReadLimit.allAvailable())
   override def deserializeOffset(json: String): Offset =
     new GenOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

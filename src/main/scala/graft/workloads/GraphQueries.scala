@@ -317,11 +317,10 @@ object GraphQueries {
         // Register the strategy if this session lacks it — additive and
         // inert for every other query (it matches only
         // HypercubeJoinNode, which only joinPlanned constructs), unlike
-        // a conf mutation; production sessions register it via
-        // spark.sql.extensions=graft.plans.GraftExtensions instead.
-        if (!s.experimental.extraStrategies.contains(graft.plans.HypercubeStrategy))
-          s.experimental.extraStrategies =
-            s.experimental.extraStrategies :+ graft.plans.HypercubeStrategy
+        // a conf mutation; idempotent + synchronized, and a no-op on a
+        // session built with
+        // spark.sql.extensions=graft.plans.GraftExtensions.
+        graft.plans.HypercubeStrategy.ensureRegistered(s)
         val e = edges(s, dir).filter(col("src") % 2 === 0 && col("tgt") % 2 === 0)
         val rels = Seq(
           HypercubeJoin.Rel(e.select(col("src").as("h"), col("tgt").as("p")), Seq("h", "p")),

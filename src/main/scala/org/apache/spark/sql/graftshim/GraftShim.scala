@@ -12,4 +12,10 @@ object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Drain the async listener bus (test-only: lets a job-counting
+    * SparkListener be read deterministically). `listenerBus` is
+    * `private[spark]`, hence the shim. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -43,6 +43,39 @@ class DedupIndexSpec extends SparkSpec {
       s"bucketed index still shuffles on its own key:\n$plan")
   }
 
+  test("a doc_id on BOTH sides keeps per-side verify sets (re-submission must not corrupt Jaccard)") {
+    // doc 1 exists in HISTORY with content A and in the BATCH with
+    // unrelated content B' that near-dups history doc 2's content B.
+    // A union+groupBy set agg would merge A and B' into one set for
+    // id 1, diluting Jaccard(1_batch, 2_hist) to ~0.5 and silently
+    // DROPPING the true near-dup pair. Per-side sets keep it.
+    import spark.implicits._
+    val a = (0 until 40).map(i => s"u$i").mkString(" ")
+    val b = (0 until 40).map(i => s"w$i").mkString(" ")
+    val bPrime = ((0 until 39).map(i => s"w$i") :+ "zz").mkString(" ")
+    val hist = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val batch = Seq((1L, bPrime)).toDF("doc_id", "text")
+    val histRows = TextOps.wordShingleRows(hist, "doc_id", "text", 3)
+    val batchRows = TextOps.wordShingleRows(batch, "doc_id", "text", 3)
+    val got = TextOps.lshProbePairs(histRows, batchRows, "doc_id",
+        DedupIndex.Hashes, DedupIndex.RowsPerBand, 100, 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // exact expected overlap: B' changes only B's last word → 1 of the
+    // 38 3-shingles differs; inter=37, uni=39, J≈0.95 ≥ 0.8
+    assert(got == Set((1L, 2L, 37L, 39L)),
+      s"per-side verify sets broken: $got")
+
+    // the persisted-index path applies the same rule
+    dropTable("dedup_idx_resub")
+    DedupIndex.build(hist, "dedup_idx_resub")
+    val gotIdx = DedupIndex.probe(spark, "dedup_idx_resub", batch, hist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(gotIdx == Set((1L, 2L, 37L, 39L)),
+      s"index probe per-side verify sets broken: $gotIdx")
+  }
+
   test("build + append equals a from-scratch build over the union") {
     dropTable("dedup_idx_inc")
     dropTable("dedup_idx_all")

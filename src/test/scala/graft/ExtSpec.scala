@@ -1141,6 +1141,72 @@ class ExtSpec extends SparkSpec {
     assert(got.filter(col("n_distinct") > col("n_sampled")).count() == 0)
   }
 
+  test("mm06 flooded-segment cap: a viral clip in 50 medias yields O(K) rep-chained pairs, not K²") {
+    import spark.implicits._
+    // planted corpus: segment "viral" in 50 docs (flood: 50 > 20),
+    // segment "rare" in docs 1,2,3 (small: all-pairs), and docs 1,2
+    // additionally share "rare2" (per-pair counting across segments)
+    val segs = ((1L to 50L).map(d => (d, "viral")) ++
+      Seq((1L, "rare"), (2L, "rare"), (3L, "rare"),
+        (1L, "rare2"), (2L, "rare2"))).toDF("doc_id", "seg")
+    val got = graft.ext.MultimodalQueries.sharedSegmentPairs(segs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // flooded: 49 star pairs (1, d); uncapped would be 50*49/2 = 1225
+    val star = (2L to 50L).map(d => (1L, d)).toSet
+    val expect =
+      star.map { case (a, b) =>
+        // (1,2): viral star pair + rare + rare2 = 3; (1,3): star + rare = 2
+        val extra = if (b == 2L) 2L else if (b == 3L) 1L else 0L
+        (a, b, 1L + extra)
+      } + ((2L, 3L, 1L)) // rare's all-pairs branch
+    assert(got == expect,
+      s"extra=${got -- expect}, missing=${expect -- got}")
+    assert(got.size == 50, s"fanout not bounded: ${got.size} pairs")
+  }
+
+  test("tx22 estimator calibration: signature-space Jaccard tracks the exact matrix on planted overlaps") {
+    import spark.implicits._
+    import graft.ext.TextOps
+    // three planted sources with controlled shingle-set overlap:
+    //   A = tokens a0..a399; B = a0..a199 ++ b200..b399 (~half shared
+    //   with A); C = c0..c399 (disjoint from both)
+    def txt(p: Array[String]) = p.mkString(" ")
+    val aTok = (0 until 400).map(i => s"a$i").toArray
+    val bTok = (aTok.take(200) ++ (200 until 400).map(i => s"b$i")).toArray
+    val cTok = (0 until 400).map(i => s"c$i").toArray
+    val d = Seq((1L, txt(aTok), "srcA"), (2L, txt(bTok), "srcB"),
+      (3L, txt(cTok), "srcC")).toDF("doc_id", "text", "source")
+    // exact Jaccard per source pair from the distinct shingle sets
+    val sets = TextOps.wordShingleRows(d, "doc_id", "text", 3)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("_el")).distinct()
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    def exactJ(x: String, y: String) =
+      (sets(x) & sets(y)).size.toDouble / (sets(x) | sets(y)).size
+    // estimate from 64-hash signatures
+    val sig = TextOps.signatureRows(
+      TextOps.wordShingleRows(d, "doc_id", "text", 3)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("_el")),
+      "source", 64)
+    val est = TextOps.signatureOverlapMatrix(sig, "source", 64)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(3) / 1e6)).toMap
+    assert(est.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    // MinHash stderr at k=64 is √(J(1−J)/64) ≤ 0.0625; 0.15 is > 2σ
+    // (deterministic hash family — the measured values are stable)
+    for (((x, y), e) <- est) {
+      val j = exactJ(x, y)
+      assert(math.abs(e - j) <= 0.15,
+        s"($x,$y): est $e vs exact $j")
+    }
+    // the planted structure is visible in the estimates themselves
+    assert(est(("srcA", "srcB")) > 0.25, s"shared half undetected: $est")
+    assert(est(("srcA", "srcC")) < 0.1 && est(("srcB", "srcC")) < 0.1,
+      s"phantom overlap: $est")
+  }
+
   test("documents fixture is printable-ASCII-only (oracle byte/char + tokenizer parity)") {
     // Two oracle assumptions pinned at once. (1) mm03/mm01 equate Spark
     // BYTE semantics (length/substr over the binary payload) with DuckDB

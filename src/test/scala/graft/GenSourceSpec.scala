@@ -209,6 +209,40 @@ class GenSourceSpec extends SparkSpec {
     assert(streamed == batch, "streamed rows diverge from the batch scan")
   }
 
+  test("graft-gen streaming: maxRowsPerTrigger admission control caps batch sizes below rowsPerBatch") {
+    // the source declares ReadLimit.maxRows via getDefaultReadLimit and
+    // latestOffset must HONOR the engine's limit — rowsPerBatch says 40
+    // but admission control tightens each trigger to 25
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft-gen")
+      .option("rows", 100).option("rowsPerBatch", 40)
+      .option("maxRowsPerTrigger", 25).option("seed", 7)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sizes.synchronized { sizes += ((id, b.count())) }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(sizes.sortBy(_._1).map(_._2).toSeq == Seq(25L, 25L, 25L, 25L),
+      s"admission control ignored: $sizes")
+    // and a limit LOOSER than rowsPerBatch leaves the source's own
+    // batch size in charge (min of the two)
+    val sizes2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q2 = spark.readStream.format("graft-gen")
+      .option("rows", 90).option("rowsPerBatch", 30)
+      .option("maxRowsPerTrigger", 1000).option("seed", 7)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sizes2.synchronized { sizes2 += ((id, b.count())) }; ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sizes2.sortBy(_._1).map(_._2).toSeq == Seq(30L, 30L, 30L),
+      s"got $sizes2")
+  }
+
   test("graft-gen streaming: restart from the checkpoint resumes at the committed offset") {
     // a fresh stream instance must restore its high-water mark from the
     // checkpointed offset (deserializeOffset/commit), not regress to lo

@@ -168,6 +168,96 @@ class HypercubeSpec extends SparkSpec {
     assert(rows == 60L * sh("z"))
   }
 
+  test("binary/complex-typed join attributes are rejected loudly by ALL flavors (reference-equality would silently drop matches)") {
+    // Array[Byte] compares by REFERENCE in the JVM — two co-located
+    // binary attr values that are byte-equal would fail joinLocal's
+    // boxed `!=` / HashMap-key comparison and the pair would vanish
+    // with no error. The guard turns that silent wrong answer into an
+    // IllegalArgumentException in every flavor.
+    val binEdges = synthEdges.select(
+      unhex(lpad(hex(col("src")), 16, "0")).as("x"),
+      col("tgt").as("y"))
+    val binRels = Seq(
+      Rel(binEdges, Seq("x", "y")),
+      Rel(binEdges.select(col("y"), col("x").as("z")), Seq("y", "z")))
+    val sh = Map("x" -> 2, "y" -> 2, "z" -> 2)
+    for (flavor <- Seq[(Seq[Rel], Map[String, Int]) => DataFrame](
+        HypercubeJoin.join, HypercubeJoin.joinLocal, HypercubeJoin.joinPlanned)) {
+      val ex = intercept[IllegalArgumentException](flavor(binRels, sh))
+      assert(ex.getMessage.contains("atomic, non-binary"), ex.getMessage)
+    }
+    // array-typed attrs are equally rejected (same representation hazard)
+    val arrRels = Seq(
+      Rel(synthEdges.select(array(col("src")).as("x"), col("tgt").as("y")), Seq("x", "y")),
+      Rel(synthEdges.select(col("tgt").as("y"), array(col("src")).as("z")), Seq("y", "z")))
+    intercept[IllegalArgumentException](HypercubeJoin.joinLocal(arrRels, sh))
+    // and the guard does NOT fire for payload columns — binary PAYLOAD
+    // is carried, never compared, so it stays legal
+    val payRels = Seq(
+      Rel(synthEdges.select(col("src").as("x"), col("tgt").as("y"),
+        unhex(lpad(hex(col("src")), 16, "0")).as("bin_payload")), Seq("x", "y")),
+      Rel(synthEdges.select(col("src").as("y"), col("tgt").as("z")), Seq("y", "z")))
+    val shTri = Map("x" -> 2, "y" -> 2, "z" -> 1)
+    assert(HypercubeJoin.joinLocal(payRels, shTri).count() ==
+      HypercubeJoin.join(payRels, shTri).count())
+  }
+
+  test("autoShares: parquet-backed relations solve from plan statistics with ZERO Spark jobs") {
+    // the 100 TB contract: sizing the cube must never force a count()
+    // scan of the inputs. Catalyst's optimized-plan stats (parquet
+    // footers here) feed the solver; a job-counting listener proves no
+    // action ran.
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id").as("x"), col("event_id").as("y"))
+    val rels = Seq(
+      Rel(e, Seq("x", "y")),
+      Rel(e.select(col("y"), col("x").as("z")), Seq("y", "z")))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val sh = HypercubeJoin.autoShares(rels, 16)
+      assert(sh.values.product == 16)
+      // listener bus is async — wait for it to drain before reading
+      org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark, 10000)
+      assert(jobs.get() == 0, s"autoShares ran ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the estimates themselves are sane: equal-size relations give
+    // a balanced cube
+    val est = HypercubeJoin.statsEstimates(rels)
+    assert(est.isDefined && est.get.forall(_ > 0))
+  }
+
+  test("ensureRegistered is a no-op on an extensions-built session, even called concurrently") {
+    // SparkSpec's session registers GraftExtensions at build time — the
+    // strategy is in the planner already, so runtime registration must
+    // not append a second copy (g08c calls this on every run)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    assert(spark.sessionState.planner.strategies
+      .contains(graft.plans.HypercubeStrategy))
+    val before = spark.experimental.extraStrategies
+    Await.result(Future.sequence((1 to 8).map(_ => Future {
+      graft.plans.HypercubeStrategy.ensureRegistered(spark)
+    })), 30.seconds)
+    assert(spark.experimental.extraStrategies == before,
+      "extensions-built session was mutated by ensureRegistered")
+    // and joinPlanned works on this session with NO manual registration
+    val e = synthEdges
+    val tri = Seq(
+      Rel(e.select(col("src").as("x"), col("tgt").as("y")), Seq("x", "y")),
+      Rel(e.select(col("src").as("y"), col("tgt").as("z")), Seq("y", "z")),
+      Rel(e.select(col("src").as("z"), col("tgt").as("x")), Seq("z", "x")))
+    val sh = HypercubeJoin.shares(tri.map(r => (r.attrs, 1.0)), 8)
+    assert(HypercubeJoin.joinPlanned(tri, sh).count() ==
+      HypercubeJoin.join(tri, sh).count())
+  }
+
   test("g08 catalog entry matches g03's result on the fixture") {
     // the smoke fixture's folded graph may have zero triangles — the
     // synthetic-edges parity test above guarantees a nonempty case;
