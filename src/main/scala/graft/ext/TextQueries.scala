@@ -1078,5 +1078,31 @@ object TextQueries {
              |JOIN sz sa ON sa.source = src_a
              |JOIN sz sb ON sb.source = src_b
              |ORDER BY src_a, src_b""".stripMargin)),
+
+    CatalogQuery(
+      "tx22_source_overlap_estimate",
+      "Signature-space ESTIMATE of tx21's source-overlap matrix: per-source MinHash (64 hashes) built in one map-side-combinable element pass, then pairwise component-match Jaccard estimates on the k-long signatures — the petabyte-scale form of the governance report tx21's exact matrix calibrates",
+      (s, dir) => {
+        // The scale inversion vs tx21: the exact matrix self-joins the
+        // DISTINCT (source, shingle) rows (shuffle ∝ corpus), while
+        // this pass reduces the corpus to ONE signature row of 64
+        // longs per source (min-agg, duplicate-insensitive, map-side
+        // combined) and the pairwise stage runs on |sources| rows —
+        // constant-size however large the corpus. Estimator property:
+        // E[n_match/k] = J exactly (MinHash), stderr √(J(1−J)/64);
+        // the TextOpsCalibrationSpec pins the agreement with tx21 on
+        // planted corpora.
+        val d = docs(s, dir)
+        val srcRows = TextOps.wordShingleRows(d, "doc_id", "text", 3)
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("_el"))
+        val sig = TextOps.signatureRows(srcRows, "source", 64)
+        TextOps.signatureOverlapMatrix(sig, "source", 64)
+          .select(col("id_a").as("src_a"), col("id_b").as("src_b"),
+            col("n_match"), col("est_jaccard_e6"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(TextOps.sourceOverlapEstimateOracleSql(
+        TextOps.wordShingleSql(3), 64))),
   )
 }
