@@ -845,5 +845,34 @@ object DedupQueries {
         batchPred = "doc_id % 5 = 4", histPred = "doc_id % 5 <> 4",
         numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
         threshNum = 8, threshDen = 10))),
+
+    CatalogQuery(
+      "dd18_sequential_admission",
+      "Greedy sequential admission over the near-dup graph: id-ordered insert-then-probe semantics (admit iff no ADMITTED smaller doc matches) via bounded-round maximal-independent-set peeling — the online-index flavor dd10's CC keep-min is not",
+      (s, dir) => {
+        // dd10 answers \"which docs form a near-dup cluster, keep the
+        // min\"; this answers what an ONLINE dedup index would have
+        // done ingesting the same corpus in id order: A~B~C (A≁C)
+        // keeps A under CC but admits A AND C here, because rejected B
+        // was never inserted for C to match. Same LSH candidate/verify
+        // chain as dd10 (bucket-capped, linear in corpus), then 4
+        // rounds of MIS peeling — each round one co-partitioned join
+        // over the (tiny) verified pair graph, localCheckpoint'd like
+        // the dd08/dd16 loops; undecided residue past the bound falls
+        // back to conservative rejection, so the bound caps work, never
+        // correctness of admits.
+        val rows = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 3)
+        val pairs = TextOps.lshNearDupPairs(rows, "doc_id",
+            numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+            threshNum = 8, threshDen = 10)
+          .select(col("a_id"), col("b_id"))
+        TextOps.sequentialAdmit(pairs, rounds = 4)
+          .orderBy(col("doc_id"))
+      },
+      // the same unrolled-round semantics in plain CTEs over dd10's
+      // engine-portable pair chain
+      Some(TextOps.sequentialAdmitOracleSql(TextOps.wordShingleSql(3),
+        numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+        threshNum = 8, threshDen = 10, rounds = 4))),
   )
 }

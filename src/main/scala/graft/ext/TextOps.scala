@@ -708,6 +708,120 @@ object TextOps {
     jaccardJoin(cand, sets, idCol, "_set", threshNum, threshDen)
   }
 
+  /** Bounded-round greedy SEQUENTIAL admission over a verified
+    * near-dup pair graph — the id-ordered insert-then-probe semantics
+    * an online dedup index gives: a doc is ADMITTED iff no ADMITTED
+    * smaller-id doc matches it (the lexicographically-first maximal
+    * independent set). This is the flavor dd10's CC keep-min is NOT:
+    * in a chain A~B~C (A<B<C, A≁C), CC keeps only A, while the
+    * sequential index admits A, rejects B (dup of A), then admits C —
+    * B was never inserted, so C probes clean.
+    *
+    * Round r admits every undecided doc with NO undecided smaller
+    * neighbor (its smaller neighbors are all rejected), then rejects
+    * undecided docs gaining an admitted smaller neighbor (dup_of = min
+    * such). Each round decides at least the smallest undecided doc, and
+    * one round resolves two levels of an id-ordered chain, so `rounds`
+    * = R decides alternating chains to depth 2R; real near-dup graphs
+    * are pair/star-shaped and settle in 1-2 rounds. Docs still
+    * undecided after R rounds fall back CONSERVATIVELY to rejection
+    * (dup_of = min smaller neighbor) — bounded work, never a false
+    * admit. The same unrolling is what makes the semantics exactly
+    * DuckDB-expressible ([[sequentialAdmitOracleSql]]).
+    *
+    * `pairs`: verified (a_id < b_id) near-dup pairs. Output: one row
+    * per doc IN THE PAIR GRAPH — (doc_id, admitted 1/0, dup_of null
+    * when admitted). Docs with no near-dup pair are trivially admitted
+    * and not listed (join-side table, not a corpus copy). */
+  def sequentialAdmit(pairs0: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val pairs = pairs0.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    var undecided = pairs.select(col("a_id").as("v"))
+      .union(pairs.select(col("b_id").as("v"))).distinct()
+      .localCheckpoint(true)
+    val decided = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      // blocked = undecided docs with an UNDECIDED smaller neighbor
+      val blocked = pairs
+        .join(undecided.select(col("v").as("a_id")), "a_id")
+        .select(col("b_id").as("v")).distinct()
+      val admit = undecided.join(blocked, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      // rejected = undecided docs whose smaller neighbor just admitted
+      // (disjoint from admit: an admit has no undecided smaller nbr)
+      val rej = pairs
+        .join(admit.select(col("v").as("a_id")), "a_id")
+        .select(col("b_id").as("v"), col("a_id"))
+        .join(undecided, Seq("v"), "left_semi")
+        .groupBy(col("v")).agg(min(col("a_id")).as("dup_of"))
+        .localCheckpoint(true)
+      decided += admit.select(col("v"), lit(1L).as("admitted"),
+        lit(null).cast("long").as("dup_of"))
+      decided += rej.select(col("v"), lit(0L).as("admitted"),
+        col("dup_of").cast("long"))
+      undecided = undecided
+        .join(admit, Seq("v"), "left_anti")
+        .join(rej.select(col("v")), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+    }
+    // conservative fallback for anything beyond the round bound
+    val fallback = pairs
+      .join(undecided.select(col("v").as("b_id")), "b_id")
+      .groupBy(col("b_id").as("v")).agg(min(col("a_id")).as("dup_of"))
+      .select(col("v"), lit(0L).as("admitted"), col("dup_of").cast("long"))
+    decided.reduce(_ unionByName _).unionByName(fallback)
+      .select(col("v").as("doc_id"), col("admitted"), col("dup_of"))
+  }
+
+  /** DuckDB value oracle for a [[sequentialAdmit]]-over-LSH catalog
+    * entry (dd18): the same engine-portable pair chain as dd10's
+    * oracle, then the R rounds UNROLLED as plain CTEs — exactly the
+    * bounded-round semantics the Spark loop runs, including the
+    * conservative fallback. */
+  def sequentialAdmitOracleSql(shingleSql: String, numHashes: Int,
+      rowsPerBand: Int, maxBucketSize: Int, threshNum: Int,
+      threshDen: Int, rounds: Int): String = {
+    require(rounds >= 1)
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    // reference, and each round references the previous round's frame
+    // three times — unmaterialized, round R would inline the whole
+    // minhash chain O(3^R) times (observed as a too-many-open-files
+    // parquet-scan explosion at R=4). Materializing p2/u/a bounds the
+    // chain to one evaluation.
+    val roundCtes = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT v FROM u${r - 1} u WHERE NOT EXISTS (
+         |  SELECT 1 FROM p2 p
+         |  JOIN u${r - 1} s ON s.v = p.a_id WHERE p.b_id = u.v)),
+         |rj$r AS MATERIALIZED (SELECT u.v, min(p.a_id) AS dup_of
+         |  FROM u${r - 1} u
+         |  JOIN p2 p ON p.b_id = u.v
+         |  JOIN a$r a ON a.v = p.a_id
+         |  GROUP BY u.v),
+         |u$r AS MATERIALIZED (SELECT v FROM u${r - 1}
+         |  WHERE v NOT IN (SELECT v FROM a$r)
+         |    AND v NOT IN (SELECT v FROM rj$r))""".stripMargin
+    }.mkString(",\n")
+    val admits = (1 to rounds)
+      .map(r => s"SELECT v, 1 AS admitted, NULL AS dup_of FROM a$r")
+      .mkString(" UNION ALL ")
+    val rejects = (1 to rounds)
+      .map(r => s"SELECT v, 0 AS admitted, dup_of FROM rj$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${lshCtes(shingleSql, numHashes, rowsPerBand, maxBucketSize, threshNum, threshDen)},
+       |p2 AS MATERIALIZED (SELECT a_id, b_id FROM pairs),
+       |u0 AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT a_id AS v FROM p2 UNION ALL SELECT b_id FROM p2)),
+       |$roundCtes,
+       |fb AS (SELECT u.v, min(p.a_id) AS dup_of
+       |  FROM u$rounds u JOIN p2 p ON p.b_id = u.v GROUP BY u.v),
+       |res AS ($admits UNION ALL $rejects
+       |  UNION ALL SELECT v, 0 AS admitted, dup_of FROM fb)
+       |SELECT CAST(v AS BIGINT) AS doc_id,
+       |  CAST(admitted AS BIGINT) AS admitted,
+       |  CAST(dup_of AS BIGINT) AS dup_of
+       |FROM res ORDER BY doc_id""".stripMargin
+  }
+
   /** Incremental LSH probe: near-dup candidates of a NEW batch against
     * a STANDING corpus, without re-pairing the corpus with itself.
     *

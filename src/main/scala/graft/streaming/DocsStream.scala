@@ -28,16 +28,19 @@ import graft.ext.TextOps
   *     at-least-once replay Structured Streaming guarantees — and the
   *     standing view EXCLUDES the current batchId, so a replayed batch
   *     never dedupes against its own previous attempt.
-  *   - Within a batch, a doc matching ANY smaller-id history-clean doc
-  *     of the same batch is rejected (`near_dup_batch`) — including one
-  *     whose match was itself rejected (A rejects B; C matching only B
-  *     is still rejected). That is deliberately CONSERVATIVE and
-  *     matches dd10's batch semantics, where a near-dup connected
-  *     component keeps exactly its min-id member: B bridges A and C
-  *     into one component, so only A survives. (A sequential
-  *     insert-then-probe index would admit C; that flavor needs the
-  *     per-batch iteration dd10's CC owns — one LSH pass cannot
-  *     express it.)
+  *   - Within a batch, TWO selectable admission flavors.
+  *     DEFAULT (conservative): a doc matching ANY smaller-id
+  *     history-clean doc of the same batch is rejected
+  *     (`near_dup_batch`) — including one whose match was itself
+  *     rejected (A rejects B; C matching only B is still rejected).
+  *     That matches dd10's batch semantics, where a near-dup connected
+  *     component keeps exactly its min-id member.
+  *     SEQUENTIAL (`intraSequential = true`): the id-ordered
+  *     insert-then-probe index semantics — B (dup of A) is rejected
+  *     and never inserted, so C probes clean and is ADMITTED. Runs
+  *     dd18's bounded-round MIS peeling ([[TextOps.sequentialAdmit]])
+  *     on the verified intra-batch pair graph; the per-batch iteration
+  *     one LSH pass cannot express.
   */
 object DocsStream {
 
@@ -64,9 +67,12 @@ object DocsStream {
     }
 
   /** One admission round: probe `batch` against `standing`, then the
-    * history-clean residue against itself (smaller id wins). Returns
-    * (doc_id, status, dup_of, n_matches) for every batch doc. */
-  private[graft] def decide(standing: DataFrame, batch: DataFrame): DataFrame = {
+    * history-clean residue against itself — conservative smaller-id-
+    * match rejection by default, greedy insert-then-probe when
+    * `intraSequential`. Returns (doc_id, status, dup_of, n_matches)
+    * for every batch doc. */
+  private[graft] def decide(standing: DataFrame, batch: DataFrame,
+      intraSequential: Boolean = false): DataFrame = {
     val histRows = TextOps.wordShingleRows(standing, "doc_id", "text", 3)
     val batchRows = TextOps.wordShingleRows(batch, "doc_id", "text", 3)
     val histRoll = TextOps.lshProbePairs(histRows, batchRows, "doc_id",
@@ -80,11 +86,31 @@ object DocsStream {
         coalesce(col("hist_matches"), lit(0L)).as("hist_matches"))
     val cleanIds = withHist.filter(col("hist_dup_of").isNull).select("doc_id")
     val cleanRows = batchRows.join(cleanIds, "doc_id")
-    val intraRoll = TextOps.lshNearDupPairs(cleanRows, "doc_id",
-        Hashes, RowsPerBand, MaxBucket, TNum, TDen)
-      .groupBy(col("b_id").as("doc_id"))
-      .agg(min(col("a_id")).as("batch_dup_of"),
-        count(lit(1)).as("batch_matches"))
+    val intraRoll =
+      if (!intraSequential)
+        TextOps.lshNearDupPairs(cleanRows, "doc_id",
+            Hashes, RowsPerBand, MaxBucket, TNum, TDen)
+          .groupBy(col("b_id").as("doc_id"))
+          .agg(min(col("a_id")).as("batch_dup_of"),
+            count(lit(1)).as("batch_matches"))
+      else {
+        // greedy insert-then-probe: reject exactly the docs an
+        // id-ordered online index would have refused — dup_of is the
+        // ADMITTED doc that blocked them (or the conservative-fallback
+        // min neighbor past the round bound), not merely the smallest
+        // matching id
+        val cleanPairs = TextOps.lshNearDupPairs(cleanRows, "doc_id",
+            Hashes, RowsPerBand, MaxBucket, TNum, TDen)
+          .select(col("a_id"), col("b_id"))
+        val cnt = cleanPairs.groupBy(col("b_id").as("doc_id"))
+          .agg(count(lit(1)).as("batch_matches"))
+        TextOps.sequentialAdmit(cleanPairs, rounds = 8)
+          .filter(col("admitted") === 0)
+          .select(col("doc_id"), col("dup_of").as("batch_dup_of"))
+          .join(cnt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("batch_dup_of"),
+            coalesce(col("batch_matches"), lit(0L)).as("batch_matches"))
+      }
     withHist.join(intraRoll, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("hist_dup_of").isNotNull, lit("near_dup_history"))
@@ -105,14 +131,16 @@ object DocsStream {
       initialCorpus: DataFrame,
       stateDir: String,
       decisionsDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      intraSequential: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
         val standing = initialCorpus.select(col("doc_id"), col("text"))
           .union(acceptedState(spark, stateDir, excludeBatchId = batchId))
-        val decisions = decide(standing, b).localCheckpoint(true)
+        val decisions = decide(standing, b, intraSequential)
+          .localCheckpoint(true)
         decisions.coalesce(1).write.mode("overwrite")
           .parquet(s"$decisionsDir/batch_id=$batchId")
         b.join(decisions.filter(col("status") === "new").select("doc_id"), "doc_id")

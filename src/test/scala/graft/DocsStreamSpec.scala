@@ -93,6 +93,41 @@ class DocsStreamSpec extends SparkSpec {
       3L -> ("near_dup_batch", 2L)), s"got $dec")
   }
 
+  test("intra-batch chain A~B~C under intraSequential admits C (insert-then-probe semantics)") {
+    // same planted geometry as the conservative chain test; the
+    // sequential flavor rejects B (dup of admitted A) but ADMITS C —
+    // B was never inserted, so C probes a clean index (J(A,C)=0.78 is
+    // below threshold). The two flavors' documented divergence, pinned
+    // from both sides.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("docs-seq").toString
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = DocsStream.nearDupAdmission(spark,
+      ms.toDF().toDF("doc_id", "text"), emptyCorpus,
+      s"$base/state", s"$base/decisions", s"$base/ck",
+      intraSequential = true)
+    try {
+      ms.addData((1L, aText), (2L, bText), (3L, cText))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.read.parquet(s"$base/decisions")
+      .select("doc_id", "status", "dup_of").collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(dec == Map(
+      1L -> ("new", -1L),
+      2L -> ("near_dup_batch", 1L),
+      3L -> ("new", -1L)), s"got $dec")
+    // the standing state holds BOTH admitted docs — later batches
+    // dedupe against C too
+    val state = spark.read.parquet(s"$base/state")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(state == Seq(1L, 3L))
+  }
+
   test("acceptedState excludes the current batch id (replay safety)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("docs-state").toString

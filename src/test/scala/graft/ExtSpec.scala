@@ -1164,6 +1164,40 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 50, s"fanout not bounded: ${got.size} pairs")
   }
 
+  test("sequentialAdmit: greedy id-ordered MIS on planted graphs — chains alternate, stars keep min, round bound falls back conservatively") {
+    import spark.implicits._
+    import graft.ext.TextOps
+    def admit(ps: Seq[(Long, Long)], rounds: Int) =
+      TextOps.sequentialAdmit(ps.toDF("a_id", "b_id"), rounds)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // path 1-2-3-4: greedy admits odd positions; dup_of = the ADMITTED
+    // blocker, exercised across two rounds (1,2 decide in r1; 3,4 in r2)
+    assert(admit(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 4) == Map(
+      1L -> ((1L, -1L)), 2L -> ((0L, 1L)),
+      3L -> ((1L, -1L)), 4L -> ((0L, 3L))))
+    // star around 1: identical to CC keep-min on this shape
+    assert(admit(Seq((1L, 2L), (1L, 3L), (1L, 4L)), 4) == Map(
+      1L -> ((1L, -1L)), 2L -> ((0L, 1L)),
+      3L -> ((0L, 1L)), 4L -> ((0L, 1L))))
+    // triangle 1-2-3 (all pairs): only 1 admitted; 3's blocker is the
+    // ADMITTED 1, not merely its smallest neighbor
+    assert(admit(Seq((1L, 2L), (1L, 3L), (2L, 3L)), 4) == Map(
+      1L -> ((1L, -1L)), 2L -> ((0L, 1L)), 3L -> ((0L, 1L))))
+    // round bound: a 6-path needs 3 rounds; at rounds=1 positions 3-6
+    // fall back to conservative rejection (dup_of = min neighbor) —
+    // bounded work never admits past the bound
+    val path6 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(admit(path6, 3) == Map(
+      1L -> ((1L, -1L)), 2L -> ((0L, 1L)), 3L -> ((1L, -1L)),
+      4L -> ((0L, 3L)), 5L -> ((1L, -1L)), 6L -> ((0L, 5L))))
+    val bounded = admit(path6, 1)
+    assert(bounded(1L) == ((1L, -1L)) && bounded(2L) == ((0L, 1L)))
+    assert(bounded(3L) == ((0L, 2L)) && bounded(4L) == ((0L, 3L)) &&
+      bounded(5L) == ((0L, 4L)) && bounded(6L) == ((0L, 5L)),
+      s"fallback wrong: $bounded")
+  }
+
   test("tx22 estimator calibration: signature-space Jaccard tracks the exact matrix on planted overlaps") {
     import spark.implicits._
     import graft.ext.TextOps
