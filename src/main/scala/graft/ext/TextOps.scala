@@ -740,7 +740,16 @@ object TextOps {
       .union(pairs.select(col("b_id").as("v"))).distinct()
       .localCheckpoint(true)
     val decided = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to rounds) {
+    var round = 0
+    // early-exit when the undecided set drains before the bound: the
+    // remaining rounds operate on an empty frame and contribute nothing
+    // (as does the fallback), so results are identical — this just
+    // skips their checkpoint jobs. Real near-dup graphs (pairs/stars)
+    // settle in 1-2 rounds, so dd18's bound of 4 and DocsStream's 8
+    // usually cost 1-2 iterations. isEmpty is a limit-1 job on the
+    // just-checkpointed (tiny) frame.
+    while (round < rounds && !undecided.isEmpty) {
+      round += 1
       // blocked = undecided docs with an UNDECIDED smaller neighbor
       val blocked = pairs
         .join(undecided.select(col("v").as("a_id")), "a_id")
@@ -769,7 +778,10 @@ object TextOps {
       .join(undecided.select(col("v").as("b_id")), "b_id")
       .groupBy(col("b_id").as("v")).agg(min(col("a_id")).as("dup_of"))
       .select(col("v"), lit(0L).as("admitted"), col("dup_of").cast("long"))
-    decided.reduce(_ unionByName _).unionByName(fallback)
+    // fold fallback into the reduce: with an empty pair graph the loop
+    // never runs and `decided` is empty, but fallback (also empty) still
+    // carries the schema
+    (decided :+ fallback).reduce(_ unionByName _)
       .select(col("v").as("doc_id"), col("admitted"), col("dup_of"))
   }
 

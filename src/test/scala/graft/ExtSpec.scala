@@ -1196,6 +1196,9 @@ class ExtSpec extends SparkSpec {
     assert(bounded(3L) == ((0L, 2L)) && bounded(4L) == ((0L, 3L)) &&
       bounded(5L) == ((0L, 4L)) && bounded(6L) == ((0L, 5L)),
       s"fallback wrong: $bounded")
+    // empty pair graph (no near-dups in the batch): empty result, no
+    // crash — the early-exit path where the loop never runs
+    assert(admit(Seq.empty, 4).isEmpty)
   }
 
   test("tx22 estimator calibration: signature-space Jaccard tracks the exact matrix on planted overlaps") {
