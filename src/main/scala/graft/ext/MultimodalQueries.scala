@@ -510,5 +510,92 @@ object MultimodalQueries {
              |FROM pairs
              |GROUP BY 1, 2
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    CatalogQuery(
+      "mm07_static_detection",
+      "Frozen/static-video detection: run-lengths of IDENTICAL consecutive sampled frame hashes per media (gaps-and-islands over mm03's frame sequence) — the QC gate that drops stuck-camera / corrupt-encode clips before training",
+      (s, dir) => {
+        // mm06 finds segments copied ACROSS videos; this flags
+        // degenerate repetition WITHIN one: a run of identical sampled
+        // frames is a frozen/static stretch (stuck camera, encoder
+        // failure, slideware) that contributes near-zero training
+        // signal. Classic gaps-and-islands: change-points via lag,
+        // run ids via a running sum, run lengths via one grouped
+        // count — every window is partitioned by doc_id and a media's
+        // sampled-frame list is bounded by its payload, so all three
+        // stages are partition-local per media and the shape is flat
+        // however many medias the corpus holds. keep = less than half
+        // the sampled frames sit in runs >= 3 (integer arithmetic, no
+        // float threshold).
+        import org.apache.spark.sql.expressions.Window
+        val frames = mediaTable(s, dir)
+          .withColumn("nf", floor(length(col("payload")) / lit(16)).cast("long"))
+          .withColumn("fr", when(col("nf") > 0, expr(
+            "transform(sequence(0, cast(nf as int) - 1, 4)," +
+              " i -> md5(substr(payload, i * 16 + 1, 16)))"))
+            .otherwise(array().cast("array<string>")))
+        val pos = frames.select(col("doc_id"),
+          posexplode(col("fr")).as(Seq("pos", "fh")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val runs = pos
+          .withColumn("chg", when(lag(col("fh"), 1).over(w).isNull ||
+            lag(col("fh"), 1).over(w) =!= col("fh"), lit(1L)).otherwise(lit(0L)))
+          .withColumn("run_id", sum(col("chg")).over(w))
+          .groupBy(col("doc_id"), col("run_id"))
+          .agg(count(lit(1)).as("run_len"))
+        val perDoc = runs.groupBy(col("doc_id"))
+          .agg(sum(col("run_len")).as("n_sampled"),
+            max(col("run_len")).as("max_run"),
+            coalesce(sum(when(col("run_len") >= 3, col("run_len"))), lit(0L))
+              .as("static_frames"))
+        // left join back so sub-16-byte payloads (zero sampled frames)
+        // still report, trivially kept
+        mediaTable(s, dir).select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("max_run"), lit(0L)).as("max_run"),
+            coalesce(col("static_frames"), lit(0L)).as("static_frames"),
+            when(coalesce(col("static_frames"), lit(0L)) * 2 <=
+              coalesce(col("n_sampled"), lit(0L)), lit(1L)).otherwise(lit(0L))
+              .as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      // same frame construction as mm03's oracle (ASCII payloads make
+      // VARCHAR substr slice identical bytes); positions via the
+      // struct-unnest idiom, windows mirror the Spark frames exactly
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(text) >= 16 THEN
+             |      list_transform(range(0, CAST(floor(length(text) / 16) AS BIGINT), 4),
+             |        i -> md5(substr(text, CAST(i*16+1 AS INT), 16)))
+             |    ELSE [] END AS fr
+             |  FROM documents),
+             |p AS (SELECT doc_id, u['pos'] AS pos, u['fh'] AS fh FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(fr) + 1),
+             |    i -> {'pos': i, 'fh': fr[i]})) AS u
+             |  FROM f)),
+             |r AS (SELECT doc_id, pos,
+             |  CASE WHEN lag(fh) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+             |         OR lag(fh) OVER (PARTITION BY doc_id ORDER BY pos) <> fh
+             |       THEN 1 ELSE 0 END AS chg
+             |  FROM p),
+             |ri AS (SELECT doc_id,
+             |  sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+             |  FROM r),
+             |runs AS (SELECT doc_id, run_id, count(*) AS run_len
+             |  FROM ri GROUP BY doc_id, run_id),
+             |pd AS (SELECT doc_id, sum(run_len) AS n_sampled,
+             |    max(run_len) AS max_run,
+             |    coalesce(sum(CASE WHEN run_len >= 3 THEN run_len END), 0)
+             |      AS static_frames
+             |  FROM runs GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(pd.n_sampled, 0) AS BIGINT) AS n_sampled,
+             |  CAST(coalesce(pd.max_run, 0) AS BIGINT) AS max_run,
+             |  CAST(coalesce(pd.static_frames, 0) AS BIGINT) AS static_frames,
+             |  CAST(CASE WHEN coalesce(pd.static_frames, 0) * 2 <=
+             |    coalesce(pd.n_sampled, 0) THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
   )
 }

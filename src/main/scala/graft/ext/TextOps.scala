@@ -834,6 +834,36 @@ object TextOps {
        |FROM res ORDER BY doc_id""".stripMargin
   }
 
+  /** Attribute verified near-dup pairs to source pairs: two hashed
+    * joins on doc_id, then a count per (least, greatest) source cell —
+    * off-diagonal cells are cross-source leakage, the diagonal is
+    * intra-source duplication. Output ≤ |sources|² rows regardless of
+    * corpus size; the pair relation is whatever bounded chain produced
+    * it (tx23 feeds dd03's). `docSources`: (doc_id, source). */
+  def nearDupSourceMatrix(pairs: DataFrame, docSources: DataFrame): DataFrame =
+    pairs
+      .join(docSources.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(docSources.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** DuckDB value oracle for [[nearDupSourceMatrix]] over
+    * [[lshNearDupPairs]] (tx23): the same engine-portable pair chain
+    * as dd03's oracle, attributed to sources. */
+  def lshSourceMatrixOracleSql(shingleSql: String, numHashes: Int,
+      rowsPerBand: Int, maxBucketSize: Int, threshNum: Int,
+      threshDen: Int): String =
+    s"""WITH ${lshCtes(shingleSql, numHashes, rowsPerBand, maxBucketSize, threshNum, threshDen)},
+       |m AS (SELECT least(da.source, db.source) AS source_a,
+       |             greatest(da.source, db.source) AS source_b
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.a_id
+       |  JOIN documents db ON db.doc_id = p.b_id)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM m GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Incremental LSH probe: near-dup candidates of a NEW batch against
     * a STANDING corpus, without re-pairing the corpus with itself.
     *

@@ -1104,5 +1104,32 @@ object TextQueries {
       },
       Some(TextOps.sourceOverlapEstimateOracleSql(
         TextOps.wordShingleSql(3), 64))),
+
+    CatalogQuery(
+      "tx23_cross_source_neardup",
+      "Near-dup leakage matrix: verified document-level near-dup pairs (dd03's bounded LSH chain) attributed to (source, source) cells — which sources duplicate EACH OTHER at document granularity, the dedup-pressure complement of tx21's shingle-mass overlap",
+      (s, dir) => {
+        // tx21/tx22 answer "how much shingle mass do sources share";
+        // this answers "how many actual near-duplicate DOCUMENT pairs
+        // land in each source cell" — the report that tells a curation
+        // run which source to de-weight (or which ingest to gate)
+        // before paying for cross-source dedup. Reuses dd03's whole
+        // bounded chain (banded LSH, capped buckets, exact-Jaccard
+        // verify — the SAME constants, so this costs what dd03 costs),
+        // then two hashed joins on doc_id fold each verified pair into
+        // its (least, greatest) source cell: off-diagonal = leakage
+        // across sources, diagonal = intra-source duplication. Output
+        // is <= |sources|² rows at any corpus size.
+        val d = docs(s, dir)
+        val rows = TextOps.wordShingleRows(d, "doc_id", "text", 3)
+        val pairs = TextOps.lshNearDupPairs(rows, "doc_id",
+          numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+          threshNum = 8, threshDen = 10)
+        TextOps.nearDupSourceMatrix(pairs, d.select(col("doc_id"), col("source")))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(TextOps.lshSourceMatrixOracleSql(TextOps.wordShingleSql(3),
+        numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+        threshNum = 8, threshDen = 10))),
   )
 }

@@ -49,6 +49,41 @@ object GraphPatterns {
       .count()
   }
 
+  /** DOULION-style sampled triangle estimate (Tsourakakis, Kang,
+    * Miller & Faloutsos, KDD 2009): keep each edge iff an md5-derived
+    * hash of the edge is 0 mod `m` (a deterministic 1/m Bernoulli
+    * surrogate), count directed triangles EXACTLY on the sampled
+    * graph, scale by m³. A triangle survives iff all 3 edges do
+    * (probability 1/m³), so the scaled count is unbiased under random
+    * sampling; the hash coin makes both engines — and reruns — sample
+    * identically, which is what lets a DuckDB oracle value-check the
+    * estimator itself. m = 1 keeps every edge and degenerates to the
+    * exact count ([[triangleCount]]'s semantics).
+    *
+    * Scale shape: sampling cuts shuffle volume 1/m per edge and join
+    * fanout 1/m² per wedge before the 3-way join ever runs — the
+    * petabyte path for cyclic counting, with the exact forms (g03
+    * catalog entry, HypercubeJoin g08) as calibration baselines, the
+    * same estimate-vs-exact pairing as tx22-vs-tx21. Relative stderr
+    * ≈ √((m³−1)/T) for T triangles (edge-sharing covariance adds a
+    * lower-order term) — tight once T ≫ m³.
+    *
+    * Returns one row: (n_sampled, est_triangles). */
+  def sampledTriangles(edges: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"sample modulus must be >= 1, got $m")
+    graft.functions.HashOps.register(edges.sparkSession)
+    val se =
+      if (m == 1) edges
+      else edges.filter(pmod(graft.functions.HashOps.md5Seg32(
+        concat(col("src").cast("string"), lit("_"), col("tgt").cast("string")),
+        0), lit(m.toLong)) === 0)
+    val a = se.as("a"); val b = se.as("b"); val c = se.as("c")
+    a.join(b, col("a.tgt") === col("b.src"))
+      .join(c, col("b.tgt") === col("c.src") && col("c.tgt") === col("a.src"))
+      .agg(count(lit(1)).as("n_sampled"),
+        (count(lit(1)) * lit(m.toLong * m * m)).as("est_triangles"))
+  }
+
   /** Bounded k-core peel: symmetrize the directed edge set (self-loops
     * dropped), then `rounds` times keep only nodes whose CURRENT
     * undirected degree is >= k and the edges between them. Returns the

@@ -382,5 +382,29 @@ object GraphQueries {
            |$profile
            |ORDER BY round""".stripMargin
       }),
+
+    CatalogQuery(
+      "g10_triangle_estimate",
+      "DOULION-style sampled triangle estimate (Tsourakakis et al. KDD'09): deterministic md5 edge sampling at 1/4, exact count on the sampled graph scaled by 4^3 — the petabyte path for cyclic counting, with exact g03/g08 as the calibration baseline",
+      (s, dir) => {
+        // The estimate-vs-exact pairing of tx22-vs-tx21, on the graph
+        // side: g03's exact 3-way self-join moves every wedge through
+        // the shuffle; sampling at p=1/4 cuts edges 4x and wedge
+        // fanout 16x BEFORE the join runs. The md5 coin (same segment
+        // chain as dd03's signatures) makes the sample deterministic,
+        // so the estimator itself is value-oracled — not just its
+        // expectation. GraphPatternsSpec pins m=1 == exact and the
+        // fixture-level calibration vs g03.
+        graft.operators.GraphPatterns
+          .sampledTriangles(edges(s, dir), 4)
+      },
+      Some(s"""WITH $edgesSql,
+              |se AS (SELECT * FROM edges
+              |  WHERE ('0x' || substr(md5(src::VARCHAR || '_' || tgt::VARCHAR), 1, 8))::BIGINT % 4 = 0)
+              |SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+              |  CAST(count(*) * 64 AS BIGINT) AS est_triangles
+              |FROM se a
+              |JOIN se b ON a.tgt = b.src
+              |JOIN se c ON b.tgt = c.src AND c.tgt = a.src""".stripMargin)),
   )
 }

@@ -725,6 +725,32 @@ class ExtSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 1L)), s"got $got")
   }
 
+  test("mm07 static detection: frozen clip flagged, varied clip kept, half-static boundary kept, tiny payload trivially kept") {
+    // stride-4 sampling of 16-byte frames hashes block indices
+    // 0,4,8,... — doc 0 repeats ONE block (all 5 sampled frames
+    // identical: run 5, dropped), doc 1 has all-distinct blocks
+    // (max_run 1, kept), doc 2 is sub-frame (no samples, trivially
+    // kept), doc 3 freezes exactly half its sampled frames (3 of 6:
+    // static*2 == n_sampled, the <= boundary keeps it)
+    val dir = java.nio.file.Files.createTempDirectory("mm07-planted").toString
+    import spark.implicits._
+    val block = "abcdefghijklmnop"
+    val frozen = block * 20
+    val varied = (0 until 20).map(i => f"v$i%014d.").mkString
+    val half = block * 12 + (12 until 24).map(i => f"h$i%014d.").mkString
+    plantDocs(Seq(
+      (0L, frozen, "S"), (1L, varied, "S"),
+      (2L, "tiny", "S"), (3L, half, "S")).toDF("doc_id", "text", "source"), dir)
+    val got = SparkEntry.queries("mm07_static_detection")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      0L -> ((5L, 5L, 5L, 0L)),
+      1L -> ((5L, 1L, 0L, 1L)),
+      2L -> ((0L, 0L, 0L, 1L)),
+      3L -> ((6L, 3L, 3L, 1L))), s"got $got")
+  }
+
   test("dd06 embedding near-dup matches brute-force count and threshold") {
     val got = run("dd06_embedding_neardup")
     assert(got.filter(col("cos_e6") < 400000).count() == 0)
@@ -1199,6 +1225,23 @@ class ExtSpec extends SparkSpec {
     // empty pair graph (no near-dups in the batch): empty result, no
     // crash — the early-exit path where the loop never runs
     assert(admit(Seq.empty, 4).isEmpty)
+  }
+
+  test("tx23 nearDupSourceMatrix: pairs fold into least/greatest source cells, diagonal = intra-source") {
+    import spark.implicits._
+    import graft.ext.TextOps
+    // planted pair graph with known source attribution: 1~2 crosses
+    // A-B, 1~3 is intra-A, 4~5 intra-B, 2~6 crosses B-C arriving in
+    // the OPPOSITE order (source of a_id sorts after source of b_id) —
+    // least/greatest must normalize it into the same (B, C) cell
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("a_id", "b_id")
+    val sources = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "B"),
+      (5L, "B"), (6L, "C"), (7L, "B")).toDF("doc_id", "source")
+    val got = TextOps.nearDupSourceMatrix(pairs, sources)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("A", "B") -> 1L, ("A", "A") -> 1L,
+      ("B", "B") -> 1L, ("B", "C") -> 1L), s"got $got")
   }
 
   test("tx22 estimator calibration: signature-space Jaccard tracks the exact matrix on planted overlaps") {

@@ -64,6 +64,38 @@ class GraphIntegrationSpec extends SparkSpec {
     assert(GraphPatterns.wedgeCount(edges) == naiveWedge)
   }
 
+  test("sampledTriangles: m=1 is exact; m=4 scales its own sample by 64; estimate calibrates against exact") {
+    import spark.implicits._
+    // m=1 keeps every edge: the estimator degenerates to the exact
+    // count (the cycle graph from the SNAP test: 3 rotations)
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "tgt")
+    val exact1 = GraphPatterns.sampledTriangles(tri, 1).head()
+    assert((exact1.getLong(0), exact1.getLong(1)) == ((3L, 3L)))
+
+    // pipeline parity at m=4: n_sampled equals the exact count over a
+    // HAND-sampled edge set using the same md5 coin, and est is
+    // exactly 64x that — pins the predicate and the scaling arithmetic
+    val edges = graft.datagen.Generators.randomEdges(spark, 200, 2000)
+      .toDF("src", "tgt").distinct().cache()
+    graft.functions.HashOps.register(spark)
+    val hand = edges.filter(pmod(graft.functions.HashOps.md5Seg32(
+      concat(col("src").cast("string"), lit("_"), col("tgt").cast("string")),
+      0), lit(4L)) === 0)
+    val handCount = GraphPatterns.triangleCount(hand)
+    val got = GraphPatterns.sampledTriangles(edges, 4).head()
+    assert(got.getLong(0) == handCount, s"sample drift: ${got.getLong(0)} vs $handCount")
+    assert(got.getLong(1) == handCount * 64)
+
+    // calibration: the estimate tracks the exact count (T ~ 1000 here,
+    // so relative stderr ~ sqrt(63/T) ~ 0.25; a 2.5x band is ~6 sigma
+    // and the md5 sample is deterministic anyway)
+    val exact = GraphPatterns.triangleCount(edges)
+    assert(exact > 100, s"fixture too sparse for calibration: $exact")
+    val est = got.getLong(1).toDouble
+    assert(est > exact / 2.5 && est < exact * 2.5,
+      s"estimate $est vs exact $exact outside the calibration band")
+  }
+
   test("g07 pagerank: damping floor, decaying total mass, deterministic") {
     val run = () => SparkEntry.queries("g07_pagerank")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
