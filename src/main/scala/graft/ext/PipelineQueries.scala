@@ -675,5 +675,59 @@ object PipelineQueries {
              |    ELSE least(avail, alloc3) END AS BIGINT) AS planned_tokens,
              |  CAST(CASE WHEN sat2 THEN 1 ELSE 0 END AS BIGINT) AS saturated
              |FROM r3 ORDER BY source""".stripMargin)),
+
+    CatalogQuery(
+      "dp13_balanced_shards",
+      "Skew-aware output-shard assignment: the bounded heavy tail (n_tok >= 100) snake-assigned by token rank so no shard collects two giants before every shard has one; the light mass hashed doc_id % 8 — per-doc shard manifest for balanced training-shard writers",
+      (s, dir) => {
+        // dp05/dp11 pack docs into SEQUENCES; this balances the level
+        // above — which output SHARD (file/worker) each doc lands in,
+        // the thing that decides whether shard 3's writer finishes an
+        // hour after the rest. Pure hashing balances doc COUNTS but a
+        // token giant still skews byte totals, so: the heavy tail gets
+        // snake (boustrophedon) assignment over its token rank —
+        // rank 1..S left-to-right, S+1..2S right-to-left, so the
+        // biggest S docs spread one per shard and pairs of rows
+        // counterbalance — and the light mass hashes. The global rank
+        // windows ONLY the heavy subset: the threshold is a high
+        // quantile by construction (fixture: >= 100 tokens), so the
+        // ranked set is the distribution's tail, bounded the same
+        // documented way as dp11's per-bucket shelf loop — the light
+        // path (almost everything) never sees a window at all.
+        val nShards = 8L
+        val t = docs(s, dir).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val heavy = t.filter(col("n_tok") >= 100)
+        val w = Window.orderBy(col("n_tok").desc, col("doc_id"))
+        val heavyAssigned = heavy
+          .withColumn("r", row_number().over(w).cast("long") - 1)
+          .withColumn("k", col("r") % (2 * nShards))
+          .select(col("doc_id"), col("n_tok"), lit(1L).as("heavy"),
+            when(col("k") < nShards, col("k"))
+              .otherwise(lit(2 * nShards - 1) - col("k")).as("shard"))
+        val lightAssigned = t.filter(col("n_tok") < 100)
+          .select(col("doc_id"), col("n_tok"), lit(0L).as("heavy"),
+            pmod(col("doc_id"), lit(nShards)).as("shard"))
+        heavyAssigned.unionByName(lightAssigned).orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |hv AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT) - 1 AS r
+             |  FROM t WHERE n_tok >= 100),
+             |ha AS (
+             |  SELECT doc_id, n_tok, 1 AS heavy,
+             |    CASE WHEN r % 16 < 8 THEN r % 16 ELSE 15 - r % 16 END AS shard
+             |  FROM hv),
+             |la AS (
+             |  SELECT doc_id, n_tok, 0 AS heavy, doc_id % 8 AS shard
+             |  FROM t WHERE n_tok < 100)
+             |SELECT doc_id, n_tok, CAST(heavy AS BIGINT) AS heavy,
+             |  CAST(shard AS BIGINT) AS shard
+             |FROM (SELECT * FROM ha UNION ALL SELECT * FROM la)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -709,6 +709,26 @@ class ExtSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == budget) // this fixture spends exactly
   }
 
+  test("dp13 balanced shards: heavy tail snakes one-per-shard then reflects; light docs hash by id") {
+    // 10 heavy docs with strictly decreasing token counts (rank order
+    // == id order): ranks 0-7 walk shards 0..7, ranks 8-9 REFLECT back
+    // onto 7,6 — the counterbalancing half-pass; light docs take
+    // doc_id % 8 and never enter the ranked path
+    val dir = java.nio.file.Files.createTempDirectory("dp13-planted").toString
+    import spark.implicits._
+    def words(k: Int) = (0 until k).map(i => s"w$i").mkString(" ")
+    val heavy = (0 until 10).map(i => (i.toLong, words(130 - i), "S"))
+    val light = (10 until 15).map(i => (i.toLong, words(50), "S"))
+    plantDocs((heavy ++ light).toDF("doc_id", "text", "source"), dir)
+    val got = SparkEntry.queries("dp13_balanced_shards")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = (0 until 8).map(i => i.toLong -> ((130L - i, 1L, i.toLong))).toMap ++
+      Map(8L -> ((122L, 1L, 7L)), 9L -> ((121L, 1L, 6L))) ++
+      (10 until 15).map(i => i.toLong -> ((50L, 0L, i % 8L))).toMap
+    assert(got == want, s"got $got")
+  }
+
   test("mm06 segment dedup: a planted shared 160-byte prefix yields exactly one shared 3-frame segment") {
     // stride-4 sampling of 16-byte frames hashes offsets 0, 64, 128 —
     // all inside the 160-byte shared prefix, so A and B share exactly

@@ -407,6 +407,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"chunk-span explode missing:\n$plan")
   }
 
+  test("g10: edge-sample filter reaches every join leg — no cartesian, no unfiltered leg") {
+    val plan = planOf(run("g10_triangle_estimate"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"unbounded join in the sampled plan:\n$plan")
+    // the md5 coin must gate each of the three self-join legs BELOW the
+    // joins (a filter hoisted above a join would pay full wedge fanout)
+    val nCoins = "md5_seg32".r.findAllIn(plan).size
+    assert(nCoins >= 3, s"sample filter missing from a join leg ($nCoins):\n$plan")
+  }
+
+  test("tx23: attribution joins are hashed and the matrix agg keeps map-side partial") {
+    val plan = planOf(run("tx23_cross_source_neardup"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"unbounded join:\n$plan")
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+  }
+
+  test("mm07: no single-partition exchange — all windows stay per-media") {
+    val plan = planOf(run("mm07_static_detection"))
+    assert(!plan.contains("SinglePartition"),
+      s"a global (single-partition) stage crept into mm07:\n$plan")
+  }
+
+  test("dp13: exactly one Window node — only the heavy tail is ranked") {
+    val plan = planOf(run("dp13_balanced_shards"))
+    val windows = plan.linesIterator.count(_.matches("\\(\\d+\\) Window.*"))
+    assert(windows == 1, s"expected 1 Window (heavy tail only), got $windows:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
