@@ -33,7 +33,8 @@ object BenchFloors {
         (k, v, floors(k))
     }
 
-  // 137 queries >= 0.5s, min over 7 round-11 boards
+  // 140 queries >= 0.5s, min over 7 round-11 boards + 5 round-13
+  // boards (dd18/tx22/tx23 added; g09/tx21 mins refreshed lower)
   val floors: Map[String, Double] = Map(
     "dd03_minhash_lsh" -> 2.323,
     "dd04_simhash" -> 2.412,
@@ -46,6 +47,7 @@ object BenchFloors {
     "dd13_semdedup" -> 2.847,
     "dd16_cc_star" -> 3.170,
     "dd17_incremental_minhash" -> 0.556,
+    "dd18_sequential_admission" -> 2.785,
     "dp10_curation_funnel" -> 0.580,
     "dp12_token_budget_plan" -> 0.502,
     "e03_sessionize" -> 0.565,
@@ -58,7 +60,7 @@ object BenchFloors {
     "g08_hypercube_triangle" -> 1.825,
     "g08b_hypercube_square" -> 1.878,
     "g08c_hypercube_planned" -> 1.375,
-    "g09_kcore_peel" -> 1.737,
+    "g09_kcore_peel" -> 1.436,
     "impala_orig_q59" -> 0.568,
     "impala_q59" -> 0.530,
     "impala_q65" -> 0.636,
@@ -171,7 +173,9 @@ object BenchFloors {
     "tx18_cms_counts" -> 1.048,
     "tx19_scored_decontamination" -> 1.267,
     "tx20_quality_gate" -> 0.578,
-    "tx21_source_overlap" -> 2.215,
+    "tx21_source_overlap" -> 1.971,
+    "tx22_source_overlap_estimate" -> 0.838,
+    "tx23_cross_source_neardup" -> 2.300,
   )
 
 }

@@ -729,5 +729,40 @@ object PipelineQueries {
              |  CAST(shard AS BIGINT) AS shard
              |FROM (SELECT * FROM ha UNION ALL SELECT * FROM la)
              |ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "dp14_token_cap_admission",
+      "Per-source token-budget PREFIX admission (BudgetStream.decide, zero prior consumption): docs admitted in id order until the source's budget is exhausted, every later doc of that source rejected — the batch twin of the streaming enforcement of dp12's plan",
+      (s, dir) => {
+        // The enforcement half of dp12's planning half, value-checked
+        // on its batch form: per-source cumulative tokens in doc_id
+        // order (window partitioned by source — in the streaming form
+        // this window is additionally bounded by the batch), admit iff
+        // the cumsum fits the budget. Prefix semantics on purpose: the
+        // cut is a clean per-source id watermark, so the admission is
+        // resumable and replay-reasonable; a source absent from the
+        // budget plan admits nothing. BudgetStreamSpec drives the
+        // SAME decide() across batches with storage-backed consumption.
+        import s.implicits._
+        val d = docs(s, dir)
+        val budgets = d.select(col("source")).distinct()
+          .select(col("source"), lit(1500L).as("budget_tokens"))
+        val zero = Seq.empty[(String, Long)].toDF("source", "consumed")
+        graft.streaming.BudgetStream.decide(budgets, zero,
+            d.select(col("doc_id"), col("source"), col("text")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t)
+             |SELECT doc_id, source, n_tok,
+             |  CAST(CASE WHEN cum <= 1500 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+             |FROM c ORDER BY doc_id""".stripMargin)),
   )
 }
