@@ -524,9 +524,10 @@ object MultimodalQueries {
         // count — every window is partitioned by doc_id and a media's
         // sampled-frame list is bounded by its payload, so all three
         // stages are partition-local per media and the shape is flat
-        // however many medias the corpus holds. keep = less than half
-        // the sampled frames sit in runs >= 3 (integer arithmetic, no
-        // float threshold).
+        // however many medias the corpus holds. keep = AT MOST half
+        // the sampled frames sit in runs >= 3 (static*2 <= n, integer
+        // arithmetic, no float threshold; the exactly-half boundary
+        // keeps).
         import org.apache.spark.sql.expressions.Window
         val frames = mediaTable(s, dir)
           .withColumn("nf", floor(length(col("payload")) / lit(16)).cast("long"))

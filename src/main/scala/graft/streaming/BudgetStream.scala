@@ -14,20 +14,25 @@ import graft.ext.TextOps
   * its budget is exhausted and REMEMBERING consumption across batches.
   *
   * Semantics (PREFIX admission): within a source, docs are ordered by
-  * doc_id and a doc is admitted iff consumption-so-far plus the
-  * cumulative tokens through THIS doc still fits the budget. Once the
-  * cut fires, every later doc of that source is rejected — the cut is
-  * a clean id watermark per source, which is what a resumable
-  * batch-boundary enforcement wants (skip-and-continue knapsack
-  * filling would admit out of id order and make replay reasoning
-  * ugly). A source with NO budget row admits nothing — an unplanned
-  * source is a governance error, not free capacity.
+  * doc_id and a doc is admitted iff tokens SEEN so far (admitted OR
+  * rejected, across all prior batches) plus the cumulative tokens
+  * through THIS doc still fit the budget. Counting seen — not
+  * admitted — tokens is what makes the cut durable: once a source
+  * overflows, the overflowing doc's mass stays in the cumsum forever,
+  * so the budget never "reopens" at a batch boundary, and over
+  * id-ordered batches the admitted set is exactly dp14's over the
+  * concatenated table. The cut is a clean id watermark per source,
+  * which is what a resumable batch-boundary enforcement wants
+  * (skip-and-continue knapsack filling would admit out of id order
+  * and make replay reasoning ugly). A source with NO budget row
+  * admits nothing — an unplanned source is a governance error, not
+  * free capacity.
   *
   * Scale + replay shape (DocsStream's conventions):
   *   - Per-batch state lands under `stateDir/batch_id=N` as ONE row
-  *     per source (its tokens admitted in that batch) — the standing
-  *     consumption view is a sum over those tiny rows, broadcastable
-  *     at any history length.
+  *     per source (tokens seen + tokens admitted in that batch) — the
+  *     standing consumption view is a sum over those tiny rows,
+  *     broadcastable at any history length.
   *   - Writes are overwrite-by-batchId, so at-least-once replay is
   *     idempotent, and the standing view EXCLUDES the current batchId
   *     so a replayed batch never double-counts its own prior attempt.
@@ -40,20 +45,22 @@ import graft.ext.TextOps
   */
 object BudgetStream {
 
-  /** Tokens already admitted per source across every batch EXCEPT
-    * `excludeBatchId` (replay safety); empty when no batch landed. */
+  /** Tokens SEEN per source across every batch EXCEPT `excludeBatchId`
+    * (replay safety); empty when no batch landed. Seen — not admitted —
+    * is what makes the prefix cut durable: a rejected doc's tokens
+    * stay in the cumsum forever, so once a source overflows it can
+    * never "reopen" in a later batch, and the stream's admitted set
+    * over id-ordered batches equals dp14's over the concatenation. */
   private[graft] def consumedState(spark: SparkSession, stateDir: String,
       excludeBatchId: Long): DataFrame =
-    try {
-      spark.read.option("basePath", stateDir).parquet(stateDir)
-        .filter(col("batch_id") =!= excludeBatchId)
+    StreamState.readDir(spark, stateDir)
+      .map(_.filter(col("batch_id") =!= excludeBatchId)
         .groupBy(col("source"))
-        .agg(sum(col("tokens_admitted")).as("consumed"))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+        .agg(sum(col("tokens_seen")).as("consumed")))
+      .getOrElse {
         import spark.implicits._
         Seq.empty[(String, Long)].toDF("source", "consumed")
-    }
+      }
 
   /** One admission round. `budgets`: (source, budget_tokens);
     * `consumed`: (source, consumed) from prior batches; `batch`:
@@ -97,9 +104,13 @@ object BudgetStream {
           .localCheckpoint(true)
         decisions.coalesce(1).write.mode("overwrite")
           .parquet(s"$decisionsDir/batch_id=$batchId")
-        decisions.filter(col("admitted") === 1)
+        // state carries tokens SEEN (admitted or not — the durable
+        // prefix cut) alongside admitted (the reporting number)
+        decisions
           .groupBy(col("source"))
-          .agg(sum(col("n_tok")).as("tokens_admitted"))
+          .agg(sum(col("n_tok")).as("tokens_seen"),
+            sum(when(col("admitted") === 1, col("n_tok"))
+              .otherwise(lit(0L))).as("tokens_admitted"))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$stateDir/batch_id=$batchId")
         ()

@@ -58,13 +58,11 @@ object DocsStream {
     * safety); empty frame when no batch has landed yet. */
   private[graft] def acceptedState(spark: SparkSession, stateDir: String,
       excludeBatchId: Long): DataFrame =
-    try {
-      spark.read.option("basePath", stateDir).parquet(stateDir)
-        .filter(col("batch_id") =!= excludeBatchId)
-        .select(col("doc_id"), col("text"))
-    } catch { case _: org.apache.spark.sql.AnalysisException =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], docSchema)
-    }
+    StreamState.readDir(spark, stateDir)
+      .map(_.filter(col("batch_id") =!= excludeBatchId)
+        .select(col("doc_id"), col("text")))
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], docSchema))
 
   /** One admission round: probe `batch` against `standing`, then the
     * history-clean residue against itself — conservative smaller-id-
@@ -99,9 +97,13 @@ object DocsStream {
         // ADMITTED doc that blocked them (or the conservative-fallback
         // min neighbor past the round bound), not merely the smallest
         // matching id
+        // materialized ONCE: cnt and sequentialAdmit both consume this
+        // frame, and without the checkpoint each would re-evaluate the
+        // whole shingle -> minhash -> bucket-join -> verify chain
         val cleanPairs = TextOps.lshNearDupPairs(cleanRows, "doc_id",
             Hashes, RowsPerBand, MaxBucket, TNum, TDen)
           .select(col("a_id"), col("b_id"))
+          .localCheckpoint(true)
         val cnt = cleanPairs.groupBy(col("b_id").as("doc_id"))
           .agg(count(lit(1)).as("batch_matches"))
         TextOps.sequentialAdmit(cleanPairs, rounds = 8)

@@ -47,7 +47,7 @@ object SkewJoinAb {
     val small = spark.range(nKeys).select(col("id").as("key"),
       (col("id") * 7).as("attr"))
 
-    def arm(label: String, aqeSkew: Boolean, salted: Boolean): (Double, Long, Boolean) = {
+    def arm(aqeSkew: Boolean, salted: Boolean): (Double, Long, Boolean) = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
       // lower the qualify thresholds so the hub partition triggers the
       // splitter: BOTH gates must pass — bytes (default 256 MB) and
@@ -78,7 +78,7 @@ object SkewJoinAb {
       ("aqe", true, false),
       ("salted", false, true),
       ("salted+aqe", true, true))
-    val results = arms.map { case (l, a, s) => (l, arm(l, a, s)) }
+    val results = arms.map { case (l, a, s) => (l, arm(a, s)) }
     val sums = results.map(_._2._2).distinct
     require(sums.size == 1,
       s"arms disagree on the aggregate: ${results.map(r => r._1 -> r._2._2)}")

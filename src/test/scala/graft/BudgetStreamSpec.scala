@@ -35,11 +35,39 @@ class BudgetStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(dec == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 0L, 5L -> 1L, 6L -> 0L), s"got $dec")
-    // standing state: one row per (batch, source) with admitted tokens
+    // standing state: one row per (batch, source) carrying tokens SEEN
+    // (the durable cut) and tokens admitted (the reporting number)
     val state = spark.read.parquet(s"$base/state")
-      .select("source", "tokens_admitted").collect()
-      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
-    assert(state == Seq(("A", 8L), ("B", 3L), ("B", 2L)).sorted, s"got $state")
+      .select("source", "tokens_seen", "tokens_admitted").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(state == Seq(("A", 8L, 8L), ("B", 3L, 3L),
+      ("A", 3L, 0L), ("B", 2L, 2L), ("C", 1L, 0L)).sorted, s"got $state")
+  }
+
+  test("the prefix cut is durable across batches: a rejected doc's tokens never free up") {
+    // budget A=10; batch 0 admits doc 1 (4 tok) and rejects doc 2
+    // (cum 12 > 10). Doc 3's 5 tokens WOULD fit against admitted-only
+    // consumption (4+5 <= 10) — counting tokens SEEN (12) keeps the
+    // cut closed, matching dp14 over the concatenated table
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("budget-cut").toString
+    val budgets = Seq(("A", 10L)).toDF("source", "budget_tokens")
+    val ms = MemoryStream[(Long, String, String)]
+    val q = BudgetStream.budgetAdmission(spark,
+      ms.toDF().toDF("doc_id", "source", "text"), budgets,
+      s"$base/state", s"$base/decisions", s"$base/ck")
+    try {
+      ms.addData((1L, "A", words(4)), (2L, "A", words(8)))
+      q.processAllAvailable()
+      ms.addData((3L, "A", words(5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.read.parquet(s"$base/decisions")
+      .select("doc_id", "admitted").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dec == Map(1L -> 1L, 2L -> 0L, 3L -> 0L),
+      s"budget reopened after the cut: $dec")
   }
 
   test("prefix semantics: once a source's cumsum overflows, later smaller docs are rejected too") {
@@ -60,9 +88,9 @@ class BudgetStreamSpec extends SparkSpec {
   test("consumedState excludes the current batch id (replay safety)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("budget-state").toString
-    Seq(("A", 5L)).toDF("source", "tokens_admitted")
+    Seq(("A", 5L, 5L)).toDF("source", "tokens_seen", "tokens_admitted")
       .write.parquet(s"$base/batch_id=0")
-    Seq(("A", 7L), ("B", 2L)).toDF("source", "tokens_admitted")
+    Seq(("A", 7L, 4L), ("B", 2L, 2L)).toDF("source", "tokens_seen", "tokens_admitted")
       .write.parquet(s"$base/batch_id=1")
     val got = BudgetStream.consumedState(spark, base, excludeBatchId = 1L)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
