@@ -834,6 +834,34 @@ object TextOps {
        |FROM res ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-bucket PSI (population stability index) contributions between
+    * two cohorts: for each bucket, (pA − pB)·ln(pA/pB) with Laplace
+    * smoothing p = (count+1)/(N+nBuckets), so empty-on-one-side
+    * buckets never divide by zero and the arithmetic is a pure
+    * deterministic function of the counts (identical IEEE ops in
+    * DuckDB). Σ contributions is the headline PSI; the < 0.1 / 0.1–0.25
+    * / > 0.25 stable/drifting/shifted reading is the standard one.
+    *
+    * `rows`: (cohort, bucket) one row per observation. Scale shape:
+    * one map-side-combined (bucket × 2-cohort) count aggregate plus a
+    * broadcast 1-row totals cross-join — flat in corpus size.
+    * Output: (bucket, n_a, n_b, psi_contrib rounded 6dp). */
+  def psiContributions(rows: DataFrame, cohortCol: String,
+      bucketCol: String, cohortA: String, cohortB: String): DataFrame = {
+    val c = rows
+      .filter(col(cohortCol).isin(cohortA, cohortB))
+      .groupBy(col(bucketCol).cast("long").as("bucket"))
+      .agg(sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L)).as("n_b"))
+    val tot = c.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"),
+      count(lit(1)).as("_nb"))
+    val pa = (col("n_a") + 1).cast("double") / (col("_ta") + col("_nb"))
+    val pb = (col("n_b") + 1).cast("double") / (col("_tb") + col("_nb"))
+    c.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+  }
+
   /** Attribute verified near-dup pairs to source pairs: two hashed
     * joins on doc_id, then a count per (least, greatest) source cell —
     * off-diagonal cells are cross-source leakage, the diagonal is

@@ -1131,5 +1131,51 @@ object TextQueries {
       Some(TextOps.lshSourceMatrixOracleSql(TextOps.wordShingleSql(3),
         numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
         threshNum = 8, threshDen = 10))),
+
+    CatalogQuery(
+      "tx24_split_drift_psi",
+      "Train/val distribution-drift report: per-token-length-bucket PSI contributions between dp02's deterministic splits (Laplace-smoothed, pure function of the counts) — the split-skew check a pipeline runs before trusting its eval numbers",
+      (s, dir) => {
+        // A hash split SHOULD leave train and val identically
+        // distributed; a biased split (or a drifted ingest) shows up
+        // as PSI mass in the length buckets long before eval metrics
+        // move. Same md5 split rule as dp02 (membership is a pure
+        // function of doc_id), token counts folded into 8 fixed-width
+        // buckets, then one (bucket x cohort) count aggregate + a
+        // broadcast totals row — flat in corpus size. Sum psi_contrib
+        // for the headline PSI (< 0.1 stable by the standard reading).
+        val h = substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 2)
+        val split = when(h < "0d", lit("val"))
+          .when(h < "1a", lit("test"))
+          .otherwise(lit("train"))
+        val rows = docs(s, dir).select(split.as("split"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .select(col("split"),
+            least(expr("n_tok div 25"), lit(7L)).as("bucket"))
+        TextOps.psiContributions(rows, "split", "bucket", "train", "val")
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH a AS (
+             |  SELECT
+             |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
+             |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+             |         ELSE 'train' END AS split,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |b AS (SELECT split, least(n_tok // 25, 7) AS bucket
+             |      FROM a WHERE split <> 'test'),
+             |c AS (SELECT bucket,
+             |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_a,
+             |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_b
+             |  FROM b GROUP BY bucket),
+             |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS nb FROM c)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  round((CAST(n_a + 1 AS DOUBLE) / (ta + nb)
+             |       - CAST(n_b + 1 AS DOUBLE) / (tb + nb))
+             |    * ln((CAST(n_a + 1 AS DOUBLE) / (ta + nb))
+             |        / (CAST(n_b + 1 AS DOUBLE) / (tb + nb))), 6) AS psi_contrib
+             |FROM c, tot ORDER BY bucket""".stripMargin)),
   )
 }

@@ -1247,6 +1247,38 @@ class ExtSpec extends SparkSpec {
     assert(admit(Seq.empty, 4).isEmpty)
   }
 
+  test("tx24 psiContributions: identical cohorts score zero, planted shift matches hand math, one-sided bucket stays finite, foreign cohorts excluded") {
+    import spark.implicits._
+    import graft.ext.TextOps
+    def psi(rows: Seq[(String, Long)]) =
+      TextOps.psiContributions(rows.toDF("cohort", "bucket"),
+        "cohort", "bucket", "A", "B")
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // identical distributions: pa == pb in every bucket -> contrib 0.0
+    val same = Seq.fill(10)(("A", 0L)) ++ Seq.fill(10)(("B", 0L)) ++
+      Seq.fill(5)(("A", 1L)) ++ Seq.fill(5)(("B", 1L))
+    assert(psi(same).values.forall(_._3 == 0.0), s"got ${psi(same)}")
+    // planted shift + a one-sided bucket + a cohort C that must be
+    // ignored; expectation computed with the same smoothing/rounding
+    val shifted = Seq.fill(30)(("A", 0L)) ++ Seq.fill(10)(("B", 0L)) ++
+      Seq.fill(10)(("A", 1L)) ++ Seq.fill(30)(("B", 1L)) ++
+      Seq.fill(3)(("A", 2L)) ++ Seq.fill(99)(("C", 0L))
+    def contrib(na: Long, nb: Long, ta: Long, tb: Long, k: Long) = {
+      val pa = (na + 1).toDouble / (ta + k); val pb = (nb + 1).toDouble / (tb + k)
+      BigDecimal((pa - pb) * math.log(pa / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = psi(shifted)
+    assert(got == Map(
+      0L -> ((30L, 10L, contrib(30, 10, 43, 40, 3))),
+      1L -> ((10L, 30L, contrib(10, 30, 43, 40, 3))),
+      2L -> ((3L, 0L, contrib(3, 0, 43, 40, 3)))), s"got $got")
+    // the drifted pair carries real PSI mass; the headline sum reads
+    // "shifted" on the standard scale
+    assert(got.values.map(_._3).sum > 0.25, s"got ${got.values.map(_._3).sum}")
+  }
+
   test("tx23 nearDupSourceMatrix: pairs fold into least/greatest source cells, diagonal = intra-source") {
     import spark.implicits._
     import graft.ext.TextOps
