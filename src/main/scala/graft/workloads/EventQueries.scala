@@ -237,5 +237,62 @@ object EventQueries {
              |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
              |  AND epoch_us(c.ts) <= epoch_us(p.ts)
              |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin)),
+
+    CatalogQuery(
+      "e08_funnel_conversion",
+      "Strict-order funnel view -> click -> purchase: first view, first click AFTER it, first purchase after THAT — per-stage user counts + e6 conversion from the previous stage (the ordered-sequence pattern the windowed/join e-ops don't cover)",
+      (s, dir) => {
+        // The min-timestamp cascade: each stage is one type-filtered
+        // hashed aggregate on user_id joined to the previous stage's
+        // watermark — three O(users) relations, no window, no
+        // sequence explosion, order enforced by strict ts comparison
+        // (a click BEFORE the user's first view does not convert). The
+        // e6 conversion uses integer division in both engines.
+        val e = ev(s, dir).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("us") > col("v_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("us") > col("c_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+        def stage(df: DataFrame, n: Long, name: String) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(n).as("stage"), lit(name).as("stage_name"),
+              col("n_users"))
+        val rows = stage(v, 1L, "view")
+          .unionByName(stage(c, 2L, "click_after_view"))
+          .unionByName(stage(p, 3L, "purchase_after_click"))
+        // the conv window runs over the 3 STAGE rows, never event data
+        rows
+          .select(col("stage"), col("stage_name"), col("n_users"),
+            coalesce(expr("n_users * 1000000L div " +
+              "nullif(lag(n_users, 1) over (order by stage), 0L)"),
+              lit(1000000L)).as("conv_e6"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+             |  FROM events e JOIN v ON v.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+             |  GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+             |  FROM events e JOIN c ON c.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+             |  GROUP BY e.user_id),
+             |st AS (
+             |  SELECT 1 AS stage, 'view' AS stage_name,
+             |    (SELECT count(*) FROM v) AS n_users
+             |  UNION ALL SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
+             |  UNION ALL SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p))
+             |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+             |  CAST(n_users AS BIGINT) AS n_users,
+             |  CAST(coalesce(n_users * 1000000 //
+             |    nullif(lag(n_users, 1) OVER (ORDER BY stage), 0), 1000000)
+             |    AS BIGINT) AS conv_e6
+             |FROM st ORDER BY stage""".stripMargin)),
   )
 }

@@ -1247,6 +1247,31 @@ class ExtSpec extends SparkSpec {
     assert(admit(Seq.empty, 4).isEmpty)
   }
 
+  test("e08 funnel: strict order enforced — click before first view never converts, purchase needs a prior qualifying click") {
+    // u1 completes the funnel in order; u2's only click PRECEDES their
+    // first view (stage 1 only); u3's purchase precedes their click
+    // (stages 1-2); u4 never views (counted nowhere)
+    val dir = java.nio.file.Files.createTempDirectory("e08-planted").toString
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, t(1), 1L, "view", 1.0, "{}"), (2L, t(2), 1L, "click", 1.0, "{}"),
+      (3L, t(3), 1L, "purchase", 1.0, "{}"),
+      (4L, t(1), 2L, "click", 1.0, "{}"), (5L, t(2), 2L, "view", 1.0, "{}"),
+      (6L, t(1), 3L, "view", 1.0, "{}"), (7L, t(2), 3L, "purchase", 1.0, "{}"),
+      (8L, t(3), 3L, "click", 1.0, "{}"),
+      (9L, t(1), 4L, "click", 1.0, "{}"), (10L, t(2), 4L, "purchase", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("e08_funnel_conversion")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> (("view", 3L, 1000000L)),
+      2L -> (("click_after_view", 2L, 666666L)),
+      3L -> (("purchase_after_click", 1L, 500000L))), s"got $got")
+  }
+
   test("tx24 psiContributions: identical cohorts score zero, planted shift matches hand math, one-sided bucket stays finite, foreign cohorts excluded") {
     import spark.implicits._
     import graft.ext.TextOps
