@@ -22,6 +22,22 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** dp02's deterministic split rule — THE one copy, shared with tx24
+    * (which measures drift "between dp02's splits" and must therefore
+    * always use dp02's actual rule): membership is a pure function of
+    * doc_id (md5 of a salted id; ~5% val, ~5% test). */
+  val splitCol: org.apache.spark.sql.Column = {
+    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    when(h < "0d", lit("val")).when(h < "1a", lit("test")).otherwise(lit("train"))
+  }
+
+  /** The DuckDB rendering of [[splitCol]], interpolated into both
+    * oracles so the rule cannot drift between engines or queries. */
+  val splitSql: String =
+    """CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
+      |     WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+      |     ELSE 'train' END""".stripMargin
+
   /** dp05's typed row: (doc, its hash bucket, its token count). */
   case class DocTok(doc_id: Long, bucket: Long, n_tok: Long)
 
@@ -77,12 +93,8 @@ object PipelineQueries {
         // identical split, and adding docs never reshuffles old ones —
         // the property that keeps a 100 TB eval set stable across
         // pipeline versions. One scan + one 3-group aggregate.
-        val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
-        val split = when(h < "0d", lit("val"))
-          .when(h < "1a", lit("test"))
-          .otherwise(lit("train"))
         docs(s, dir)
-          .select(split.as("split"),
+          .select(splitCol.as("split"),
             size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
             col("doc_id"))
           .groupBy(col("split"))
@@ -91,14 +103,12 @@ object PipelineQueries {
             min(col("doc_id")).as("first_doc"))
           .orderBy(col("split"))
       },
-      Some("""WITH a AS (
+      Some(s"""WITH a AS (
              |  SELECT doc_id,
-             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
-             |    substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+             |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+             |    $splitSql AS split
              |  FROM documents)
-             |SELECT
-             |  CASE WHEN h < '0d' THEN 'val' WHEN h < '1a' THEN 'test'
-             |    ELSE 'train' END AS split,
+             |SELECT split,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
              |  CAST(min(doc_id) AS BIGINT) AS first_doc

@@ -1144,24 +1144,17 @@ object TextQueries {
         // buckets, then one (bucket x cohort) count aggregate + a
         // broadcast totals row — flat in corpus size. Sum psi_contrib
         // for the headline PSI (< 0.1 stable by the standard reading).
-        val h = substring(md5(concat(lit("split:"),
-          col("doc_id").cast("string"))), 1, 2)
-        val split = when(h < "0d", lit("val"))
-          .when(h < "1a", lit("test"))
-          .otherwise(lit("train"))
-        val rows = docs(s, dir).select(split.as("split"),
+        val rows = docs(s, dir).select(PipelineQueries.splitCol.as("split"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
           .select(col("split"),
             least(expr("n_tok div 25"), lit(7L)).as("bucket"))
         TextOps.psiContributions(rows, "split", "bucket", "train", "val")
           .orderBy(col("bucket"))
       },
-      Some("""WITH a AS (
+      Some(s"""WITH a AS (
              |  SELECT
-             |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
-             |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
-             |         ELSE 'train' END AS split,
-             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |    ${PipelineQueries.splitSql} AS split,
+             |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
              |  FROM documents),
              |b AS (SELECT split, least(n_tok // 25, 7) AS bucket
              |      FROM a WHERE split <> 'test'),

@@ -265,12 +265,16 @@ object EventQueries {
         val rows = stage(v, 1L, "view")
           .unionByName(stage(c, 2L, "click_after_view"))
           .unionByName(stage(p, 3L, "purchase_after_click"))
-        // the conv window runs over the 3 STAGE rows, never event data
+        // the conv window runs over the 3 STAGE rows, never event data;
+        // stage 1's conversion is definitionally 1e6, later stages go
+        // NULL when the previous stage is empty (an empty funnel must
+        // not read as 100% conversion)
         rows
           .select(col("stage"), col("stage_name"), col("n_users"),
-            coalesce(expr("n_users * 1000000L div " +
-              "nullif(lag(n_users, 1) over (order by stage), 0L)"),
-              lit(1000000L)).as("conv_e6"))
+            when(col("stage") === 1, lit(1000000L))
+              .otherwise(expr("n_users * 1000000L div " +
+                "nullif(lag(n_users, 1) over (order by stage), 0L)"))
+              .as("conv_e6"))
           .orderBy(col("stage"))
       },
       Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
@@ -290,8 +294,9 @@ object EventQueries {
              |  UNION ALL SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p))
              |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
              |  CAST(n_users AS BIGINT) AS n_users,
-             |  CAST(coalesce(n_users * 1000000 //
-             |    nullif(lag(n_users, 1) OVER (ORDER BY stage), 0), 1000000)
+             |  CAST(CASE WHEN stage = 1 THEN 1000000
+             |    ELSE n_users * 1000000 //
+             |      nullif(lag(n_users, 1) OVER (ORDER BY stage), 0) END
              |    AS BIGINT) AS conv_e6
              |FROM st ORDER BY stage""".stripMargin)),
   )

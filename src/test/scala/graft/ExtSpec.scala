@@ -1270,6 +1270,17 @@ class ExtSpec extends SparkSpec {
       1L -> (("view", 3L, 1000000L)),
       2L -> (("click_after_view", 2L, 666666L)),
       3L -> (("purchase_after_click", 1L, 500000L))), s"got $got")
+    // an EMPTY funnel must not read as 100% conversion: with no view
+    // events, stages 2-3 report NULL conversion, not 1e6
+    val dir2 = java.nio.file.Files.createTempDirectory("e08-empty").toString
+    Seq((1L, t(1), 1L, "click", 1.0, "{}"), (2L, t(2), 1L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val empty = SparkEntry.queries("e08_funnel_conversion")(spark, dir2)
+      .collect().map(r => (r.getLong(0), (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(empty == Map(1L -> ((0L, 1000000L)), 2L -> ((0L, -1L)),
+      3L -> ((0L, -1L))), s"got $empty")
   }
 
   test("tx24 psiContributions: identical cohorts score zero, planted shift matches hand math, one-sided bucket stays finite, foreign cohorts excluded") {
