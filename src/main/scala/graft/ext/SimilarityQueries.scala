@@ -1190,6 +1190,101 @@ object SimilarityQueries {
              |FROM (SELECT DISTINCT q_id FROM ex) q
              |LEFT JOIN hit USING (q_id)
              |ORDER BY q.q_id""".stripMargin)),
+
+    CatalogQuery(
+      "ss11_mmr_rerank",
+      "MMR-diversified top-5 re-rank (Carbonell & Goldstein 1998, lambda=1/2): top-12 exact candidates for query vec 0, then greedy selection by rel_e6 - max-sim-to-selected with vec_id tiebreaks — the diversity-aware sampling step after retrieval",
+      (s, dir) => {
+        // Retrieval narrows the corpus to a BOUNDED candidate page
+        // (top-12 by exact cosine — a TakeOrdered, no corpus shuffle
+        // beyond the scored pass), and MMR re-ranks that page,
+        // trading relevance against redundancy to the already-picked
+        // set. At lambda=1/2 the argmax of lambda*rel - (1-lambda)*sim
+        // orders identically to the all-integer rel_e6 - maxsim_e6,
+        // so both engines run exact integer argmax. The page and its
+        // 12x12 sim matrix are codebook-class bounded driver data
+        // (the ss03 precedent): production MMR runs on the retrieved
+        // page, never the corpus — the greedy loop is O(k^2) on 144
+        // integers. Round 1 has no selected set; its mmr is rel.
+        import s.implicits._
+        val e = embeddings(s, dir)
+        val q = broadcast(e.filter(col("vec_id") === 0).select(col("v").as("qv")))
+        val cand = q.join(e.filter(col("vec_id") =!= 0))
+          .select(col("vec_id"),
+            round(graft.functions.VectorOps.dot(col("qv"), col("v")) * 1e6)
+              .cast("long").as("rel_e6"))
+          .orderBy(col("rel_e6").desc, col("vec_id")).limit(12)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val ids = cand.map(_._1)
+        val ce = e.filter(col("vec_id").isin(ids: _*)).select(col("vec_id"), col("v"))
+        val sim = ce.as("a").join(ce.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            round(graft.functions.VectorOps.dot(col("a.v"), col("b.v")) * 1e6)
+              .cast("long").as("sim_e6"))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        val relMap = cand.toMap
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val remaining = scala.collection.mutable.LinkedHashSet(ids: _*)
+        for (_ <- 1 to math.min(5, ids.length)) {
+          val (id, mmr) = remaining.iterator.map { c =>
+            val m =
+              if (picked.isEmpty) relMap(c)
+              else relMap(c) - picked.iterator.map(p => sim((c, p._1))).max
+            (c, m)
+          }.toSeq.minBy { case (c, m) => (-m, c) }
+          picked += ((id, relMap(id), mmr))
+          remaining -= id
+        }
+        picked.zipWithIndex
+          .map { case ((id, r, m), i) => (i + 1L, id, r, m) }.toSeq
+          .toDF("rank", "vec_id", "rel_e6", "mmr_e6")
+          .orderBy(col("rank"))
+      },
+      Some {
+        // the greedy rounds UNROLLED (dp12's convention): sel{r} is
+        // the union of the first r picks; round r+1 argmaxes the
+        // integer MMR score over the rest with the same tiebreak
+        val rounds = (2 to 5).map { r =>
+          val sel = (1 until r).map(i => s"SELECT vec_id FROM s$i")
+            .mkString(" UNION ALL ")
+          s"""sel${r - 1} AS ($sel),
+             |r$r AS (SELECT c.vec_id, c.rel_e6, c.rel_e6 - max(s.sim_e6) AS mmr_e6
+             |  FROM cand c JOIN sim s ON s.a_id = c.vec_id
+             |  JOIN sel${r - 1} x ON s.b_id = x.vec_id
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+             |  GROUP BY c.vec_id, c.rel_e6),
+             |s$r AS (SELECT vec_id, rel_e6, mmr_e6 FROM r$r
+             |  ORDER BY mmr_e6 DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5)
+          .map(r => s"SELECT $r AS rank, vec_id, rel_e6, mmr_e6 FROM s$r")
+          .mkString(" UNION ALL ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id,
+           |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+           |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+           |    END AS nv
+           |  FROM e),
+           |q AS (SELECT nv FROM n WHERE vec_id = 0),
+           |rel0 AS (SELECT c.vec_id,
+           |    CAST(round(list_dot_product(q.nv, c.nv) * 1e6) AS BIGINT) AS rel_e6
+           |  FROM n c, q WHERE c.vec_id <> 0),
+           |cand AS (SELECT vec_id, rel_e6 FROM rel0
+           |  ORDER BY rel_e6 DESC, vec_id LIMIT 12),
+           |sim AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    CAST(round(list_dot_product(na.nv, nb.nv) * 1e6) AS BIGINT) AS sim_e6
+           |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+           |  JOIN n na ON na.vec_id = a.vec_id
+           |  JOIN n nb ON nb.vec_id = b.vec_id),
+           |s1 AS (SELECT vec_id, rel_e6, rel_e6 AS mmr_e6 FROM cand
+           |  ORDER BY rel_e6 DESC, vec_id LIMIT 1),
+           |$rounds
+           |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+           |  rel_e6, mmr_e6
+           |FROM ($out) ORDER BY rank""".stripMargin
+      }),
   )
 
   /** ss09's O(n) ADC stage: (q_id, vec_id, adc) for every

@@ -1247,6 +1247,34 @@ class ExtSpec extends SparkSpec {
     assert(admit(Seq.empty, 4).isEmpty)
   }
 
+  test("ss11 MMR: redundant high-relevance candidates lose to orthogonal low-relevance ones; ties break by id") {
+    // q = e1. c1 (4,3)/5 is top rel (.8); c2 (3,4)/5 is RELEVANT (.6)
+    // but nearly duplicates c1 (sim .96); c3/c4 are orthogonal
+    // zero-rel; c5 (5,12)/13 is mid-rel but redundant with c1
+    // (sim 56/65). Greedy at lambda=1/2: c1, then the zero-rel
+    // orthogonals BEAT the redundant c2/c5 (mmr 0 vs -360000), c3
+    // before c4 on the id tiebreak; c2 (-360000) precedes c5, whose
+    // final blocker is the by-then-selected c2 (sim 63/65 -> mmr
+    // 384615 - 969231). Hand-computed integers, exact in both engines.
+    val dir = java.nio.file.Files.createTempDirectory("ss11-planted").toString
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(4f, 3f, 0f, 0f), 0),
+      (2L, Seq(3f, 4f, 0f, 0f), 0), (3L, Seq(0f, 0f, 1f, 0f), 0),
+      (4L, Seq(0f, 0f, 0f, 1f), 0), (5L, Seq(5f, 12f, 0f, 0f), 0))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("ss11_mmr_rerank")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 800000L, 800000L)),
+      2L -> ((3L, 0L, 0L)),
+      3L -> ((4L, 0L, 0L)),
+      4L -> ((2L, 600000L, -360000L)),
+      5L -> ((5L, 384615L, -584616L))), s"got $got")
+  }
+
   test("e08 funnel: strict order enforced — click before first view never converts, purchase needs a prior qualifying click") {
     // u1 completes the funnel in order; u2's only click PRECEDES their
     // first view (stage 1 only); u3's purchase precedes their click
