@@ -479,8 +479,10 @@ object MultimodalQueries {
       // same construction over the documents' text bytes (the payloads
       // are ASCII, so VARCHAR substr slices identical bytes — mm03's
       // precedent); DuckDB arrays are 1-based where Spark subscripts
-      // are 0-based, hence the shifted indices
-      Some("""WITH f AS (
+      // are 0-based, hence the shifted indices. The flood cap is
+      // INTERPOLATED from MaxSegSpread (PipelineQueries.splitSql's
+      // precedent) so the Spark helper and the oracle cannot drift.
+      Some(s"""WITH f AS (
              |  SELECT doc_id,
              |    CASE WHEN length(text) >= 16 THEN
              |      list_transform(range(0, CAST(floor(length(text) / 16) AS BIGINT), 4),
@@ -502,10 +504,10 @@ object MultimodalQueries {
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM tg a JOIN tg b
              |    ON a.seg = b.seg AND a.doc_id < b.doc_id
-             |  WHERE a.n <= 20
+             |  WHERE a.n <= $MaxSegSpread
              |  UNION ALL
              |  SELECT rep AS doc_a, doc_id AS doc_b
-             |  FROM tg WHERE n > 20 AND doc_id <> rep)
+             |  FROM tg WHERE n > $MaxSegSpread AND doc_id <> rep)
              |SELECT doc_a, doc_b, count(*) AS n_shared_segs
              |FROM pairs
              |GROUP BY 1, 2

@@ -688,7 +688,7 @@ object PipelineQueries {
 
     CatalogQuery(
       "dp13_balanced_shards",
-      "Skew-aware output-shard assignment: the bounded heavy tail (n_tok >= 100) snake-assigned by token rank so no shard collects two giants before every shard has one; the light mass hashed doc_id % 8 — per-doc shard manifest for balanced training-shard writers",
+      "Skew-aware output-shard assignment: the heavy tail above a histogram-derived p90 token threshold snake-assigned by token rank so no shard collects two giants before every shard has one; the light mass hashed doc_id % 8 — per-doc shard manifest for balanced training-shard writers",
       (s, dir) => {
         // dp05/dp11 pack docs into SEQUENCES; this balances the level
         // above — which output SHARD (file/worker) each doc lands in,
@@ -699,42 +699,69 @@ object PipelineQueries {
         // rank 1..S left-to-right, S+1..2S right-to-left, so the
         // biggest S docs spread one per shard and pairs of rows
         // counterbalance — and the light mass hashes. The global rank
-        // windows ONLY the heavy subset: the threshold is a high
-        // quantile by construction (fixture: >= 100 tokens), so the
-        // ranked set is the distribution's tail, bounded the same
-        // documented way as dp11's per-bucket shelf loop — the light
-        // path (almost everything) never sees a window at all.
+        // windows ONLY the heavy subset, and the threshold is DERIVED,
+        // not assumed (tx20's histogram-cumulative machinery): thr is
+        // the smallest token count whose >=-cohort is at most 10% of
+        // the corpus, so the ranked set is <= N/10 BY CONSTRUCTION on
+        // any distribution — a uniform corpus (where a literal cut
+        // would rank everything) yields no qualifying value, no thr,
+        // and every doc takes the windowless hashed path. The cumsum
+        // window runs over the token-count HISTOGRAM (cardinality =
+        // distinct lengths, not docs), and the derivation executes as
+        // its own bounded SINGLE-ROW job (the tx ratio-totals
+        // precedent) rather than a 1-row cross join — referencing a
+        // cross-joined thr from both union branches would recompute
+        // the whole histogram subtree per branch. Pure-integer
+        // arithmetic throughout so the DuckDB oracle is exact.
         val nShards = 8L
         val t = docs(s, dir).select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-        val heavy = t.filter(col("n_tok") >= 100)
+        val n = t.agg(count(lit(1)).as("_n"))
+        val hist = t.groupBy(col("n_tok")).agg(count(lit(1)).as("_c"))
+        val cum = hist.withColumn("_cum",
+          sum(col("_c")).over(Window.orderBy(col("n_tok").desc)))
+        val thrRow = cum.crossJoin(n).filter(col("_cum") * 10 <= col("_n"))
+          .agg(min(col("n_tok")).as("_thr")).head()
+        val thrOpt = if (thrRow.isNullAt(0)) None else Some(thrRow.getLong(0))
         val w = Window.orderBy(col("n_tok").desc, col("doc_id"))
-        val heavyAssigned = heavy
-          .withColumn("r", row_number().over(w).cast("long") - 1)
-          .withColumn("k", col("r") % (2 * nShards))
-          .select(col("doc_id"), col("n_tok"), lit(1L).as("heavy"),
-            when(col("k") < nShards, col("k"))
-              .otherwise(lit(2 * nShards - 1) - col("k")).as("shard"))
-        val lightAssigned = t.filter(col("n_tok") < 100)
+        val heavyAssigned = thrOpt.map { thr =>
+          t.filter(col("n_tok") >= thr)
+            .withColumn("r", row_number().over(w).cast("long") - 1)
+            .withColumn("k", col("r") % (2 * nShards))
+            .select(col("doc_id"), col("n_tok"), lit(1L).as("heavy"),
+              when(col("k") < nShards, col("k"))
+                .otherwise(lit(2 * nShards - 1) - col("k")).as("shard"))
+        }
+        val lightAssigned = thrOpt.map(thr => t.filter(col("n_tok") < thr))
+          .getOrElse(t)
           .select(col("doc_id"), col("n_tok"), lit(0L).as("heavy"),
             pmod(col("doc_id"), lit(nShards)).as("shard"))
-        heavyAssigned.unionByName(lightAssigned).orderBy(col("doc_id"))
+        heavyAssigned match {
+          case Some(h) => h.unionByName(lightAssigned).orderBy(col("doc_id"))
+          case None => lightAssigned.orderBy(col("doc_id"))
+        }
       },
       Some("""WITH t AS (
              |  SELECT doc_id,
              |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
              |  FROM documents),
+             |n AS (SELECT count(*) AS n FROM t),
+             |h AS (SELECT n_tok, count(*) AS c FROM t GROUP BY n_tok),
+             |cum AS (SELECT n_tok, sum(c) OVER (ORDER BY n_tok DESC) AS cum
+             |  FROM h),
+             |thr AS (SELECT min(n_tok) AS thr FROM cum, n
+             |  WHERE cum * 10 <= n.n),
              |hv AS (
              |  SELECT doc_id, n_tok,
              |    CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT) - 1 AS r
-             |  FROM t WHERE n_tok >= 100),
+             |  FROM t, thr WHERE thr.thr IS NOT NULL AND t.n_tok >= thr.thr),
              |ha AS (
              |  SELECT doc_id, n_tok, 1 AS heavy,
              |    CASE WHEN r % 16 < 8 THEN r % 16 ELSE 15 - r % 16 END AS shard
              |  FROM hv),
              |la AS (
              |  SELECT doc_id, n_tok, 0 AS heavy, doc_id % 8 AS shard
-             |  FROM t WHERE n_tok < 100)
+             |  FROM t, thr WHERE thr.thr IS NULL OR t.n_tok < thr.thr)
              |SELECT doc_id, n_tok, CAST(heavy AS BIGINT) AS heavy,
              |  CAST(shard AS BIGINT) AS shard
              |FROM (SELECT * FROM ha UNION ALL SELECT * FROM la)

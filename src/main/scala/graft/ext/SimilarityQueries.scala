@@ -1222,20 +1222,7 @@ object SimilarityQueries {
             round(graft.functions.VectorOps.dot(col("a.v"), col("b.v")) * 1e6)
               .cast("long").as("sim_e6"))
           .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-        val relMap = cand.toMap
-        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        val remaining = scala.collection.mutable.LinkedHashSet(ids: _*)
-        for (_ <- 1 to math.min(5, ids.length)) {
-          val (id, mmr) = remaining.iterator.map { c =>
-            val m =
-              if (picked.isEmpty) relMap(c)
-              else relMap(c) - picked.iterator.map(p => sim((c, p._1))).max
-            (c, m)
-          }.toSeq.minBy { case (c, m) => (-m, c) }
-          picked += ((id, relMap(id), mmr))
-          remaining -= id
-        }
-        picked.zipWithIndex
+        mmrGreedy(cand, sim, 5).zipWithIndex
           .map { case ((id, r, m), i) => (i + 1L, id, r, m) }.toSeq
           .toDF("rank", "vec_id", "rel_e6", "mmr_e6")
           .orderBy(col("rank"))
@@ -1286,6 +1273,36 @@ object SimilarityQueries {
            |FROM ($out) ORDER BY rank""".stripMargin
       }),
   )
+
+  /** Greedy MMR selection over an already-retrieved candidate page:
+    * picks `k` ids maximizing `rel_e6 - max(sim_e6 to the picked set)`
+    * with vec_id tiebreaks (round 1 has no picked set; its score is
+    * rel). Driver-side O(|page|^2) on integers BY DESIGN — production
+    * MMR re-ranks the retrieved page, never the corpus — so it loudly
+    * refuses any page too large for a driver loop (wordShingleRows'
+    * refusal pattern) instead of silently becoming a corpus scan.
+    * `sim` must hold both orientations of every distinct pair.
+    * Returns (vec_id, rel_e6, mmr_e6) in pick order. */
+  private[graft] def mmrGreedy(cand: Seq[(Long, Long)],
+      sim: Map[(Long, Long), Long], k: Int): Seq[(Long, Long, Long)] = {
+    require(cand.length <= 64, s"MMR candidate page has ${cand.length} " +
+      "rows; the driver-side greedy is bounded to 64 — re-rank a " +
+      "retrieved page (TakeOrdered top-k), not a corpus")
+    val relMap = cand.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val remaining = scala.collection.mutable.LinkedHashSet(cand.map(_._1): _*)
+    for (_ <- 1 to math.min(k, cand.length)) {
+      val (id, mmr) = remaining.iterator.map { c =>
+        val m =
+          if (picked.isEmpty) relMap(c)
+          else relMap(c) - picked.iterator.map(p => sim((c, p._1))).max
+        (c, m)
+      }.toSeq.minBy { case (c, m) => (-m, c) }
+      picked += ((id, relMap(id), mmr))
+      remaining -= id
+    }
+    picked.toSeq
+  }
 
   /** ss09's O(n) ADC stage: (q_id, vec_id, adc) for every
     * (query, corpus item) pair — corpus items carry only their 32

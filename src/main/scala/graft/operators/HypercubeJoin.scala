@@ -152,9 +152,15 @@ object HypercubeJoin {
     * Shares solver runs with ZERO jobs. The solver only compares
     * RELATIVE weights, so any consistent unit works: exact row counts
     * when every relation has one, else sizeInBytes when every relation
-    * has a real (non-default-sentinel) estimate. None when Catalyst has
-    * no usable estimate for some relation (mixing units across
-    * relations would bias the solver, so it's all-or-nothing). */
+    * has a real (non-default-sentinel) estimate — normalized by each
+    * relation's approximate row width (`schema.defaultSize`) so two
+    * relations of equal cardinality but different column widths weigh
+    * equally (raw bytes would hand the wide relation an oversized
+    * share). defaultSize is an approximation (fixed per-type widths,
+    * no encoding), so byte-derived weights stay an estimate — but an
+    * unbiased-by-width one. None when Catalyst has no usable estimate
+    * for some relation (mixing units across relations would bias the
+    * solver, so it's all-or-nothing). */
   private[graft] def statsEstimates(rels: Seq[Rel]): Option[Seq[Double]] = {
     val stats = rels.map(_.df.queryExecution.optimizedPlan.stats)
     val rows = stats.map(_.rowCount)
@@ -163,7 +169,9 @@ object HypercubeJoin {
       val unknown = BigInt(
         rels.head.df.sparkSession.sessionState.conf.defaultSizeInBytes)
       val sizes = stats.map(_.sizeInBytes)
-      if (sizes.forall(s => s > 0 && s < unknown)) Some(sizes.map(_.toDouble))
+      if (sizes.forall(s => s > 0 && s < unknown))
+        Some(rels.zip(sizes).map { case (r, s) =>
+          s.toDouble / math.max(1, r.df.schema.defaultSize) })
       else None
     }
   }

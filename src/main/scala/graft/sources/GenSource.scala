@@ -374,15 +374,24 @@ private[graft] class GenMicroBatchStream(lo: Long, hi: Long, seed: Long,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     // honor the engine's admission control: ReadMaxRows (set by
     // maxRowsPerTrigger-style options or Trigger.AvailableNow's
-    // chunking) CAPS the advance below this source's own perBatch;
-    // ReadAllAvailable and anything unrecognized keep perBatch (this
-    // source has no rate concept beyond rows, so ReadMaxFiles/
-    // composite limits degrade to the configured batch size).
-    val cap = limit match {
-      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        math.min(perBatch, r.maxRows)
-      case _ => perBatch
+    // chunking) CAPS the advance below this source's own perBatch —
+    // maxRowsPerTrigger is a TIGHTENING-ONLY knob by contract (a limit
+    // looser than rowsPerBatch leaves rowsPerBatch in charge; raise
+    // rowsPerBatch to grow batches). A CompositeReadLimit contributes
+    // exactly its ReadMaxRows component (a max-rows bound inside a
+    // composite is still a hard row cap); ReadAllAvailable, a
+    // composite without one, and anything unrecognized keep perBatch
+    // (this source has no rate concept beyond rows, so ReadMaxFiles-
+    // style components have nothing to bound here).
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows}
+    def maxRowsOf(l: ReadLimit): Option[Long] = l match {
+      case r: ReadMaxRows => Some(r.maxRows)
+      case c: CompositeReadLimit =>
+        val caps = c.getReadLimits.toSeq.flatMap(maxRowsOf)
+        if (caps.isEmpty) None else Some(caps.min)
+      case _ => None
     }
+    val cap = maxRowsOf(limit).fold(perBatch)(math.min(perBatch, _))
     new GenOffset(
       math.min(hi, start.asInstanceOf[GenOffset].endId + cap))
   }

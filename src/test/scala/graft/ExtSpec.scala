@@ -709,23 +709,67 @@ class ExtSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == budget) // this fixture spends exactly
   }
 
-  test("dp13 balanced shards: heavy tail snakes one-per-shard then reflects; light docs hash by id") {
-    // 10 heavy docs with strictly decreasing token counts (rank order
-    // == id order): ranks 0-7 walk shards 0..7, ranks 8-9 REFLECT back
-    // onto 7,6 — the counterbalancing half-pass; light docs take
-    // doc_id % 8 and never enter the ranked path
+  test("dp13 balanced shards: p90 histogram threshold bounds the ranked tail; snake reflects; light docs hash by id") {
+    // 10 heavy docs with strictly decreasing token counts among 100
+    // total: the derived threshold is the smallest value whose
+    // >=-cohort is <= N/10 = 10 docs, i.e. thr = 121, so EXACTLY the
+    // planted tail ranks. Ranks 0-7 walk shards 0..7, ranks 8-9
+    // REFLECT back onto 7,6 — the counterbalancing half-pass; the 90
+    // light docs take doc_id % 8 and never enter the ranked path.
     val dir = java.nio.file.Files.createTempDirectory("dp13-planted").toString
     import spark.implicits._
     def words(k: Int) = (0 until k).map(i => s"w$i").mkString(" ")
     val heavy = (0 until 10).map(i => (i.toLong, words(130 - i), "S"))
-    val light = (10 until 15).map(i => (i.toLong, words(50), "S"))
+    val light = (10 until 100).map(i => (i.toLong, words(50), "S"))
     plantDocs((heavy ++ light).toDF("doc_id", "text", "source"), dir)
     val got = SparkEntry.queries("dp13_balanced_shards")(spark, dir)
       .collect().map(r => (r.getLong(0),
         (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val want = (0 until 8).map(i => i.toLong -> ((130L - i, 1L, i.toLong))).toMap ++
       Map(8L -> ((122L, 1L, 7L)), 9L -> ((121L, 1L, 6L))) ++
-      (10 until 15).map(i => i.toLong -> ((50L, 0L, i % 8L))).toMap
+      (10 until 100).map(i => i.toLong -> ((50L, 0L, i % 8L))).toMap
+    assert(got == want, s"got $got")
+    // heavy + light partition the id space exactly — no doc assigned
+    // twice (Map collapse would shrink the count) or dropped at the
+    // threshold boundary
+    assert(got.keySet == (0 until 100).map(_.toLong).toSet)
+  }
+
+  test("dp13 balanced shards: a uniform corpus (where a literal cut would flood the window) ranks nothing") {
+    // every doc has 120 tokens — the old literal `n_tok >= 100` would
+    // have pushed ALL 40 docs through the global-rank window. The
+    // histogram derivation finds no value whose >=-cohort is <= N/10
+    // (the only cohort is 100% of the corpus), thr is NULL, and every
+    // doc takes the hashed path: ranked set 0 <= (1-q)*N.
+    val dir = java.nio.file.Files.createTempDirectory("dp13-uniform").toString
+    import spark.implicits._
+    def words(k: Int) = (0 until k).map(i => s"w$i").mkString(" ")
+    val rows = (0 until 40).map(i => (i.toLong, words(120), "S"))
+    plantDocs(rows.toDF("doc_id", "text", "source"), dir)
+    val got = SparkEntry.queries("dp13_balanced_shards")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = (0 until 40).map(i => i.toLong -> ((120L, 0L, i % 8L))).toMap
+    assert(got == want, s"got $got")
+  }
+
+  test("dp13 balanced shards: ties AT the derived threshold all rank, and the boundary loses no doc") {
+    // two docs tie at 200 tokens among 30 total (cap = 3): thr = 200
+    // (cohort 2 <= 3; the 50-token cohort is the whole corpus). Both
+    // threshold-valued docs are heavy — ranked 0,1 onto shards 0,1 —
+    // and the 28 light docs hash; the union covers every id exactly
+    // once (the classic off-by-one at `>= thr` vs `< thr`).
+    val dir = java.nio.file.Files.createTempDirectory("dp13-tie").toString
+    import spark.implicits._
+    def words(k: Int) = (0 until k).map(i => s"w$i").mkString(" ")
+    val rows = Seq((0L, words(200), "S"), (1L, words(200), "S")) ++
+      (2 until 30).map(i => (i.toLong, words(50), "S"))
+    plantDocs(rows.toDF("doc_id", "text", "source"), dir)
+    val got = SparkEntry.queries("dp13_balanced_shards")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = Map(0L -> ((200L, 1L, 0L)), 1L -> ((200L, 1L, 1L))) ++
+      (2 until 30).map(i => i.toLong -> ((50L, 0L, i % 8L))).toMap
     assert(got == want, s"got $got")
   }
 
@@ -1273,6 +1317,17 @@ class ExtSpec extends SparkSpec {
       3L -> ((4L, 0L, 0L)),
       4L -> ((2L, 600000L, -360000L)),
       5L -> ((5L, 384615L, -584616L))), s"got $got")
+  }
+
+  test("ss11 MMR: the driver-side greedy refuses a page past the 64-candidate bound") {
+    // the greedy is O(|page|^2) on the DRIVER by design; a caller
+    // feeding it an unbounded candidate set must fail loudly, not
+    // silently become a corpus scan
+    val page = (0 until 65).map(i => (i.toLong, 1000L - i))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.SimilarityQueries.mmrGreedy(page, Map.empty, 5)
+    }
+    assert(ex.getMessage.contains("64"))
   }
 
   test("e08 funnel: strict order enforced — click before first view never converts, purchase needs a prior qualifying click") {

@@ -243,6 +243,30 @@ class GenSourceSpec extends SparkSpec {
       s"got $sizes2")
   }
 
+  test("graft-gen streaming: a composite ReadLimit contributes its tightest ReadMaxRows component") {
+    // Trigger.AvailableNow can wrap limits in a CompositeReadLimit —
+    // the max-rows bound inside it is still a hard row cap and must
+    // not degrade to the configured batch size; components this source
+    // can't honor (files) are ignored
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val s = new graft.sources.GenMicroBatchStream(
+      lo = 0, hi = 1000, seed = 1, parts = 2, perBatch = 40,
+      fields = Array("id"))
+    def advance(l: ReadLimit): Long =
+      s.latestOffset(s.initialOffset(), l)
+        .asInstanceOf[graft.sources.GenOffset].endId
+    assert(advance(ReadLimit.compositeLimit(Array(
+      ReadLimit.maxFiles(3), ReadLimit.maxRows(25)))) == 25)
+    assert(advance(ReadLimit.compositeLimit(Array(
+      ReadLimit.maxRows(70), ReadLimit.maxRows(25)))) == 25)
+    // a composite with no row component, or a looser-than-perBatch
+    // row cap, leaves the source's own batch size in charge
+    assert(advance(ReadLimit.compositeLimit(Array(
+      ReadLimit.maxFiles(3)))) == 40)
+    assert(advance(ReadLimit.compositeLimit(Array(
+      ReadLimit.maxRows(500)))) == 40)
+  }
+
   test("graft-gen streaming: restart from the checkpoint resumes at the committed offset") {
     // a fresh stream instance must restore its high-water mark from the
     // checkpointed offset (deserializeOffset/commit), not regress to lo

@@ -430,10 +430,18 @@ class PlanSpec extends SparkSpec {
       s"a global (single-partition) stage crept into mm07:\n$plan")
   }
 
-  test("dp13: exactly one Window node — only the heavy tail is ranked") {
+  test("dp13: exactly one Window node ranking only the derived <=N/10 tail — the threshold job never enters this plan") {
     val plan = planOf(run("dp13_balanced_shards"))
+    // the p90 threshold derivation (histogram cumsum) runs as its own
+    // bounded single-row job BEFORE this plan is built; the returned
+    // plan must contain exactly the heavy-rank window, gated by the
+    // derived literal, plus the windowless hashed light path. A second
+    // Window or any HashAggregate here means the histogram subtree
+    // leaked into (and is recomputed by) the main per-doc plan.
     val windows = plan.linesIterator.count(_.matches("\\(\\d+\\) Window.*"))
     assert(windows == 1, s"expected 1 Window (heavy tail only), got $windows:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"histogram subtree leaked into the per-doc plan:\n$plan")
   }
 
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
