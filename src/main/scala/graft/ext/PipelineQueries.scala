@@ -711,11 +711,17 @@ object PipelineQueries {
         // its own bounded SINGLE-ROW job (the tx ratio-totals
         // precedent) rather than a 1-row cross join — referencing a
         // cross-joined thr from both union branches would recompute
-        // the whole histogram subtree per branch. Pure-integer
+        // the whole histogram subtree per branch. The (doc_id, n_tok)
+        // frame is localCheckpoint'd (dd03's signature-frame rule:
+        // two longs per doc, referenced by the threshold job AND both
+        // union branches) so the text tokenizes exactly ONCE — without
+        // it the 500k headroom run paid three full tokenize scans
+        // (9.4 s vs ~3 s, SCALING.md round 14). Pure-integer
         // arithmetic throughout so the DuckDB oracle is exact.
         val nShards = 8L
         val t = docs(s, dir).select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .localCheckpoint()
         val n = t.agg(count(lit(1)).as("_n"))
         val hist = t.groupBy(col("n_tok")).agg(count(lit(1)).as("_c"))
         val cum = hist.withColumn("_cum",

@@ -862,6 +862,164 @@ object TextOps {
         round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
   }
 
+  /** Fixed BPE merge table for [[bpeEncode]] (tx25): (left, right)
+    * pairs in PRIORITY ORDER — earlier merges run first and their
+    * outputs feed later rules, so ("a","n") must precede ("an","d").
+    * tx11 is the training pass that would PRODUCE a table like this
+    * (each training round ranks pair counts and appends the winner);
+    * this one is fixed at common English bigrams so the fixture
+    * corpus exercises every rule, including a same-symbol rule
+    * ("e","e") whose matches self-overlap in runs. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "e"))
+
+  /** Merge rounds for [[bpeEncode]]. One round applies the whole
+    * table in order; a single exact-substring pass over a run of
+    * identical symbols merges alternate pairs (the consumed trailing
+    * delimiter hides the next match), so runs up to ~2^rounds resolve
+    * fully and anything longer is conservatively left partially
+    * unmerged — dd18's bounded-round convention. */
+  val BpeRounds = 3
+
+  /** Normalized merge body: lowercase, strip everything outside
+    * [a-z0-9] and whitespace, trim, collapse whitespace runs to one
+    * `#` word marker. The alphabet guarantee ([a-z0-9#] only) is what
+    * makes `|` a safe symbol delimiter in [[bpeEncode]]. Implemented
+    * as the one-pass codegen expression
+    * [[graft.functions.BpeNormalize]] (callers must
+    * `TextNorm.register` the session): the equivalent strip regex
+    * fails at every position of clean text and cost 24x more at the
+    * 500k headroom corpus (SCALING.md round 14). [[bpeBodyRegex]]
+    * keeps the regex spelling for the cross-implementation parity
+    * spec; [[bpeBodySql]] mirrors it for DuckDB. */
+  def bpeBody(text: Column): Column =
+    graft.functions.TextNorm.bpeNormalize(text)
+
+  /** The regex spelling of [[bpeBody]] — the executable specification
+    * [[graft.functions.BpeNormalize]] is parity-tested against, and
+    * the form [[bpeBodySql]] mirrors. Collapse-then-trim('#') rather
+    * than trim-then-collapse: plain trim strips only SPACES, so a
+    * trailing tab/newline would survive it and leave a trailing
+    * marker; trimming the collapsed markers drops every boundary
+    * whitespace run whatever its characters. Not on any hot path. */
+  def bpeBodyRegex(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]+", ""), "\\s+", "#"), "#")
+
+  /** BPE merge application, tokenizer training's step 2 (tx11 counts
+    * the candidates; this applies the learned table). The symbol
+    * sequence is encoded `|s1|s2|...|` (the `#` markers are their own
+    * symbols, absent from every rule, so merges cannot cross word
+    * boundaries) and one merge pass of rule (a,b) is ONE exact
+    * substring replace `|a|b|` -> `|ab|`. Left-to-right
+    * non-overlapping replacement is specified identically by Spark's
+    * StringReplace and DuckDB's replace(), so the oracle reproduces
+    * the merge chain byte-for-byte — no UDF, pure codegen'd string
+    * expressions, a per-row map at any corpus size. [[BpeRounds]]
+    * rounds of the full [[BpeMerges]] table in priority order. */
+  def bpeEncode(body: Column): Column = {
+    val enc0 = concat(lit("|"), regexp_replace(body, "(.)", "$1|"))
+    (1 to BpeRounds).foldLeft(enc0)((c, _) =>
+      BpeMerges.foldLeft(c) { case (cc, (a, b)) =>
+        org.apache.spark.sql.functions.replace(
+          cc, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+      })
+  }
+
+  /** DuckDB twin of [[bpeBody]] — same chain as [[bpeBodyRegex]]
+    * (RE2 'g' flag for Spark's global-by-default). */
+  def bpeBodySql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', '', 'g'), '\\s+', '#', 'g'), '#')"
+
+  /** DuckDB twin of [[bpeEncode]]: the identical replace chain,
+    * GENERATED from [[BpeMerges]]/[[BpeRounds]] so table and oracle
+    * cannot drift (the mm06 MaxSegSpread lesson). */
+  def bpeEncodeSql(bodyExpr: String): String = {
+    val enc0 = s"'|' || regexp_replace($bodyExpr, '(.)', '\\1|', 'g')"
+    (1 to BpeRounds).foldLeft(enc0)((c, _) =>
+      BpeMerges.foldLeft(c) { case (cc, (a, b)) =>
+        s"replace($cc, '|$a|$b|', '|$a$b|')"
+      })
+  }
+
+  /** Bounded-round BPE TRAINING (tx26) over the aggregated
+    * word-frequency table — the production trainer's shape: the corpus
+    * is scanned ONCE (tokenize + map-combined groupBy into `wordFreq`:
+    * (tok, freq), bounded by |vocab| not |corpus|), and every training
+    * round runs on that small table only. Per round: encode each word
+    * with the merges learned so far (one [[bpeEncode]]-style replace
+    * pass per merge, in learned order), count adjacent symbol pairs
+    * weighted by word frequency (overlapping occurrences count, the
+    * standard BPE convention), and take the argmax with a
+    * deterministic (count DESC, pair ASC) tiebreak — a bounded 1-row
+    * job per round. Stops early when no pair remains. Returns
+    * (round, left, right, weighted_count) in learned order; feed the
+    * (left, right) list to [[bpeEncode]]'s table shape to APPLY it
+    * (tx25). tx11 is exactly one round of this, unweighted. */
+  def bpeTrain(wordFreq: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val enc = learned.foldLeft(
+        concat(lit("|"), regexp_replace(col("tok"), "(.)", "$1|"))) {
+        case (c, (_, a, b, _)) =>
+          org.apache.spark.sql.functions.replace(
+            c, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+      }
+      val top = wordFreq.select(enc.as("_e"), col("freq"))
+        .select(expr("filter(split(_e, '\\\\|'), x -> x != '')").as("_syms"),
+          col("freq"))
+        .filter(size(col("_syms")) >= 2)
+        .select(explode(expr("transform(sequence(0, size(_syms) - 2)," +
+          " i -> concat(_syms[i], '|', _syms[i+1]))")).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split("\\|", 2)
+        learned += ((r, a, b, top(0).getLong(1)))
+      }
+    }
+    learned.toList
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: rounds unrolled as CTEs (the
+    * dd18/dp12 convention); each round's argmax is a LIMIT-1 CTE whose
+    * pair feeds the next round's replace via scalar subqueries.
+    * Assumes the corpus sustains all `rounds` rounds (true of the
+    * fixtures; the Spark side's early exit is spec-covered on a
+    * planted exhausted vocab). `wfSql` must yield (tok, freq). */
+  def bpeTrainOracleSql(wfSql: String, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""p$r AS (SELECT pair, sum(freq) AS n FROM (
+         |    SELECT unnest(list_transform(
+         |        range(2, len(str_split(enc, '|')) - 1),
+         |        i -> str_split(enc, '|')[i] || '|' || str_split(enc, '|')[i+1]))
+         |      AS pair, freq
+         |    FROM $prev WHERE len(str_split(enc, '|')) >= 4) GROUP BY pair),
+         |m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |e$r AS (SELECT replace(enc,
+         |    '|' || (SELECT pair FROM m$r) || '|',
+         |    '|' || replace((SELECT pair FROM m$r), '|', '') || '|') AS enc,
+         |    freq
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, n FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH wf AS ($wfSql),
+       |e0 AS (SELECT '|' || regexp_replace(tok, '(.)', '\\1|', 'g') AS enc,
+       |    freq FROM wf),
+       |$roundCtes
+       |SELECT CAST(round AS BIGINT) AS round,
+       |  split_part(pair, '|', 1) AS left_sym,
+       |  split_part(pair, '|', 2) AS right_sym,
+       |  CAST(n AS BIGINT) AS n
+       |FROM ($out) ORDER BY round""".stripMargin
+  }
+
   /** Attribute verified near-dup pairs to source pairs: two hashed
     * joins on doc_id, then a count per (least, greatest) source cell —
     * off-diagonal cells are cross-source leakage, the diagonal is

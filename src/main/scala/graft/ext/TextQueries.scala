@@ -1170,5 +1170,82 @@ object TextQueries {
              |    * ln((CAST(n_a + 1 AS DOUBLE) / (ta + nb))
              |        / (CAST(n_b + 1 AS DOUBLE) / (tb + nb))), 6) AS psi_contrib
              |FROM c, tot ORDER BY bucket""".stripMargin)),
+
+    CatalogQuery(
+      "tx25_bpe_tokenize",
+      "BPE tokenizer application (tx11's training counts pair candidates; this applies the learned merge table): bounded-round pair replacement per doc, reporting symbol count before, token count after, and an md5 fingerprint of the full token sequence",
+      (s, dir) => {
+        // The single most-used operator in a training pipeline once a
+        // tokenizer exists: turn text into token counts (for packing,
+        // budgets, billing) by APPLYING a merge table. Semantics and
+        // the cross-engine-exact replace encoding live in
+        // TextOps.bpeEncode; here: n_sym = characters entering the
+        // merge loop (the word markers excluded), n_tok = symbols
+        // left after BpeRounds rounds, token_md5 pins the exact token
+        // SEQUENCE (not just its length) so the oracle catches a
+        // reordered or mis-merged chain. Scale shape: a pure per-row
+        // projection of codegen'd string expressions — no shuffle
+        // before the presentation sort, flat per-doc cost.
+        graft.functions.TextNorm.register(s)
+        val body = TextOps.bpeBody(col("text"))
+        val enc = TextOps.bpeEncode(body)
+        docs(s, dir)
+          .select(col("doc_id"), body.as("_body"), enc.as("_enc"))
+          .select(col("doc_id"),
+            length(replace(col("_body"), lit("#"), lit(""))).cast("long")
+              .as("n_sym"),
+            (length(col("_enc"))
+              - length(replace(col("_enc"), lit("|"), lit(""))) - 1
+              - (length(col("_body"))
+                 - length(replace(col("_body"), lit("#"), lit("")))))
+              .cast("long").as("n_tok"),
+            md5(col("_enc")).as("token_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH b AS (
+             |  SELECT doc_id, ${TextOps.bpeBodySql} AS body
+             |  FROM documents),
+             |e AS (SELECT doc_id, body,
+             |    ${TextOps.bpeEncodeSql("body")} AS enc
+             |  FROM b)
+             |SELECT doc_id,
+             |  CAST(length(replace(body, '#', '')) AS BIGINT) AS n_sym,
+             |  CAST(length(enc) - length(replace(enc, '|', '')) - 1
+             |    - (length(body) - length(replace(body, '#', ''))) AS BIGINT)
+             |    AS n_tok,
+             |  md5(enc) AS token_md5
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "tx26_bpe_train",
+      "BPE tokenizer TRAINING, bounded rounds (tx11 is one unweighted round; tx25 applies the result): one corpus scan builds the word-frequency table, then each round counts frequency-weighted adjacent symbol pairs over that vocab-bounded table, takes the deterministic argmax, and merges it — the learned merge table out",
+      (s, dir) => {
+        // The production trainer's scale shape: the corpus-sized work
+        // is ONE tokenize scan + a map-combined groupBy into (tok,
+        // freq) — bounded by |vocab|, localCheckpoint'd — and all
+        // training rounds run on that small table (each round a
+        // bounded 1-row argmax job, the tx ratio-totals precedent).
+        // Semantics in TextOps.bpeTrain; the oracle unrolls the same
+        // rounds as CTEs with the learned pair flowing through scalar
+        // subqueries.
+        import s.implicits._
+        graft.functions.TextNorm.register(s)
+        val wf = docs(s, dir).select(TextOps.bpeBody(col("text")).as("_b"))
+          .select(explode(split(col("_b"), "#")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+          .localCheckpoint()
+        TextOps.bpeTrain(wf, 4)
+          .toDF("round", "left_sym", "right_sym", "n")
+          .select(col("round").cast("long").as("round"),
+            col("left_sym"), col("right_sym"), col("n"))
+          .orderBy(col("round"))
+      },
+      Some(TextOps.bpeTrainOracleSql(
+        s"""SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+           |    SELECT unnest(list_filter(
+           |        str_split(${TextOps.bpeBodySql}, '#'), x -> x != ''))
+           |      AS tok
+           |    FROM documents) GROUP BY tok""".stripMargin, 4))),
   )
 }

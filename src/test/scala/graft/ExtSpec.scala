@@ -1319,6 +1319,63 @@ class ExtSpec extends SparkSpec {
       5L -> ((5L, 384615L, -584616L))), s"got $got")
   }
 
+  test("tx25 BPE apply: chained merges, same-symbol runs, normalization, and the exact token sequence — hand-checked") {
+    // doc 0 "The thin!": body the#thin; (t,h) merges BOTH words in one
+    //   pass (non-overlapping matches are all taken), (th,e) chains on
+    //   the first, (i,n) on the second -> [the, #, th, in]: 3 tokens
+    // doc 1 "eeee": same-symbol rule (e,e) — pass 1 consumes the
+    //   shared delimiter so only alternate pairs merge ([ee, e, e]),
+    //   round 2 finishes -> [ee, ee]
+    // doc 2 "eee": greedy-left leaves the odd tail -> [ee, e]
+    // doc 3 "AND": lowercased, (a,n) then (an,d) nest -> [and]
+    // doc 4 "..." normalizes to empty -> 0 symbols, 0 tokens
+    // doc 5 "order": (e,r) fires before (o,r); (r,e) finds nothing
+    //   left -> [or, d, er]
+    // doc 6 "there": (th,e) consumes the e that (e,r) would have
+    //   wanted — priority order decides -> [the, re]
+    val dir = java.nio.file.Files.createTempDirectory("tx25-planted").toString
+    import spark.implicits._
+    val rows = Seq((0L, "The thin!"), (1L, "eeee"), (2L, "eee"),
+      (3L, "AND"), (4L, "..."), (5L, "order"), (6L, "there"))
+    plantDocs(rows.toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("tx25_bpe_tokenize")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = Map(
+      0L -> ((7L, 3L, md5hex("|the|#|th|in|"))),
+      1L -> ((4L, 2L, md5hex("|ee|ee|"))),
+      2L -> ((3L, 2L, md5hex("|ee|e|"))),
+      3L -> ((3L, 1L, md5hex("|and|"))),
+      4L -> ((0L, 0L, md5hex("|"))),
+      5L -> ((5L, 3L, md5hex("|or|d|er|"))),
+      6L -> ((5L, 2L, md5hex("|the|re|"))))
+    assert(got == want, s"got $got")
+  }
+
+  test("tx26 BPE train: frequency-weighted overlapping pair counts, greedy argmax, and early exit when the vocab is exhausted") {
+    // wf: aa:3, ab:2, aaa:1, b:1. Round 1: (a,a) = 3 (one per "aa")
+    //   + 2 (TWO overlapping per "aaa") = 5 beats (a,b) = 2.
+    // Round 2: "aaa" encoded by ONE greedy-left pass is [aa, a], so
+    //   the surviving pairs are (aa,a):1 and (a,b):2 -> (a,b).
+    // Round 3: (aa,a):1 is all that remains.
+    // Round 4: nothing left — the trainer stops at 3 merges even
+    //   though 4 rounds were requested.
+    val dir = java.nio.file.Files.createTempDirectory("tx26-planted").toString
+    import spark.implicits._
+    val rows = Seq((0L, "aa aa aa"), (1L, "ab ab"), (2L, "aaa"), (3L, "b"))
+    plantDocs(rows.toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("tx26_bpe_train")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "a", "a", 5L),
+      (2L, "a", "b", 2L),
+      (3L, "aa", "a", 1L)), s"got $got")
+  }
+
   test("ss11 MMR: the driver-side greedy refuses a page past the 64-candidate bound") {
     // the greedy is O(|page|^2) on the DRIVER by design; a caller
     // feeding it an unbounded candidate set must fail loudly, not

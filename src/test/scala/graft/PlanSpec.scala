@@ -444,6 +444,19 @@ class PlanSpec extends SparkSpec {
       s"histogram subtree leaked into the per-doc plan:\n$plan")
   }
 
+  test("tx25: a pure per-row map — no aggregate or join, one presentation-sort exchange, merge chain in codegen") {
+    val plan = planOf(run("tx25_bpe_tokenize"))
+    // the whole merge application is nested built-in string
+    // expressions (all codegen'd) in Project nodes; any aggregate or
+    // join here means the tokenizer grew a corpus-sized stage
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"tx25 grew a non-map stage:\n$plan")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"extra shuffle in a per-row map ($exchanges):\n$plan")
+    assert(plan.contains("replace("),
+      s"merge chain missing from the projection:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
