@@ -26,17 +26,23 @@ object PipelineQueries {
     * (which measures drift "between dp02's splits" and must therefore
     * always use dp02's actual rule): membership is a pure function of
     * doc_id (md5 of a salted id; ~5% val, ~5% test). */
-  val splitCol: org.apache.spark.sql.Column = {
-    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+  /** The split rule on an arbitrary id column (ss12 keys it on
+    * vec_id); [[splitCol]] is the documents-table instance. */
+  def splitColFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = substring(md5(concat(lit("split:"), id.cast("string"))), 1, 2)
     when(h < "0d", lit("val")).when(h < "1a", lit("test")).otherwise(lit("train"))
   }
 
-  /** The DuckDB rendering of [[splitCol]], interpolated into both
-    * oracles so the rule cannot drift between engines or queries. */
-  val splitSql: String =
-    """CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
-      |     WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
-      |     ELSE 'train' END""".stripMargin
+  val splitCol: org.apache.spark.sql.Column = splitColFor(col("doc_id"))
+
+  /** The DuckDB rendering of [[splitColFor]], interpolated into every
+    * oracle so the rule cannot drift between engines or queries. */
+  def splitSqlFor(idExpr: String): String =
+    s"""CASE WHEN substr(md5('split:' || CAST($idExpr AS VARCHAR)), 1, 2) < '0d' THEN 'val'
+       |     WHEN substr(md5('split:' || CAST($idExpr AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+       |     ELSE 'train' END""".stripMargin
+
+  val splitSql: String = splitSqlFor("doc_id")
 
   /** dp05's typed row: (doc, its hash bucket, its token count). */
   case class DocTok(doc_id: Long, bucket: Long, n_tok: Long)

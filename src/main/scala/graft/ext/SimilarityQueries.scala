@@ -1272,6 +1272,97 @@ object SimilarityQueries {
            |  rel_e6, mmr_e6
            |FROM ($out) ORDER BY rank""".stripMargin
       }),
+
+    CatalogQuery(
+      "ss12_embedding_split_drift",
+      "Embedding-space drift between dp02's train/val splits: per-label centroid cosine on integer-quantized components — the representation-shift check complementing tx24's count drift (cos_e6 near 1e6 = cohorts occupy the same region)",
+      (s, dir) => {
+        // tx24 catches COUNT drift between the splits; this catches
+        // drift in the embedding SPACE the counts can't see (val
+        // drawn from a different region trains a model that evals on
+        // the wrong manifold). Determinism rule: float sums depend on
+        // reduction order, so every component is quantized to an
+        // integer (round(v*1e3)) BEFORE aggregation — integer sums
+        // are order-independent, both engines aggregate exactly, and
+        // the one double expression (the cosine) runs on identical
+        // integers. Cosine is scale-invariant, so raw per-dim SUMS
+        // stand in for centroids (no division). Scale shape: one
+        // posexplode + map-combined (label x split x 64-dim) sum —
+        // output bounded by labels x 2 x 64 whatever the corpus; the
+        // cosine join runs on that small relation. A label missing
+        // either cohort drops out (no centroid to compare).
+        val sp = embeddings(s, dir)
+          .select(col("label").cast("long").as("label"),
+            graft.ext.PipelineQueries.splitColFor(col("vec_id")).as("split"),
+            col("v"))
+          .filter(col("split").isin("train", "val"))
+        val q = sp.select(col("label"), col("split"),
+            posexplode(col("v")).as(Seq("dim", "vv")))
+          .select(col("label"), col("split"), col("dim"),
+            round(col("vv") * 1e3).cast("long").as("qv"))
+        val sums = q.groupBy(col("label"), col("split"), col("dim"))
+          .agg(sum(col("qv")).as("s"))
+        val cnt = sp.groupBy(col("label"), col("split"))
+          .agg(count(lit(1)).as("n"))
+        val a = sums.filter(col("split") === "train")
+          .select(col("label"), col("dim"), col("s").as("sa"))
+        val b = sums.filter(col("split") === "val")
+          .select(col("label"), col("dim"), col("s").as("sb"))
+        val d = a.join(b, Seq("label", "dim"))
+          .groupBy(col("label"))
+          .agg(sum(col("sa") * col("sb")).as("sab"),
+            sum(col("sa") * col("sa")).as("saa"),
+            sum(col("sb") * col("sb")).as("sbb"))
+        val na = cnt.filter(col("split") === "train")
+          .select(col("label"), col("n").as("n_train"))
+        val nb = cnt.filter(col("split") === "val")
+          .select(col("label"), col("n").as("n_val"))
+        d.join(na, "label").join(nb, "label")
+          .select(col("label"), col("n_train"), col("n_val"),
+            when(col("saa") === 0 || col("sbb") === 0, lit(null))
+              .otherwise(round(col("sab").cast("double")
+                / (sqrt(col("saa").cast("double"))
+                   * sqrt(col("sbb").cast("double"))) * 1e6))
+              .cast("long").as("cos_e6"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0
+             |  FROM embeddings),
+             |nv AS (
+             |  SELECT vec_id, label,
+             |    CASE WHEN list_dot_product(v0, v0) = 0 THEN v0
+             |         ELSE list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0)))
+             |    END AS v
+             |  FROM e),
+             |sp AS (SELECT CAST(label AS BIGINT) AS label,
+             |    ${graft.ext.PipelineQueries.splitSqlFor("vec_id")} AS split, v
+             |  FROM nv),
+             |f AS (SELECT * FROM sp WHERE split IN ('train', 'val')),
+             |q AS (SELECT label, split,
+             |    unnest(range(1, len(v) + 1)) AS dim,
+             |    CAST(round(unnest(v) * 1000) AS BIGINT) AS qv
+             |  FROM f),
+             |sums AS (SELECT label, split, dim, sum(qv) AS s
+             |  FROM q GROUP BY 1, 2, 3),
+             |cnt AS (SELECT label, split, count(*) AS n FROM f GROUP BY 1, 2),
+             |d AS (SELECT a.label,
+             |    sum(a.s * b.s) AS sab, sum(a.s * a.s) AS saa,
+             |    sum(b.s * b.s) AS sbb
+             |  FROM sums a JOIN sums b
+             |    ON a.label = b.label AND a.dim = b.dim
+             |    AND a.split = 'train' AND b.split = 'val'
+             |  GROUP BY a.label)
+             |SELECT d.label, CAST(na.n AS BIGINT) AS n_train,
+             |  CAST(nb.n AS BIGINT) AS n_val,
+             |  CAST(CASE WHEN saa = 0 OR sbb = 0 THEN NULL
+             |    ELSE round(CAST(sab AS DOUBLE)
+             |      / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))
+             |      * 1e6) END AS BIGINT) AS cos_e6
+             |FROM d
+             |JOIN cnt na ON na.label = d.label AND na.split = 'train'
+             |JOIN cnt nb ON nb.label = d.label AND nb.split = 'val'
+             |ORDER BY d.label""".stripMargin)),
   )
 
   /** Greedy MMR selection over an already-retrieved candidate page:

@@ -313,6 +313,50 @@ object EventsStream {
         col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** Streaming distribution-drift monitor (batch twin:
+    * e09_stream_drift): per-day event-type PSI contributions against a
+    * STATIC reference histogram — the live "did today's traffic shift
+    * from what we trained/planned on" alarm (tx24's PSI arithmetic
+    * lifted onto event-time windows). The reference arrives as driver
+    * data (`refCounts`: (event_type, global_count) — bounded by
+    * |types|, the precomputed artifact a production monitor would
+    * load), so the plan needs ONE stateful aggregation: a watermarked
+    * per-day window with a conditional count per reference type; the
+    * per-type explode and all PSI arithmetic run stateless AFTER the
+    * agg. Laplace-smoothed exactly like tx24 ((n+1)/(n_w+T) vs
+    * (n_t+1)/(N+T)) so an absent type contributes finite drift mass
+    * instead of a NaN. Types in the stream but NOT in the reference
+    * count toward the window total and get no row — the unknown-type
+    * alarm is a different monitor. Output: (day_start, event_type, n,
+    * psi_contrib) per closed window, value-identical to the batch twin
+    * on the same data (StreamingSpec pins it). */
+  def driftContributions(events: DataFrame,
+      refCounts: Seq[(String, Long)]): DataFrame = {
+    require(refCounts.nonEmpty, "drift monitor needs a reference histogram")
+    val ref = refCounts.sortBy(_._1)
+    val t = ref.length
+    val totalN = ref.map(_._2).sum
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_w"),
+        ref.zipWithIndex.map { case ((ty, _), i) =>
+          sum(when(col("event_type") === ty, 1L).otherwise(0L)).as(s"_n$i")
+        }: _*)
+    val cells = array(ref.zipWithIndex.map { case ((ty, nT), i) =>
+      struct(lit(ty).as("event_type"), col(s"_n$i").as("n"),
+        lit(nT).as("n_t"))
+    }: _*)
+    val exploded = agg
+      .select(col("window.start").as("day_start"), col("n_w"),
+        explode(cells).as("c"))
+    val pw = (col("c.n") + 1).cast("double") / (col("n_w") + lit(t))
+    val pr = (col("c.n_t") + 1).cast("double") / (lit(totalN) + lit(t))
+    exploded.select(col("day_start"), col("c.event_type").as("event_type"),
+      col("c.n").as("n"),
+      round((pw - pr) * log(pw / pr), 6).as("psi_contrib"))
+  }
+
   /** Drive a streaming DataFrame to completion against an in-memory
     * sink and return the materialized result (test/dev harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

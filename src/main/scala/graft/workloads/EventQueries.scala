@@ -299,5 +299,62 @@ object EventQueries {
              |      nullif(lag(n_users, 1) OVER (ORDER BY stage), 0) END
              |    AS BIGINT) AS conv_e6
              |FROM st ORDER BY stage""".stripMargin)),
+
+    CatalogQuery(
+      "e09_stream_drift",
+      "Distribution-drift monitor: per-day event-type PSI contributions against the global reference histogram (tx24's Laplace-smoothed arithmetic on event-time windows) — the traffic-shift alarm; batch twin of EventsStream.driftContributions",
+      (s, dir) => {
+        // Fully relational here so DuckDB mirrors it (the streaming
+        // form takes the reference as driver data and keeps ONE
+        // stateful agg — EventsStream.driftContributions; the
+        // StreamingSpec pins value-parity between the two). Every
+        // relation is (days x types)-bounded after map-combined
+        // counts: window-type cells cross-joined from the broadcast
+        // reference so ZERO-count cells exist and smoothing prices
+        // them; absent-from-window types are the drift signal.
+        val e = ev(s, dir)
+        val day = window(col("ts"), "1 day").getField("start")
+        val wt = e.groupBy(day.as("day_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val wtot = e.groupBy(day.as("day_start"))
+          .agg(count(lit(1)).as("n_w"))
+        val ref = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+        val g = e.agg(count(lit(1)).as("nn"))
+          .crossJoin(ref.agg(count(lit(1)).as("t")))
+        val cells = wtot.crossJoin(broadcast(ref))
+          .join(wt, Seq("day_start", "event_type"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .crossJoin(broadcast(g))
+        val pw = (col("n") + 1).cast("double") / (col("n_w") + col("t"))
+        val pr = (col("n_t") + 1).cast("double") / (col("nn") + col("t"))
+        cells.select(col("day_start"), col("event_type"), col("n"),
+          round((pw - pr) * log(pw / pr), 6).as("psi_contrib"))
+          .orderBy(col("day_start"), col("event_type"))
+      },
+      Some("""WITH wt AS (
+             |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+             |    event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |wtot AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+             |      AS day_start,
+             |    count(*) AS n_w
+             |  FROM events GROUP BY 1),
+             |ref AS (SELECT event_type, count(*) AS n_t
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT (SELECT count(*) FROM events) AS nn,
+             |  (SELECT count(*) FROM ref) AS t),
+             |cells AS (
+             |  SELECT w.day_start, r.event_type, w.n_w, r.n_t,
+             |    coalesce(wt.n, 0) AS n
+             |  FROM wtot w CROSS JOIN ref r
+             |  LEFT JOIN wt ON wt.day_start = w.day_start
+             |    AND wt.event_type = r.event_type)
+             |SELECT c.day_start, c.event_type, CAST(c.n AS BIGINT) AS n,
+             |  round((CAST(c.n + 1 AS DOUBLE) / (c.n_w + g.t)
+             |       - CAST(c.n_t + 1 AS DOUBLE) / (g.nn + g.t))
+             |    * ln((CAST(c.n + 1 AS DOUBLE) / (c.n_w + g.t))
+             |        / (CAST(c.n_t + 1 AS DOUBLE) / (g.nn + g.t))), 6)
+             |    AS psi_contrib
+             |FROM cells c, g ORDER BY c.day_start, c.event_type""".stripMargin)),
   )
 }

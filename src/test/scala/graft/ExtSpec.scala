@@ -1376,6 +1376,44 @@ class ExtSpec extends SparkSpec {
       (3L, "aa", "a", 1L)), s"got $got")
   }
 
+  test("ss12 embedding split drift: identical cohorts read 1e6, orthogonal cohorts read 0, test-split vectors are ignored") {
+    // ids are classified with the REAL split rule (md5 prefix), so the
+    // spec plants vectors knowing each id's cohort: label 0's train
+    // and val vectors all point along e1 (cos_e6 = 1e6 exactly after
+    // quantization), label 1's val cohort is orthogonal to its train
+    // cohort (cos_e6 = 0); a test-split vector planted at a wild
+    // direction must not perturb either.
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      if (h < "0d") "val" else if (h < "1a") "test" else "train"
+    }
+    val ids = (0L until 4000L)
+    val trainIds = ids.filter(splitOf(_) == "train").take(6)
+    val valIds = ids.filter(splitOf(_) == "val").take(4)
+    val testId = ids.find(splitOf(_) == "test").get
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 1f, 0f, 0f)
+    val wild = Seq(0.3f, -0.9f, 0.2f, 0.1f)
+    val rows =
+      trainIds.take(3).map(id => (id, e1, 0)) ++
+        valIds.take(2).map(id => (id, e1, 0)) ++
+        trainIds.drop(3).map(id => (id, e1, 1)) ++
+        valIds.drop(2).map(id => (id, e2, 1)) ++
+        Seq((testId, wild, 0))
+    val dir = java.nio.file.Files.createTempDirectory("ss12-planted").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("ss12_embedding_split_drift")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      0L -> ((3L, 2L, 1000000L)),
+      1L -> ((3L, 2L, 0L))), s"got $got")
+  }
+
   test("ss11 MMR: the driver-side greedy refuses a page past the 64-candidate bound") {
     // the greedy is O(|page|^2) on the DRIVER by design; a caller
     // feeding it an unbounded candidate set must fail loudly, not

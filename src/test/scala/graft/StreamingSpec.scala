@@ -220,4 +220,32 @@ class StreamingSpec extends SparkSpec {
     // and no session is emitted twice
     assert(got.distinct().count() == got.count())
   }
+
+  test("streaming drift monitor emits rows value-identical to the batch twin for every closed window") {
+    // the reference histogram is the batch global distribution (the
+    // precomputed artifact a production monitor loads); each emitted
+    // (day, type) cell must carry the SAME count and PSI contribution
+    // the batch twin computes on the full fixture — drift arithmetic
+    // may not depend on micro-batch boundaries
+    val refCounts = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.driftContributions(stream, refCounts), "drift_test",
+      OutputMode.Append()).cache()
+    assert(got.count() > 0, "no window closed below the final watermark")
+    val batch = SparkEntry.queries("e09_stream_drift")(spark, sfDir)
+      .withColumnRenamed("n", "b_n")
+      .withColumnRenamed("psi_contrib", "b_psi")
+    val joined = got.join(batch, Seq("day_start", "event_type"), "left")
+    assert(joined.filter(col("b_n").isNull).count() == 0,
+      "streamed a (day, type) cell the batch twin does not have")
+    val mismatched = joined.filter(
+      col("n") =!= col("b_n") || col("psi_contrib") =!= col("b_psi")).count()
+    assert(mismatched == 0, s"$mismatched cells diverge from the batch twin")
+    // one row per (window, reference type) — no duplicate emission
+    assert(got.groupBy("day_start", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }
