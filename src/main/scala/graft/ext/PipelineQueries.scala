@@ -23,11 +23,11 @@ object PipelineQueries {
     Tables.table(s, dir, "documents")
 
   /** dp02's deterministic split rule — THE one copy, shared with tx24
-    * (which measures drift "between dp02's splits" and must therefore
-    * always use dp02's actual rule): membership is a pure function of
-    * doc_id (md5 of a salted id; ~5% val, ~5% test). */
-  /** The split rule on an arbitrary id column (ss12 keys it on
-    * vec_id); [[splitCol]] is the documents-table instance. */
+    * and ss12 (which measure drift "between dp02's splits" and must
+    * therefore always use dp02's actual rule): membership is a pure
+    * function of the id (md5 of a salted id; ~5% val, ~5% test).
+    * Parameterized over the id column because ss12 keys it on vec_id;
+    * [[splitCol]] is the documents-table instance. */
   def splitColFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val h = substring(md5(concat(lit("split:"), id.cast("string"))), 1, 2)
     when(h < "0d", lit("val")).when(h < "1a", lit("test")).otherwise(lit("train"))

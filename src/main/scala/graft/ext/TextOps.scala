@@ -855,11 +855,24 @@ object TextOps {
         sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L)).as("n_b"))
     val tot = c.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"),
       count(lit(1)).as("_nb"))
-    val pa = (col("n_a") + 1).cast("double") / (col("_ta") + col("_nb"))
-    val pb = (col("n_b") + 1).cast("double") / (col("_tb") + col("_nb"))
     c.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_a"), col("n_b"),
-        round((pa - pb) * log(pa / pb), 6).as("psi_contrib"))
+        psiCellExpr(col("n_a"), col("_ta"), col("n_b"), col("_tb"),
+          col("_nb")).as("psi_contrib"))
+  }
+
+  /** One Laplace-smoothed PSI cell — THE one copy of the drift
+    * arithmetic. tx24 (psiContributions), e09's batch twin, and the
+    * streaming monitor (EventsStream.driftContributions) are required
+    * to stay BIT-identical (StreamingSpec pins streaming == batch), so
+    * they all build the expression here: pa = (nA+1)/(totA+k),
+    * pb = (nB+1)/(totB+k), round((pa-pb)*ln(pa/pb), 6). `k` is the
+    * smoothing cell count (buckets / reference types). */
+  def psiCellExpr(nA: Column, totA: Column, nB: Column, totB: Column,
+      k: Column): Column = {
+    val pa = (nA + 1).cast("double") / (totA + k)
+    val pb = (nB + 1).cast("double") / (totB + k)
+    round((pa - pb) * log(pa / pb), 6)
   }
 
   /** Fixed BPE merge table for [[bpeEncode]] (tx25): (left, right)
@@ -928,9 +941,16 @@ object TextOps {
   }
 
   /** DuckDB twin of [[bpeBody]] — same chain as [[bpeBodyRegex]]
-    * (RE2 'g' flag for Spark's global-by-default). */
+    * (RE2 'g' flag for Spark's global-by-default). The whitespace
+    * class is spelled out as `[ \t\n\x0b\f\r]` rather than `\s`
+    * because RE2's `\s` EXCLUDES vertical tab while Java's includes
+    * it — with bare `\s` a document containing \v would normalize to
+    * "foo#bar" in Spark but "foobar" in the oracle (review finding,
+    * round 14; the explicit class is exactly Java's \s set). */
   def bpeBodySql: String =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', '', 'g'), '\\s+', '#', 'g'), '#')"
+    "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 \\t\\n\\x0b\\f\\r]+', '', 'g'), " +
+      "'[ \\t\\n\\x0b\\f\\r]+', '#', 'g'), '#')"
 
   /** DuckDB twin of [[bpeEncode]]: the identical replace chain,
     * GENERATED from [[BpeMerges]]/[[BpeRounds]] so table and oracle

@@ -333,6 +333,10 @@ object EventsStream {
   def driftContributions(events: DataFrame,
       refCounts: Seq[(String, Long)]): DataFrame = {
     require(refCounts.nonEmpty, "drift monitor needs a reference histogram")
+    require(refCounts.map(_._1).distinct.size == refCounts.size,
+      "reference histogram has duplicate event types — a malformed " +
+        "artifact would emit duplicate cells and mis-smooth every PSI: " +
+        refCounts.map(_._1).mkString(", "))
     val ref = refCounts.sortBy(_._1)
     val t = ref.length
     val totalN = ref.map(_._2).sum
@@ -350,11 +354,10 @@ object EventsStream {
     val exploded = agg
       .select(col("window.start").as("day_start"), col("n_w"),
         explode(cells).as("c"))
-    val pw = (col("c.n") + 1).cast("double") / (col("n_w") + lit(t))
-    val pr = (col("c.n_t") + 1).cast("double") / (lit(totalN) + lit(t))
     exploded.select(col("day_start"), col("c.event_type").as("event_type"),
       col("c.n").as("n"),
-      round((pw - pr) * log(pw / pr), 6).as("psi_contrib"))
+      graft.ext.TextOps.psiCellExpr(col("c.n"), col("n_w"),
+        col("c.n_t"), lit(totalN), lit(t)).as("psi_contrib"))
   }
 
   /** Drive a streaming DataFrame to completion against an in-memory

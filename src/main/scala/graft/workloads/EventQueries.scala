@@ -325,10 +325,9 @@ object EventQueries {
           .join(wt, Seq("day_start", "event_type"), "left")
           .withColumn("n", coalesce(col("n"), lit(0L)))
           .crossJoin(broadcast(g))
-        val pw = (col("n") + 1).cast("double") / (col("n_w") + col("t"))
-        val pr = (col("n_t") + 1).cast("double") / (col("nn") + col("t"))
         cells.select(col("day_start"), col("event_type"), col("n"),
-          round((pw - pr) * log(pw / pr), 6).as("psi_contrib"))
+          graft.ext.TextOps.psiCellExpr(col("n"), col("n_w"),
+            col("n_t"), col("nn"), col("t")).as("psi_contrib"))
           .orderBy(col("day_start"), col("event_type"))
       },
       Some("""WITH wt AS (

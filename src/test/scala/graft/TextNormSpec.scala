@@ -26,6 +26,8 @@ class TextNormSpec extends SparkSpec {
     "a !b", // stripped punct inside a whitespace run -> one marker
     "a!b c", // stripped punct glues the word, space still marks
     "tabs\tand\nnewlines\r\n", // every Java \s char collapses
+    "foo\u000Bbar", // vertical tab IS Java \s (RE2's \s excludes it —
+    // the oracle spells the class out; this sample pins the Spark side)
     "digits 123 mix4ed", // digits kept
     "!!!", "", "   ", // all-stripped, empty, all-whitespace
     "café naïve", // multi-byte chars stripped, ASCII kept
@@ -49,6 +51,39 @@ class TextNormSpec extends SparkSpec {
     // null in -> null out
     val nullRow = rows.find(_.isNullAt(0)).get
     assert(nullRow.isNullAt(1) && nullRow.isNullAt(2))
+  }
+
+  test("bpe_normalize equals the JVM regex chain on 2000 random mixed strings (property)") {
+    // pure-JVM property check (no Spark plan): TextNorm.normalize vs
+    // the reference chain lower -> strip [^a-z0-9\s]+ -> collapse \s+
+    // to '#' -> trim '#', over random strings mixing case, digits,
+    // every Java \s character, punctuation (including the '#' and '|'
+    // the encoding itself uses), multi-byte chars, and a surrogate
+    // pair. The documented exception class (non-ASCII whose Unicode
+    // lowercase is ASCII, e.g. Kelvin sign) is excluded by
+    // construction of the alphabet.
+    val tokens = Seq("a", "z", "Q", "M", "0", "9", " ", "\t", "\n",
+      "\u000B", "\f", "\r", "!", "?", ".", ",", "|", "#", "-", "_",
+      "é", "日", new String(Character.toChars(0x1F600)))
+    def reference(s: String): String =
+      s.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9\\s]+", "")
+        .replaceAll("\\s+", "#")
+        .replaceAll("^#+|#+$", "")
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(tokens))
+      .map(_.mkString)
+    val seed = org.scalacheck.rng.Seed(42L)
+    val params = org.scalacheck.Gen.Parameters.default
+    var s = seed
+    (1 to 2000).foreach { _ =>
+      val str = gen.pureApply(params, s)
+      s = s.next
+      val got = graft.functions.TextNorm.normalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(str)).toString
+      assert(got == reference(str),
+        s"mismatch on ${str.map(c => f"\\u${c.toInt}%04x").mkString}: " +
+          s"got '$got' want '${reference(str)}'")
+    }
   }
 
   test("bpe_normalize codegen and interpreted paths agree") {
