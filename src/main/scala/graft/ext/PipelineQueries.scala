@@ -813,5 +813,63 @@ object PipelineQueries {
              |SELECT doc_id, source, n_tok,
              |  CAST(CASE WHEN cum <= 1500 THEN 1 ELSE 0 END AS BIGINT) AS admitted
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "dp15_bpe_pack",
+      "Sequence packing on REAL tokenizer counts: dp01's closed-form concat-then-chunk keyed on tx25's BPE token count instead of the whitespace proxy — the packing manifest a pipeline actually ships once a tokenizer exists",
+      (s, dir) => {
+        // Every packing/budget operator up to here used whitespace
+        // token counts as the stand-in; this is the production
+        // composition — tx25's merge-table application supplies n_tok
+        // (word markers excluded), dp01's bucketed cumsum supplies the
+        // chunk spans. Same scale shape as both parents: a per-row
+        // codegen'd string chain feeding a per-bucket (never global)
+        // window. Chunks differ from dp01 exactly where BPE compresses
+        // (merged pairs shrink a doc's footprint), which is the point:
+        // chunk counts from proxy token counts misprice every batch.
+        graft.functions.TextNorm.register(s)
+        val b = 256L
+        val body = TextOps.bpeBody(col("text"))
+        val t = docs(s, dir)
+          .select(col("doc_id"), body.as("_body"),
+            TextOps.bpeEncode(body).as("_enc"))
+          .select(col("doc_id"), (col("doc_id") % 8).as("bucket"),
+            (length(col("_enc"))
+              - length(replace(col("_enc"), lit("|"), lit(""))) - 1
+              - (length(col("_body"))
+                 - length(replace(col("_body"), lit("#"), lit("")))))
+              .cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val off = (sum(col("n_tok")).over(w) - col("n_tok")).as("off")
+        t.select(col("doc_id"), col("bucket"), col("n_tok"), off)
+          .select(col("doc_id"), col("bucket"), col("n_tok"), col("off"),
+            expr(s"off div $b").as("first_chunk"),
+            expr(s"(off + n_tok - 1) div $b").as("last_chunk"),
+            expr(s"(off + n_tok - 1) div $b - off div $b + 1").as("n_seqs"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH b0 AS (
+             |  SELECT doc_id, ${TextOps.bpeBodySql} AS body
+             |  FROM documents),
+             |e AS (SELECT doc_id, body,
+             |    ${TextOps.bpeEncodeSql("body")} AS enc
+             |  FROM b0),
+             |t AS (
+             |  SELECT doc_id, doc_id % 8 AS bucket,
+             |    CAST(length(enc) - length(replace(enc, '|', '')) - 1
+             |      - (length(body) - length(replace(body, '#', '')))
+             |      AS BIGINT) AS n_tok
+             |  FROM e),
+             |o AS (
+             |  SELECT doc_id, bucket, n_tok,
+             |    CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
+             |  FROM t)
+             |SELECT doc_id, bucket, n_tok, off,
+             |  CAST(off // 256 AS BIGINT) AS first_chunk,
+             |  CAST((off + n_tok - 1) // 256 AS BIGINT) AS last_chunk,
+             |  CAST((off + n_tok - 1) // 256 - off // 256 + 1 AS BIGINT) AS n_seqs
+             |FROM o ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -1414,6 +1414,28 @@ class ExtSpec extends SparkSpec {
       1L -> ((3L, 2L, 0L))), s"got $got")
   }
 
+  test("dp15 BPE pack: chunk spans follow the MERGED token counts, crossing the 256 boundary where whitespace counts would not") {
+    // bucket 0 holds doc 0 (600 one-char words -> no merges possible
+    // across word markers, n_tok 600 spanning chunks 0-2) then doc 8
+    // ("the thin" -> BPE merges to [the, th, in], n_tok 3 where the
+    // whitespace proxy says 2) starting at off 600 inside chunk 2;
+    // doc 1 sits alone in bucket 1 at off 0
+    val dir = java.nio.file.Files.createTempDirectory("dp15-planted").toString
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq.fill(600)("e").mkString(" ")),
+      (8L, "the thin"),
+      (1L, "order"))
+    plantDocs(rows.toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("dp15_bpe_pack")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      0L -> ((0L, 600L, 0L, 0L, 2L, 3L)),
+      8L -> ((0L, 3L, 600L, 2L, 2L, 1L)),
+      1L -> ((1L, 3L, 0L, 0L, 0L, 1L))), s"got $got")
+  }
+
   test("ss11 MMR: the driver-side greedy refuses a page past the 64-candidate bound") {
     // the greedy is O(|page|^2) on the DRIVER by design; a caller
     // feeding it an unbounded candidate set must fail loudly, not
