@@ -931,10 +931,17 @@ object TextOps {
     * the merge chain byte-for-byte — no UDF, pure codegen'd string
     * expressions, a per-row map at any corpus size. [[BpeRounds]]
     * rounds of the full [[BpeMerges]] table in priority order. */
-  def bpeEncode(body: Column): Column = {
+  def bpeEncode(body: Column): Column =
+    bpeEncodeWith(body, BpeMerges, BpeRounds)
+
+  /** [[bpeEncode]] with an arbitrary merge table — the train→apply
+    * workflow: feed [[bpeTrain]]'s learned (left, right) list here.
+    * Same encoding and pass semantics as the fixed-table form. */
+  def bpeEncodeWith(body: Column, merges: Seq[(String, String)],
+      rounds: Int): Column = {
     val enc0 = concat(lit("|"), regexp_replace(body, "(.)", "$1|"))
-    (1 to BpeRounds).foldLeft(enc0)((c, _) =>
-      BpeMerges.foldLeft(c) { case (cc, (a, b)) =>
+    (1 to rounds).foldLeft(enc0)((c, _) =>
+      merges.foldLeft(c) { case (cc, (a, b)) =>
         org.apache.spark.sql.functions.replace(
           cc, lit(s"|$a|$b|"), lit(s"|$a$b|"))
       })

@@ -1436,6 +1436,41 @@ class ExtSpec extends SparkSpec {
       1L -> ((1L, 3L, 0L, 0L, 0L, 1L))), s"got $got")
   }
 
+  test("tx26 -> tx25 integration: the learned table applied through the encoder shrinks the corpus token count by exactly each merge's count") {
+    // the real workflow — train, then tokenize with what you trained.
+    // Totals demonstrate the classic BPE count-vs-reduction subtlety:
+    // merge (a,a) TRAINS with weighted count 5 ("aaa" contributes its
+    // TWO overlapping pairs) but applying it reduces the corpus by
+    // only 4 tokens (greedy-left turns [a,a,a] into [aa,a] — one
+    // reduction); the non-overlapping merges reduce by exactly their
+    // counts: 14 chars -> 10 (a,a) -> 8 (a,b) -> 7 (aa,a).
+    val dir = java.nio.file.Files.createTempDirectory("tx2526-integ").toString
+    import spark.implicits._
+    graft.functions.TextNorm.register(spark)
+    plantDocs(Seq((0L, "aa aa aa"), (1L, "ab ab"), (2L, "aaa"),
+      (3L, "b")).toDF("doc_id", "text"), dir)
+    val wf = Tables.table(spark, dir, "documents")
+      .select(TextOps.bpeBody(col("text")).as("_b"))
+      .select(explode(split(col("_b"), "#")).as("tok"))
+      .filter(col("tok") =!= "").groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq")).localCheckpoint()
+    val learned = TextOps.bpeTrain(wf, 4).map(m => (m._2, m._3))
+    def totalTokens(merges: Seq[(String, String)]): Long = {
+      val body = TextOps.bpeBody(col("text"))
+      val enc = TextOps.bpeEncodeWith(body, merges, TextOps.BpeRounds)
+      Tables.table(spark, dir, "documents")
+        .select(body.as("_body"), enc.as("_enc"))
+        .select((length(col("_enc"))
+          - length(replace(col("_enc"), lit("|"), lit(""))) - 1
+          - (length(col("_body"))
+             - length(replace(col("_body"), lit("#"), lit("")))))
+          .cast("long").as("n_tok"))
+        .agg(sum(col("n_tok"))).head().getLong(0)
+    }
+    val totals = (0 to learned.length).map(k => totalTokens(learned.take(k)))
+    assert(totals == Seq(14L, 10L, 8L, 7L), s"got $totals")
+  }
+
   test("ss11 MMR: the driver-side greedy refuses a page past the 64-candidate bound") {
     // the greedy is O(|page|^2) on the DRIVER by design; a caller
     // feeding it an unbounded candidate set must fail loudly, not
