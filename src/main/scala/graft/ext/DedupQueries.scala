@@ -492,6 +492,44 @@ object DedupQueries {
         threshNum = 8, threshDen = 10))),
 
     CatalogQuery(
+      "dd19_best_rep_dedup",
+      "Dedup keeping the BEST copy, not the first: dd10's LSH-verified clusters re-kept by quality argmax (tx20's integer diversity score, min-id tiebreak) — the curation choice a real pipeline makes when duplicates differ in quality",
+      (s, dir) => {
+        // dd02/dd10 keep the MIN-ID member — fine when copies are
+        // byte-identical, wrong when a near-dup group mixes a clean
+        // copy with a boilerplate-padded one (near-dup groups usually
+        // do). Same linear chain as dd10 (shingle → banded LSH →
+        // exact verify → min-label CC), then the keeper is the
+        // per-cluster quality argmax: one window PARTITIONED BY
+        // cluster (bounded by the largest dup group, never global),
+        // score = tx20's round(distinct/total*1e6) integers so the
+        // oracle reproduces the argmax exactly.
+        val d = docs(s, dir)
+        val rows = TextOps.wordShingleRows(d, "doc_id", "text", 3)
+        val pairs = TextOps.lshNearDupPairs(rows, "doc_id",
+            numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+            threshNum = 8, threshDen = 10)
+          .select(col("a_id"), col("b_id"))
+        val cl = minLabelComponents(pairs, "dd19")
+          .select(col("v").as("doc_id"), col("lbl").cast("long").as("cluster"))
+        val toks = TextOps.tokens(col("text"))
+        val scored = d.select(col("doc_id"),
+          round(size(array_distinct(toks)) * lit(1e6) / size(toks))
+            .cast("long").as("score_e6"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))
+          .orderBy(col("score_e6").desc, col("doc_id"))
+        cl.join(scored, "doc_id")
+          .withColumn("keep",
+            (row_number().over(w) === 1).cast("long"))
+          .select(col("doc_id"), col("cluster"), col("score_e6"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(TextOps.lshBestRepOracleSql(TextOps.wordShingleSql(3),
+        numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+        threshNum = 8, threshDen = 10))),
+
+    CatalogQuery(
       "dd11_incremental_dedup",
       "Incremental ingestion dedup: new batch (doc_id % 5 = 4) probed against the standing corpus by content hash, then keep-first within the batch",
       (s, dir) => {

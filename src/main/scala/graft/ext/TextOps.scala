@@ -624,6 +624,35 @@ object TextOps {
        |  CAST(CASE WHEN v = min(x) THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
 
+  /** DuckDB oracle for dd19: [[lshClustersOracleSql]]'s cluster chain
+    * joined to the integer quality score (tx20's diversity-e6
+    * convention), keeper = per-cluster argmax(score_e6) with min-id
+    * tiebreak via row_number. */
+  def lshBestRepOracleSql(shingleSql: String, numHashes: Int,
+      rowsPerBand: Int, maxBucketSize: Int, threshNum: Int,
+      threshDen: Int): String =
+    s"""WITH RECURSIVE ${lshCtes(shingleSql, numHashes, rowsPerBand, maxBucketSize, threshNum, threshDen)},
+       |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |       UNION ALL SELECT b_id, a_id FROM pairs),
+       |verts AS (SELECT DISTINCT s AS v FROM ed),
+       |reach(v, x) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT r.v, ed.d FROM reach r JOIN ed ON ed.s = r.x),
+       |cl AS (SELECT v AS doc_id, CAST(min(x) AS BIGINT) AS cluster
+       |  FROM reach GROUP BY v),
+       |q AS (SELECT doc_id,
+       |    CAST(round(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1e6
+       |      / len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS score_e6
+       |  FROM documents),
+       |j AS (SELECT cl.doc_id, cl.cluster, q.score_e6,
+       |    row_number() OVER (PARTITION BY cl.cluster
+       |      ORDER BY q.score_e6 DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN q USING (doc_id))
+       |SELECT doc_id, cluster, score_e6,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+
   /** A banded-LSH parameterization. */
   case class LshConfig(numHashes: Int, rowsPerBand: Int) {
     def bands: Int = numHashes / rowsPerBand

@@ -180,6 +180,34 @@ class ExtSpec extends SparkSpec {
     assert(got.filter(_._3 == 1L).map(_._1).toSet == Set(10L, 20L, 30L))
   }
 
+  test("dd19 best-rep dedup: the keeper is the quality argmax, not the min id; ties fall back to min id") {
+    // group 10/11 exploits cyclic repetition: "x y z" repeated 3x and
+    // 2x have the IDENTICAL 3-shingle set {xyz, yzx, zxy} (guaranteed
+    // same minhash signatures -> same buckets, Jaccard 1 verified) but
+    // different diversity — doc 11 (3/6 = 500000) BEATS the min-id
+    // doc 10 (3/9 = 333333), so the keep bit moves off the id that
+    // dd10 would keep. Group 20/21 is byte-identical (equal scores):
+    // the tiebreak keeps the min id. Disjoint-vocab fillers stay out.
+    val dir = java.nio.file.Files.createTempDirectory("dd19-planted").toString
+    import spark.implicits._
+    val rows = Seq(
+      (10L, "x y z x y z x y z"),
+      (11L, "x y z x y z"),
+      (20L, "one two three four five six seven eight"),
+      (21L, "one two three four five six seven eight")) ++
+      (100L until 130L).map(i =>
+        (i, (0 until 8).map(j => s"f${i}w$j").mkString(" ")))
+    plantDocs(rows.toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("dd19_best_rep_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      10L -> ((10L, 333333L, 0L)),
+      11L -> ((10L, 500000L, 1L)),
+      20L -> ((20L, 1000000L, 1L)),
+      21L -> ((20L, 1000000L, 0L))), s"got $got")
+  }
+
   test("LSH mega-buckets rep-chain instead of dropping: cluster beyond the cap still collapses") {
     // 30 identical docs with bucket cap 5: every band bucket holds all
     // 30 (> cap), so the old drop-the-bucket behavior emitted ZERO
