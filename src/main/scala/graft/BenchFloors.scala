@@ -176,10 +176,11 @@ object BenchFloors {
     "tx21_source_overlap" -> 1.971,
     "tx22_source_overlap_estimate" -> 0.838,
     "tx23_cross_source_neardup" -> 2.300,
-    // round-14 additions >= 0.5s (min over the two r14 boards; tx25 /
+    // round-14 additions >= 0.5s (min over the r14 boards; tx25 /
     // e09 / dp14-class stay unpinned below the noise bar)
     "tx26_bpe_train" -> 0.753,
     "ss12_embedding_split_drift" -> 0.619,
+    "dd19_best_rep_dedup" -> 2.728,
   )
 
 }
