@@ -530,6 +530,144 @@ object DedupQueries {
         threshNum = 8, threshDen = 10))),
 
     CatalogQuery(
+      "dd20_span_removal",
+      "Exact duplicated-span REMOVAL (the cut step of Lee et al. 2022 — dd15 only FLAGS): each cross-doc duplicated 8-token window keeps its first occurrence (min doc_id, then min pos); tokens covered by any later occurrence are cut and the doc reassembled, with an md5 of the kept text proving the surgery",
+      (s, dir) => {
+        // dd15 detects ExactSubstr duplication; this is the transform
+        // the paper actually ships: CUT the later copies, keep the
+        // first. Rule (deterministic under any partitioning): a token
+        // position is removed iff it is covered by >= 1 occurrence of
+        // a duplicated window that is NOT that window's group-first
+        // occurrence, where group-first = min (doc_id, pos). Scale
+        // shape mirrors dd15 — only 16-byte digests shuffle; the
+        // group-first is a map-combining min(struct) aggregate, NOT a
+        // per-digest window (a boilerplate window in a billion docs
+        // would serialize a row_number partition; min(struct) folds it
+        // map-side). The reassembly collect_list is per-doc and
+        // bounded by the same graft.ext.maxDocTokens guard the shingle
+        // pass enforces. Cut accounting explodes dup occurrences x k,
+        // bounded exactly as dd15's span accounting.
+        val k = 8
+        val d = docs(s, dir)
+        // NOT checkpointed, deliberately: the digest stream is
+        // |corpus windows| rows (36.7M at the 500k headroom corpus)
+        // and is read twice (group-first agg + cut join) —
+        // materializing it through the block manager measured ~36 s,
+        // more than BOTH lazy re-derivations together. The dd03
+        // checkpoint lesson inverts here: checkpoint small reused
+        // frames (signatures, cut sets), recompute wide streams.
+        val grams = TextOps
+          .wordShinglePosRows(d, "doc_id", "text", k)
+          .select(col("doc_id"), col("_pos").cast("long").as("pos"),
+            md5(col("_el")).as("gh"))
+        // dup definition (>= 2 distinct docs, dd15's) AND the
+        // group-first owner in ONE pure-partial aggregation pass:
+        // ">= 2 distinct docs" is exactly min(doc_id) != max(doc_id),
+        // so no countDistinct (whose Expand doubles the shuffled
+        // stream) and no separate distinct -> count join (whose
+        // twice-referenced result re-ran a 36.7M-row shuffle per
+        // reference — measured 107 s for the cut set alone at 500k
+        // docs vs ~15 s single-pass). The lexicographic (doc_id, pos)
+        // min is taken over ONE packed long — min(struct(...)) has no
+        // mutable primitive buffer and demoted the whole 36.7M-row
+        // pass to a SortAggregate over string keys (measured 10x dd15's
+        // identically-shaped chain); pos < 2^20 is enforced by the
+        // wordShinglePosRows maxDocTokens guard, so doc_id*2^20 + pos
+        // orders exactly like the pair for doc_id < 2^43.
+        val packed = col("doc_id") * lit(1048576L) + col("pos")
+        val perGh = grams.groupBy(col("gh"))
+          .agg(min(packed).as("fkey"), max(col("doc_id")).as("hi"))
+          // `div`, not `/`: long / long is DOUBLE division in Spark,
+          // and fkey ranges past 2^53 where doubles drop low bits
+          .filter(expr("fkey div 1048576") =!= col("hi"))
+          .select(col("gh"),
+            expr("fkey div 1048576").as("fd"),
+            pmod(col("fkey"), lit(1048576L)).as("fp"))
+        val cut = grams.join(perGh, "gh")
+          .filter(!(col("doc_id") === col("fd") && col("pos") === col("fp")))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+          .distinct()
+          .withColumn("rm", lit(1L))
+          // read three times (dirty-doc set twice, token join once);
+          // bounded by |dup occurrences| x k
+          .localCheckpoint()
+        val cutDocs = cut.select(col("doc_id")).distinct()
+        // pay the token-level surgery ONLY where surgery happens: a
+        // doc with no cut keeps its token stream verbatim, so its
+        // kept_hash is one codegen'd projection (md5 of the tokens
+        // re-joined) — no explode, no shuffle. On a typical corpus
+        // the dirty set is a few percent; reassembling everything
+        // measured 8x dd15's whole flag pass at 500k docs (54.9 s vs
+        // 6.8 s); this split puts the clean 98% back on the scan.
+        val toksCol = TextOps.tokens(col("text"))
+        val clean = d.join(cutDocs, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            size(toksCol).cast("long").as("n_tok"),
+            lit(0L).as("n_removed"),
+            size(toksCol).cast("long").as("n_kept"),
+            md5(concat_ws(" ", toksCol)).as("kept_hash"))
+        val dirtyToks = d.join(cutDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            posexplode(toksCol).as(Seq("p", "tok")))
+          .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+        val dirty = dirtyToks.join(cut, Seq("doc_id", "pos"), "left")
+          .na.fill(0L, Seq("rm"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("rm")).as("n_removed"),
+            sort_array(collect_list(
+              struct(col("pos"), col("rm"), col("tok")))).as("arr"))
+          .select(col("doc_id"), col("n_tok"), col("n_removed"),
+            (col("n_tok") - col("n_removed")).as("n_kept"),
+            md5(concat_ws(" ",
+              expr("transform(filter(arr, x -> x.rm = 0), x -> x.tok)")))
+              .as("kept_hash"))
+        clean.unionByName(dirty).orderBy(col("doc_id"))
+      },
+      // Same gram/digest chain as dd15's oracle; group-first via a
+      // row_number window ((doc_id, pos) is unique, so it equals the
+      // engine's min(struct)); string_agg skips the NULLed removed
+      // tokens and coalesces to '' when everything was cut, matching
+      // concat_ws over an empty array.
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+             |  FROM documents),
+             |d AS (SELECT doc_id, len(tok) AS n_tok, tok FROM t),
+             |g AS (
+             |  SELECT doc_id, u['pos'] AS pos, md5(u['gram']) AS gh FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, n_tok - 6),
+             |      i -> {'pos': i - 1,
+             |            'gram': array_to_string(tok[i:i+7], ' ')})) AS u
+             |    FROM d WHERE n_tok >= 8)),
+             |df AS (SELECT gh FROM (
+             |    SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+             |  WHERE nd >= 2),
+             |occ AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN df USING (gh)),
+             |fst AS (SELECT gh, doc_id AS fd, pos AS fp FROM (
+             |    SELECT gh, doc_id, pos,
+             |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos)
+             |        AS rn
+             |    FROM occ) WHERE rn = 1),
+             |cut AS (SELECT DISTINCT o.doc_id, o.pos + unnest(range(0, 8))
+             |          AS tp
+             |        FROM occ o JOIN fst USING (gh)
+             |        WHERE NOT (o.doc_id = fd AND o.pos = fp)),
+             |tr AS (SELECT doc_id, u['p'] AS p, u['t'] AS tok FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, n_tok + 1),
+             |      i -> {'p': i - 1, 't': tok[i]})) AS u FROM d)),
+             |mk AS (SELECT tr.doc_id, tr.p, tr.tok,
+             |         CASE WHEN cut.tp IS NULL THEN 0 ELSE 1 END AS rm
+             |       FROM tr LEFT JOIN cut
+             |         ON tr.doc_id = cut.doc_id AND tr.p = cut.tp)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  CAST(sum(rm) AS BIGINT) AS n_removed,
+             |  CAST(count(*) - sum(rm) AS BIGINT) AS n_kept,
+             |  md5(coalesce(
+             |    string_agg(CASE WHEN rm = 0 THEN tok END, ' ' ORDER BY p),
+             |    '')) AS kept_hash
+             |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
       "dd11_incremental_dedup",
       "Incremental ingestion dedup: new batch (doc_id % 5 = 4) probed against the standing corpus by content hash, then keep-first within the batch",
       (s, dir) => {
@@ -758,13 +896,22 @@ object DedupQueries {
           .wordShinglePosRows(docs(s, dir), "doc_id", "text", k)
           .select(col("doc_id"), col("_pos").cast("long").as("pos"),
             md5(col("_el")).as("gh"))
-        // windows in >= 2 distinct docs; both aggregation levels
-        // combine partially map-side (the dd07/tx14 lesson: never
-        // countDistinct over a skewed raw stream)
-        val dup = grams.select(col("gh"), col("doc_id")).distinct()
-          .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
-          .filter(col("nd") >= 2).select(col("gh"))
+        // windows in >= 2 distinct docs, tested as min(doc_id) !=
+        // max(doc_id) in ONE pure-partial aggregation — dd20's trick:
+        // the distinct -> count spelling is a second full shuffle of
+        // the near-unique digest stream and measured 52 s vs 35 s at
+        // 500k docs (SCALING.md round 14; the dd07/tx14 no-raw-
+        // countDistinct lesson still holds, this sidesteps the
+        // distinct pass entirely)
+        val dup = grams.groupBy(col("gh"))
+          .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+          .filter(col("lo") =!= col("hi")).select(col("gh"))
+        // checkpointed: nDup and covered both read it, and each lazy
+        // reference re-ran the digest stream AND the dup aggregation
+        // (the dd03 small-frame checkpoint rule: dup windows are
+        // |dup occurrences| rows — tiny next to their upstream)
         val dupWin = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+          .localCheckpoint()
         val nDup = dupWin.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_dup_win"))
         // exact covered-token count: overlapping windows union via

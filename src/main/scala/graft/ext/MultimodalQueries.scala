@@ -600,5 +600,92 @@ object MultimodalQueries {
              |    coalesce(pd.n_sampled, 0) THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "mm08_video_offset_neardup",
+      "Temporal-ALIGNMENT video near-dup: single sampled frames matched across media vote on a (pair, offset) cell; >= 3 frames agreeing on one offset flag a trimmed/intercut copy AND report the alignment itself — catches edits mm06's contiguous 3-frame shingle can't",
+      (s, dir) => {
+        // mm06 requires a CONTIGUOUS >= 3-frame run to survive its
+        // shingle; a copy with interspersed edits (overlays, cutaways,
+        // re-encoded stretches) matches frame-by-frame but never three
+        // in a row. Offset voting is the standard fix: every matched
+        // frame pair casts a vote for its temporal offset, and a pair
+        // of media whose votes CONCENTRATE on one offset is an aligned
+        // copy even when the matches are scattered. Returns the winning
+        // offset (what downstream trimming/provenance consumes), in
+        // sampled-frame units (x4 frames, x64 payload bytes).
+        // Scale: two flood guards keep the fh self-join linear —
+        // (1) only frames occurring ONCE within their media vote
+        // (a frozen run — mm07's finding — would vote at every
+        // self-alignment); (2) frames in > 32 media are dropped
+        // (black/slate frames; mm04's MaxSegSpread precedent), so a
+        // digest joins <= 32x31/2 pairs however big the corpus. The
+        // (a,b,off) count map-combines; the per-pair argmax window is
+        // bounded by a pair's offset fan, never global.
+        import org.apache.spark.sql.expressions.Window
+        val frames = mediaTable(s, dir)
+          .withColumn("nf", floor(length(col("payload")) / lit(16)).cast("long"))
+          .withColumn("fr", when(col("nf") > 0, expr(
+            "transform(sequence(0, cast(nf as int) - 1, 4)," +
+              " i -> md5(substr(payload, i * 16 + 1, 16)))"))
+            .otherwise(array().cast("array<string>")))
+          .select(col("doc_id"), posexplode(col("fr")).as(Seq("j", "fh")))
+          .select(col("doc_id"), col("j").cast("long").as("j"), col("fh"))
+        val solo = frames.groupBy(col("doc_id"), col("fh"))
+          .agg(count(lit(1)).as("c"), min(col("j")).as("j"))
+          .filter(col("c") === 1)
+          .select(col("doc_id"), col("fh"), col("j"))
+        val rare = solo.groupBy(col("fh")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd").between(2, 32)).select(col("fh"))
+        val cand = solo.join(rare, "fh")
+        val votes = cand.as("a").join(cand.as("b"),
+            col("a.fh") === col("b.fh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            (col("b.j") - col("a.j")).as("off"))
+          .groupBy(col("a_id"), col("b_id"), col("off"))
+          .agg(count(lit(1)).as("n_aligned"))
+          .filter(col("n_aligned") >= 3)
+        val w = Window.partitionBy(col("a_id"), col("b_id"))
+          .orderBy(col("n_aligned").desc, abs(col("off")), col("off"))
+        votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("a_id"), col("b_id"), col("off"), col("n_aligned"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      // mm03's frame chain; the argmax tiebreak (max votes, then
+      // smallest |offset|, then signed offset) is spelled identically
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(text) >= 16 THEN
+             |      list_transform(range(0, CAST(floor(length(text) / 16) AS BIGINT), 4),
+             |        i -> md5(substr(text, CAST(i*16+1 AS INT), 16)))
+             |    ELSE [] END AS fr
+             |  FROM documents),
+             |fx AS (SELECT doc_id, u['j'] AS j, u['fh'] AS fh FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(fr) + 1),
+             |    i -> {'j': i - 1, 'fh': fr[i]})) AS u FROM f)),
+             |solo AS (SELECT doc_id, fh, min(j) AS j FROM fx
+             |         GROUP BY doc_id, fh HAVING count(*) = 1),
+             |rare AS (SELECT fh FROM (
+             |    SELECT fh, count(*) AS nd FROM solo GROUP BY fh)
+             |  WHERE nd BETWEEN 2 AND 32),
+             |cand AS (SELECT solo.doc_id, solo.fh, solo.j
+             |         FROM solo JOIN rare USING (fh)),
+             |votes AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    b.j - a.j AS off, count(*) AS n_aligned
+             |  FROM cand a JOIN cand b
+             |    ON a.fh = b.fh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3
+             |  HAVING count(*) >= 3),
+             |best AS (SELECT a_id, b_id, off, n_aligned,
+             |    row_number() OVER (PARTITION BY a_id, b_id
+             |      ORDER BY n_aligned DESC, abs(off), off) AS rn
+             |  FROM votes)
+             |SELECT a_id, b_id, CAST(off AS BIGINT) AS off,
+             |  CAST(n_aligned AS BIGINT) AS n_aligned
+             |FROM best WHERE rn = 1
+             |ORDER BY a_id, b_id""".stripMargin)),
   )
 }

@@ -871,5 +871,71 @@ object PipelineQueries {
              |  CAST((off + n_tok - 1) // 256 AS BIGINT) AS last_chunk,
              |  CAST((off + n_tok - 1) // 256 - off // 256 + 1 AS BIGINT) AS n_seqs
              |FROM o ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
+      "dp16_repack_invalidation",
+      "Incremental-repack invalidation report: after retracting documents (takedown/dedup set doc_id % 17 = 3), which of dp01's packed 256-token chunks survive byte-identical — per bucket the first dirty chunk index and the reusable prefix, from the concat-packing PREFIX property (chunks strictly before the first retracted doc's offset are untouched)",
+      (s, dir) => {
+        // The cache-invalidation question every incremental pipeline
+        // asks before re-tokenizing the world: a retraction shifts the
+        // concat stream only FROM the retracted doc's offset onward,
+        // so within a bucket every chunk below floor(min_retracted_off
+        // / B) is byte-identical in the repack and can be served from
+        // cache. One bucket-keyed cumsum window (dp01's) + one
+        // map-combined per-bucket aggregate; output = |buckets| rows
+        // at any corpus size. first_dirty_chunk is NULL (and the whole
+        // v2 chunk range reusable) in a bucket with no retraction.
+        val b = 256L
+        val t = docs(s, dir).select(
+          col("doc_id"),
+          (col("doc_id") % 8).as("bucket"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+          (col("doc_id") % 17 === 3).as("del"))
+        val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs_v1"),
+            sum(when(!col("del"), 1L).otherwise(0L)).as("n_docs_v2"),
+            sum(col("n_tok")).as("tokens_v1"),
+            sum(when(!col("del"), col("n_tok")).otherwise(0L))
+              .as("tokens_v2"),
+            min(when(col("del"), col("off"))).as("del_off"))
+          .select(col("bucket"), col("n_docs_v1"), col("n_docs_v2"),
+            col("tokens_v1"), col("tokens_v2"),
+            expr(s"(tokens_v1 + ${b - 1}) div $b").as("n_chunks_v1"),
+            expr(s"(tokens_v2 + ${b - 1}) div $b").as("n_chunks_v2"),
+            expr(s"del_off div $b").as("first_dirty_chunk"))
+          .withColumn("n_reusable",
+            coalesce(col("first_dirty_chunk"), col("n_chunks_v2")))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, doc_id % 8 AS bucket,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS n_tok,
+             |    doc_id % 17 = 3 AS del
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, bucket, n_tok, del,
+             |    CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
+             |  FROM t),
+             |a AS (
+             |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs_v1,
+             |    CAST(sum(CASE WHEN NOT del THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_docs_v2,
+             |    CAST(sum(n_tok) AS BIGINT) AS tokens_v1,
+             |    CAST(sum(CASE WHEN NOT del THEN n_tok ELSE 0 END) AS BIGINT)
+             |      AS tokens_v2,
+             |    min(CASE WHEN del THEN off END) AS del_off
+             |  FROM o GROUP BY bucket)
+             |SELECT bucket, n_docs_v1, n_docs_v2, tokens_v1, tokens_v2,
+             |  CAST((tokens_v1 + 255) // 256 AS BIGINT) AS n_chunks_v1,
+             |  CAST((tokens_v2 + 255) // 256 AS BIGINT) AS n_chunks_v2,
+             |  CAST(del_off // 256 AS BIGINT) AS first_dirty_chunk,
+             |  CAST(coalesce(del_off // 256, (tokens_v2 + 255) // 256)
+             |    AS BIGINT) AS n_reusable
+             |FROM a ORDER BY bucket""".stripMargin)),
   )
 }

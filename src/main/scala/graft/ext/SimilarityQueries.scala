@@ -192,6 +192,97 @@ object SimilarityQueries {
     call_function("ivf_assign", col("v"))
   }
 
+  /** IVF candidate scoring at probe width `nprobe`: corpus bucketed by
+    * the codegen'd IvfAssign, the 10 broadcast queries rank their
+    * buckets by the literal score array and probe the best `nprobe`,
+    * candidates exact-dotted. ss03b is nprobe = IvfProbes; ss13 sweeps
+    * nprobe for the recall-vs-candidates tuning curve. */
+  private def ivfScored(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val e = embeddings(s, dir)
+    val assigned = e.select(col("vec_id"), col("v"),
+      ivfAssignCol(s).as("bucket"))
+    // probe selection: 10 queries × 16 buckets → bounded top-nprobe
+    // agg, same (score DESC, id ASC) order as TopKByScore everywhere
+    val probeTopk = udaf(new TopKByScore(nprobe))
+    val probes = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), ivfScoreCol.as("cd"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        posexplode(col("cd")).as(Seq("bucket", "s")))
+      .groupBy(col("q_id"), col("qv"))
+      .agg(probeTopk(col("s"), col("bucket").cast("long")).as("pb"))
+      .select(col("q_id"), col("qv"),
+        explode(col("pb.items.id")).as("bucket")))
+    probes.join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos"))
+  }
+
+  /** DuckDB value oracle for ss13: ss03b's CTE chain with one
+    * probes/scored/top branch per probe width, each branch's hits
+    * joined to the exact top-5 — the whole tuning curve in one
+    * statement, integer-exact recall. */
+  private[ext] def ivfSweepOracleSql(widths: Seq[Int]): String = {
+    def centLit(c: Int): String =
+      (0 until Dim).map(i => s"${centroidBits(c, i)}.0/65536.0 - 0.5")
+        .mkString("[", ", ", "]")
+    val cdList = (0 until IvfCentroids).map { c =>
+      s"list_dot_product(nv, ${centLit(c)}) - " +
+        s"list_dot_product(${centLit(c)}, ${centLit(c)})/2"
+    }.mkString("[", ", ", "]")
+    val probeUnion = (0 until IvfCentroids).map(c =>
+      s"SELECT vec_id AS q_id, nv AS qv, $c AS bucket, cd[${c + 1}] AS s " +
+        "FROM cd WHERE vec_id < 10")
+      .mkString(" UNION ALL ")
+    val perWidth = widths.map { p =>
+      s"""probes_$p AS (
+         |  SELECT q_id, qv, bucket FROM (
+         |    SELECT q_id, qv, bucket,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, bucket) AS pr
+         |    FROM pq) WHERE pr <= $p),
+         |scored_$p AS (
+         |  SELECT pr.q_id, a.vec_id AS neighbor_id,
+         |    list_dot_product(pr.qv, a.nv) AS cos
+         |  FROM probes_$p pr
+         |  JOIN a ON a.bucket = pr.bucket AND a.vec_id <> pr.q_id),
+         |top_$p AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM scored_$p) WHERE rk <= $K)""".stripMargin
+    }.mkString(",\n")
+    val rows = widths.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         |  CAST((SELECT count(*) FROM ex e JOIN top_$p t
+         |     ON e.q_id = t.q_id AND e.neighbor_id = t.neighbor_id)
+         |    AS BIGINT) AS n_hit,
+         |  CAST((SELECT count(*) FROM ex e JOIN top_$p t
+         |     ON e.q_id = t.q_id AND e.neighbor_id = t.neighbor_id) * 1000000
+         |    // ($K * (SELECT count(DISTINCT q_id) FROM ex))
+         |    AS BIGINT) AS recall_e6,
+         |  CAST((SELECT count(*) FROM scored_$p) AS BIGINT) AS n_scored"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+       |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    END AS nv
+       |  FROM e),
+       |cd AS (SELECT vec_id, nv, $cdList AS cd FROM n),
+       |a AS (SELECT vec_id, nv,
+       |    list_position(cd, list_max(cd)) - 1 AS bucket FROM cd),
+       |pq AS ($probeUnion),
+       |ex AS (SELECT q_id, neighbor_id FROM ($ss01OracleSql) t),
+       |$perWidth
+       |$rows
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** DuckDB value oracle for ss03b — centroids emitted as the same
     * dyadic rationals, assignment via list_position(cd, list_max(cd)),
     * probe ranking (score DESC, bucket ASC) mirroring TopKByScore. */
@@ -858,32 +949,7 @@ object SimilarityQueries {
     CatalogQuery(
       "ss03b_ann_ivf_fixed",
       "IVF ANN with a fixed deterministic coarse quantizer: 16 hash-derived dyadic-rational centroids, queries probe 4 nearest by Euclidean form, exact re-rank inside - ss03's value-oracled twin",
-      (s, dir) => {
-        graft.functions.VectorOps.register(s)
-        val e = embeddings(s, dir)
-        // corpus side: bucket via the codegen'd IvfAssign expression
-        // (see ivfAssignCol — the literal argmax spelling ran ~2 ms/row
-        // interpreted once the join-key filter re-derived it)
-        val assigned = e.select(col("vec_id"), col("v"),
-          ivfAssignCol(s).as("bucket"))
-        // probe selection: 10 queries × 16 buckets → bounded top-4 agg,
-        // same (score DESC, id ASC) order as TopKByScore everywhere;
-        // the 10-row probe side keeps the literal score array (it needs
-        // every bucket's score, and 10 evaluations are free)
-        val probeTopk = udaf(new TopKByScore(IvfProbes))
-        val probes = broadcast(e.filter(col("vec_id") < 10)
-          .select(col("vec_id"), col("v"), ivfScoreCol.as("cd"))
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            posexplode(col("cd")).as(Seq("bucket", "s")))
-          .groupBy(col("q_id"), col("qv"))
-          .agg(probeTopk(col("s"), col("bucket").cast("long")).as("pb"))
-          .select(col("q_id"), col("qv"), explode(col("pb.items.id")).as("bucket")))
-        topNeighbors(
-          probes.join(assigned, Seq("bucket"))
-            .filter(col("vec_id") =!= col("q_id"))
-            .select(col("q_id"), col("vec_id"),
-              graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos")))
-      },
+      (s, dir) => topNeighbors(ivfScored(s, dir, IvfProbes)),
       // Full value oracle: every centroid component is a dyadic rational
       // rendered exactly in SQL; centroid norms are computed in-engine
       // from the same literals; assignment, probe ranking and final
@@ -1363,6 +1429,33 @@ object SimilarityQueries {
              |JOIN cnt na ON na.label = d.label AND na.split = 'train'
              |JOIN cnt nb ON nb.label = d.label AND nb.split = 'val'
              |ORDER BY d.label""".stripMargin)),
+
+    CatalogQuery(
+      "ss13_ivf_probe_sweep",
+      "IVF tuning curve: recall@5 AND candidates scanned at nprobe in {1,2,4} over ss03b's fixed-codebook index — the operating-point report an ANN deployment reads before picking its latency/recall trade; every cell integer-exact",
+      (s, dir) => {
+        // ss10 scores ONE configuration; a deployment tunes by the
+        // CURVE — recall against scan cost as the probe width widens
+        // (nprobe = IvfProbes is the catalog's serving point). Each
+        // width reuses the production ivfScored chain, so the curve
+        // is the real index's curve. The per-width hit/scan counts
+        // are bounded single-row jobs (the tx ratio-totals
+        // precedent); the output is |widths| rows at any corpus size.
+        import s.implicits._
+        val exact = exactTop5(s, dir)
+          .select(col("q_id"), col("neighbor_id")).localCheckpoint()
+        val nQ = exact.select(col("q_id")).distinct().count()
+        Seq(1, 2, 4).map { p =>
+          val scored = ivfScored(s, dir, p).localCheckpoint()
+          val top = topNeighbors(scored)
+            .select(col("q_id"), col("neighbor_id"))
+          val nHit = exact.join(top, Seq("q_id", "neighbor_id"),
+            "left_semi").count()
+          (p.toLong, nHit, nHit * 1000000L / (K * nQ), scored.count())
+        }.toDF("nprobe", "n_hit", "recall_e6", "n_scored")
+          .orderBy(col("nprobe"))
+      },
+      Some(ivfSweepOracleSql(Seq(1, 2, 4)))),
   )
 
   /** Greedy MMR selection over an already-retrieved candidate page:

@@ -1247,5 +1247,66 @@ object TextQueries {
            |        str_split(${TextOps.bpeBodySql}, '#'), x -> x != ''))
            |      AS tok
            |    FROM documents) GROUP BY tok""".stripMargin, 4))),
+
+    CatalogQuery(
+      "tx27_tokenizer_fertility",
+      "Tokenizer fertility report per language: BPE tokens per whitespace word and characters per token from tx25's merge chain, aggregated by lang — the multilingual-fairness audit (a language with 2x fertility pays 2x context budget) run before committing a tokenizer",
+      (s, dir) => {
+        // The standard multilingual tokenizer audit (fertility =
+        // subword tokens emitted per word): languages the merge table
+        // under-serves show high fertility and systematically lose
+        // effective context length. Per-doc counts are tx25's exact
+        // arithmetic (shared expressions, so the two reports cannot
+        // drift); the aggregate is ONE map-combined groupBy on lang
+        // (|langs| rows) — corpus-sized work is the same single
+        // codegen'd projection scan as tx25, no extra shuffle.
+        graft.functions.TextNorm.register(s)
+        val body = TextOps.bpeBody(col("text"))
+        val enc = TextOps.bpeEncode(body)
+        docs(s, dir)
+          .select(col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
+            body.as("_body"), enc.as("_enc"))
+          .select(col("lang"), col("n_words"),
+            length(replace(col("_body"), lit("#"), lit(""))).cast("long")
+              .as("n_sym"),
+            (length(col("_enc"))
+              - length(replace(col("_enc"), lit("|"), lit(""))) - 1
+              - (length(col("_body"))
+                 - length(replace(col("_body"), lit("#"), lit("")))))
+              .cast("long").as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_tok")).as("n_tokens"),
+            round(sum(col("n_tok")) * lit(1e6) / sum(col("n_words")))
+              .cast("long").as("fertility_e6"),
+            round(sum(col("n_sym")) * lit(1e6) / sum(col("n_tok")))
+              .cast("long").as("chars_per_tok_e6"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH b AS (
+             |  SELECT lang,
+             |    CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+             |      AS BIGINT) AS n_words,
+             |    ${TextOps.bpeBodySql} AS body
+             |  FROM documents),
+             |c AS (SELECT lang, n_words, body,
+             |    ${TextOps.bpeEncodeSql("body")} AS enc
+             |  FROM b),
+             |e AS (SELECT lang, n_words,
+             |    CAST(length(replace(body, '#', '')) AS BIGINT) AS n_sym,
+             |    CAST(length(enc) - length(replace(enc, '|', ''))
+             |      - 1 - (length(body) - length(replace(body, '#', '')))
+             |      AS BIGINT) AS n_tok
+             |  FROM c)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_words) AS BIGINT) AS n_words,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  CAST(round(sum(n_tok) * 1000000.0 / sum(n_words)) AS BIGINT)
+             |    AS fertility_e6,
+             |  CAST(round(sum(n_sym) * 1000000.0 / sum(n_tok)) AS BIGINT)
+             |    AS chars_per_tok_e6
+             |FROM e GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

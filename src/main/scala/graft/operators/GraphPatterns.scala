@@ -118,4 +118,40 @@ object GraphPatterns {
         .localCheckpoint(true)
     }.tail
   }
+
+  /** Common-neighbor link prediction (triangle closing): every
+    * non-adjacent node pair reachable through a wedge, scored by how
+    * many neighbors it shares, top `k` by (score desc, u, v).
+    *
+    * Scale shape: wedge fanout is Σ deg(center)² — quadratic in hub
+    * degree — so centers above `degCap` are EXCLUDED from serving as
+    * the wedge middle (the mm08/mm04 flood-guard pattern; a hub's
+    * wedges are also the weakest prediction signal, every pair of its
+    * neighbors "shares" it). Per surviving center the fanout is
+    * <= degCap², the pair count map-combines, the existing-edge
+    * exclusion is one hashed anti-join, and the top-k is a bounded
+    * TakeOrdered — never a global sort of the candidate set. */
+  def commonNeighborLinks(edges: DataFrame, degCap: Int, k: Int): DataFrame = {
+    require(degCap >= 1 && k >= 1,
+      s"need degCap >= 1 and k >= 1, got ($degCap, $k)")
+    val e = edges.filter(col("src") =!= col("tgt"))
+    val sym = e.select(col("src").as("a"), col("tgt").as("b"))
+      .union(e.select(col("tgt").as("a"), col("src").as("b")))
+      .distinct()
+      // read three times below (centers, wedges, exclusion) — same
+      // re-derivation economics as the peel rounds above
+      .localCheckpoint(true)
+    val okCenter = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= degCap).select(col("a").as("c"))
+    val spokes = sym.select(col("b").as("c"), col("a").as("u"))
+      .join(okCenter, "c")
+    val cand = spokes.as("x").join(spokes.as("y"),
+        col("x.c") === col("y.c") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("u"), col("y.u").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    cand.join(sym, cand("u") === sym("a") && cand("v") === sym("b"),
+        "left_anti")
+      .orderBy(col("common_neighbors").desc, col("u"), col("v"))
+      .limit(k)
+  }
 }

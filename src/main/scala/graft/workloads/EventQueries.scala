@@ -355,5 +355,36 @@ object EventQueries {
              |        / (CAST(c.n_t + 1 AS DOUBLE) / (g.nn + g.t))), 6)
              |    AS psi_contrib
              |FROM cells c, g ORDER BY c.day_start, c.event_type""".stripMargin)),
+
+    CatalogQuery(
+      "e10_heavy_users",
+      "Bounded-memory heavy-user summary: Misra-Gries (k=8) over event traffic — exact map-combined counts compressed by the (k+1)-th-largest subtraction, with the deterministic est/err/n_seen triple whose est <= true <= est+err bound holds at ANY scale; batch twin of HeavyHittersStream",
+      (s, dir) => {
+        // The whole-table single-batch run of the streaming tracker's
+        // compress step (HeavyHittersStream — Misra-Gries, Agarwal et
+        // al. PODS'12). Corpus-sized work is ONE map-combined groupBy;
+        // the top-(k+1) collect is bounded at 9 rows by construction
+        // (the ss11/ss03 driver-page precedent). Unlike tx05's CMS
+        // sketch this summary is merge-order-DETERMINISTIC, which is
+        // what lets the streaming form promise replay-stable state.
+        import s.implicits._
+        val sum = graft.streaming.HeavyHittersStream
+          .summarizeBatch(ev(s, dir), "user_id", 8)
+        sum.counters.map { case (key, est) => (key, est, sum.err, sum.nSeen) }
+          .toDF("user_id", "est", "err", "n_seen")
+          .orderBy(col("est").desc, col("user_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+             |r AS (SELECT user_id, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+             |  FROM c),
+             |t AS (SELECT coalesce((SELECT cnt FROM r WHERE rn = 9), 0) AS t,
+             |    (SELECT count(*) FROM events) AS n)
+             |SELECT CAST(user_id AS BIGINT) AS user_id,
+             |  CAST(cnt - t.t AS BIGINT) AS est, CAST(t.t AS BIGINT) AS err,
+             |  CAST(t.n AS BIGINT) AS n_seen
+             |FROM r, t WHERE rn <= 8 AND cnt - t.t > 0
+             |ORDER BY est DESC, user_id""".stripMargin)),
   )
 }

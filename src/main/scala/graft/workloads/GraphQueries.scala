@@ -406,5 +406,41 @@ object GraphQueries {
               |FROM se a
               |JOIN se b ON a.tgt = b.src
               |JOIN se c ON b.tgt = c.src AND c.tgt = a.src""".stripMargin)),
+
+    CatalogQuery(
+      "g11_link_prediction",
+      "Common-neighbor link prediction (triangle-closing recommendation): non-adjacent wedge endpoints ranked by shared-neighbor count, top-20 — hub wedge-centers (degree > 64) excluded, so the quadratic wedge fanout is capped and the top-k is a bounded TakeOrdered",
+      (s, dir) => {
+        // The recommendation-system primitive over the same fold
+        // graph the pattern counts use: a pair sharing many neighbors
+        // but no edge is the canonical predicted link (common
+        // neighbors = the zero-hyperparameter baseline every link
+        // predictor is measured against). Semantics + scale notes in
+        // GraphPatterns.commonNeighborLinks: degCap bounds per-center
+        // fanout, pair counts map-combine, the exclusion join is
+        // hashed, and the final 20 rows come off a TakeOrdered.
+        graft.operators.GraphPatterns
+          .commonNeighborLinks(edges(s, dir), degCap = 64, k = 20)
+      },
+      Some(s"""WITH $edgesSql,
+              |sym AS (SELECT src AS a, tgt AS b FROM edges WHERE src <> tgt
+              |        UNION
+              |        SELECT tgt, src FROM edges WHERE src <> tgt),
+              |okc AS (SELECT a AS c FROM sym GROUP BY a
+              |        HAVING count(*) <= 64),
+              |w AS (SELECT s.b AS c, s.a AS u FROM sym s
+              |      JOIN okc ON s.b = okc.c),
+              |cand AS (
+              |  SELECT x.u AS u, y.u AS v, count(*) AS common_neighbors
+              |  FROM w x JOIN w y ON x.c = y.c AND x.u < y.u
+              |  GROUP BY 1, 2),
+              |ne AS (SELECT cand.u, cand.v, cand.common_neighbors
+              |       FROM cand LEFT JOIN sym
+              |         ON cand.u = sym.a AND cand.v = sym.b
+              |       WHERE sym.a IS NULL)
+              |SELECT u, v, CAST(common_neighbors AS BIGINT)
+              |    AS common_neighbors
+              |FROM ne
+              |ORDER BY common_neighbors DESC, u, v LIMIT 20""".stripMargin)),
   )
 }

@@ -1953,4 +1953,153 @@ class ExtSpec extends SparkSpec {
       s"raw ADC@10 recall collapsed: $adcHit/$nExact < 0.4")
     pq.unpersist()
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dd20 span removal: first occurrence keeps, later copies cut; exact dup empties; overlapping dup windows union") {
+    // dd15's planted geometry plus an overlap case: docs 0/1 share an
+    // 8-token run (doc 0 first -> keeps; doc 1 loses exactly those 8),
+    // docs 2/3 are exact 12-token dups (doc 2 keeps all, doc 3 empties
+    // to md5('')), doc 4 is clean, doc 5 sub-window, and docs 6/7
+    // share a 9-token run = two OVERLAPPING dup windows whose cut
+    // positions must union to 9 tokens in doc 7, not 16.
+    import spark.implicits._
+    val sharedRun = (0 until 8).map(i => s"shared$i").mkString(" ")
+    val d0 = sharedRun + " " + (0 until 8).map(i => s"a$i").mkString(" ")
+    val d1tail = (0 until 4).map(i => s"c$i").mkString(" ")
+    val d1head = (0 until 4).map(i => s"b$i").mkString(" ")
+    val d1 = d1head + " " + sharedRun + " " + d1tail
+    val dupText = (0 until 12).map(i => s"e$i").mkString(" ")
+    val d4 = (0 until 16).map(i => s"z$i").mkString(" ")
+    val d5 = (0 until 5).map(i => s"s$i").mkString(" ")
+    val nine = (0 until 9).map(i => s"n$i").mkString(" ")
+    val d6 = nine + " " + (0 until 4).map(i => s"p$i").mkString(" ")
+    val d7 = (0 until 4).map(i => s"q$i").mkString(" ") + " " + nine
+    val dir = java.nio.file.Files.createTempDirectory("dd20-planted").toString
+    plantDocs(Seq((0L, d0), (1L, d1), (2L, dupText), (3L, dupText),
+      (4L, d4), (5L, d5), (6L, d6), (7L, d7)).toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("dd20_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(0L) == ((16L, 0L, 16L, md5hex(d0))), s"doc0: ${got(0L)}")
+    assert(got(1L) == ((16L, 8L, 8L, md5hex(d1head + " " + d1tail))),
+      s"doc1: ${got(1L)}")
+    assert(got(2L) == ((12L, 0L, 12L, md5hex(dupText))), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((12L, 12L, 0L, md5hex(""))), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((16L, 0L, 16L, md5hex(d4))), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((5L, 0L, 5L, md5hex(d5))), s"doc5: ${got(5L)}")
+    assert(got(6L) == ((13L, 0L, 13L, md5hex(d6))), s"doc6: ${got(6L)}")
+    assert(got(7L) == ((13L, 9L, 4L,
+      md5hex((0 until 4).map(i => s"q$i").mkString(" ")))), s"doc7: ${got(7L)}")
+  }
+
+  test("mm08 offset near-dup: scattered same-offset matches flag a pair mm06's contiguous shingle misses; frozen and flooded frames can't vote; |off| breaks vote ties") {
+    // payloads are 16-char blocks; stride-4 sampling hashes block
+    // indices 0,4,8,... so sampled frame j lives at chars [64j, 64j+16)
+    def blocks(bs: Seq[String]): String = {
+      require(bs.forall(_.length == 16)); bs.mkString
+    }
+    def fill(doc: Int, i: Int) = f"fill-$doc%03d-$i%06d".take(16).padTo(16, '.')
+    def planted(tag: String, i: Int) = f"$tag$i%d".padTo(16, '_')
+    // sampled sequences (block index 4j carries sampled frame j;
+    // unsampled blocks are unique filler)
+    def media(doc: Int, sampled: Seq[String]): String = {
+      val nBlocks = (sampled.length - 1) * 4 + 1
+      blocks((0 until nBlocks).map(b =>
+        if (b % 4 == 0) sampled(b / 4) else fill(doc, b)))
+    }
+    val P = (0 until 5).map(planted("P", _))
+    // A = [P0 P1 P2 P3 P4]; B = [X P0 P1 Y P3]: matches P0,P1,P3 all at
+    // off=+1 but NOT contiguous in B (gap at Y) -> mm06-invisible
+    val a = media(0, P)
+    val b = media(1, Seq(planted("X", 0), P(0), P(1), planted("Y", 0), P(3)))
+    // frozen: same block at every sampled slot + P0 once -> solo filter
+    // leaves only P0 -> 1 vote with A, below the 3-vote floor
+    val fz = media(2, Seq("RRRRRRRRRRRRRRRR", "RRRRRRRRRRRRRRRR", P(4),
+      "RRRRRRRRRRRRRRRR", "RRRRRRRRRRRRRRRR"))
+    // tie-break pair: M-frames at off=-1, N-frames at off=+2; equal
+    // votes (3 vs 3) -> smaller |off| wins -> off=-1
+    val M = (0 until 3).map(planted("M", _))
+    val N = (0 until 3).map(planted("N", _))
+    val d = media(3, Seq(planted("F", 0)) ++ M ++ N)
+    val e = media(4, M ++ Seq(planted("G", 0), planted("G", 1),
+      planted("G", 2)) ++ N)
+    // flood: 40 media all opening with frame Q -> doc-frequency 40 > 32
+    // kills Q; their second sampled frame is unique filler
+    val flood = (0 until 40).map(i =>
+      (100L + i, media(100 + i, Seq(planted("Q", 0), planted("W", 100 + i)))))
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mm08-planted").toString
+    plantDocs((Seq((0L, a), (1L, b), (2L, fz), (3L, d), (4L, e)) ++ flood)
+      .toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("mm08_video_offset_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map((0L, 1L) -> ((1L, 3L)), (3L, 4L) -> ((-1L, 3L))),
+      s"got $got")
+  }
+
+  test("dp16 repack invalidation: prefix chunks provably byte-identical, first dirty chunk exact, no-retraction bucket fully reusable") {
+    import spark.implicits._
+    // bucket 3: retracted doc FIRST (id 3, 100 tok) -> first_dirty 0;
+    // bucket 5: retracted doc LAST (id 37, off 600) -> first_dirty 2
+    // with chunks 0,1 reusable; bucket 2: no retraction -> all 3
+    // reusable; bucket 4: only doc retracted -> v2 empty
+    def doc(id: Long, n: Int) =
+      (id, (0 until n).map(i => s"d${id}w$i").mkString(" "))
+    val corpus = Seq(doc(3, 100), doc(11, 300), doc(19, 50),
+      doc(2, 600), doc(20, 30), doc(5, 500), doc(13, 100), doc(37, 64))
+    val dir = java.nio.file.Files.createTempDirectory("dp16-planted").toString
+    plantDocs(corpus.toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("dp16_repack_invalidation")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7), r.getLong(8)))).toMap
+    // (n_docs_v1, n_docs_v2, tokens_v1, tokens_v2, chunks_v1,
+    //  chunks_v2, first_dirty (-1 = NULL), n_reusable)
+    assert(got(3L) == ((3L, 2L, 450L, 350L, 2L, 2L, 0L, 0L)), s"${got(3L)}")
+    assert(got(5L) == ((3L, 2L, 664L, 600L, 3L, 3L, 2L, 2L)), s"${got(5L)}")
+    assert(got(2L) == ((1L, 1L, 600L, 600L, 3L, 3L, -1L, 3L)), s"${got(2L)}")
+    assert(got(4L) == ((1L, 0L, 30L, 0L, 1L, 0L, 0L, 0L)), s"${got(4L)}")
+    // the prefix PROPERTY itself: rebuild both token streams for
+    // bucket 5 and check chunks below first_dirty are byte-identical
+    // while the first dirty chunk is not
+    def stream(docs: Seq[(Long, String)]) = docs.sortBy(_._1)
+      .flatMap(_._2.split(" ")).grouped(256).toSeq
+    val b5 = corpus.filter(d => d._1 % 8 == 5)
+    val v1 = stream(b5)
+    val v2 = stream(b5.filterNot(_._1 % 17 == 3))
+    assert(v1.take(2) == v2.take(2), "reusable prefix not byte-identical")
+    assert(v1(2) != v2(2), "chunk at first_dirty unexpectedly identical")
+  }
+
+  test("tx27 fertility: per-lang aggregates equal a recomputation from tx25's per-doc counts") {
+    // shared-expression gate: tx27 must be exactly tx25's n_sym/n_tok
+    // re-aggregated by lang — recompute the report from tx25's own
+    // output joined back to the lang column and demand row equality
+    val perDoc = run("tx25_bpe_tokenize")
+    val langs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_words"))
+    val expect = perDoc.join(langs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(sum(col("n_tok")) * lit(1e6) / sum(col("n_words")))
+          .cast("long").as("fertility_e6"),
+        round(sum(col("n_sym")) * lit(1e6) / sum(col("n_tok")))
+          .cast("long").as("chars_per_tok_e6"))
+    val got = run("tx27_tokenizer_fertility")
+    assert(got.except(expect).count() == 0 &&
+      expect.except(got).count() == 0,
+      "tx27 drifted from tx25's per-doc arithmetic")
+    // and the report is non-degenerate: multiple langs, all fertility
+    // >= 1 token per word (BPE never merges across the word marker)
+    val rows = got.collect()
+    assert(rows.length >= 2)
+    assert(rows.forall(_.getAs[Long]("fertility_e6") >= 1000000L),
+      "fertility below 1 token/word — merges crossed a word boundary")
+  }
 }

@@ -111,4 +111,32 @@ class GraphIntegrationSpec extends SparkSpec {
     // integer fixed-point arithmetic: bitwise reproducible run-to-run
     assert(run().toSeq == got.toSeq, "g07 not deterministic")
   }
+
+  test("commonNeighborLinks: path closes, square diagonals score 2, existing edges excluded, hub centers voteless") {
+    import spark.implicits._
+    // path 1-2-3: predict (1,3) via center 2. square 10-11-12-13-10:
+    // predict both diagonals (10,12) and (11,13) with TWO common
+    // neighbors each. triangle 20-21-22: fully adjacent — nothing
+    // predicted. hub 30 adjacent to 31..40 (degree 10 > cap 5): its
+    // wedges are excluded, so no (31..40) pair appears.
+    val edges = (Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 20L)) ++
+      (31L to 40L).map((30L, _))).toDF("src", "tgt")
+    val got = GraphPatterns.commonNeighborLinks(edges, degCap = 5, k = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got == Map((10L, 12L) -> 2L, (11L, 13L) -> 2L, (1L, 3L) -> 1L),
+      s"got $got")
+    // raising the cap re-admits the hub's wedges: all 45 pairs of its
+    // spokes (plus the three above) now predict through center 30
+    val uncapped = GraphPatterns
+      .commonNeighborLinks(edges, degCap = 100, k = 100).count()
+    assert(uncapped == 45 + 3, s"got $uncapped")
+    // top-k is deterministic under ties: k=2 keeps the two score-2
+    // diagonals, ordered (u, v)
+    val top2 = GraphPatterns.commonNeighborLinks(edges, degCap = 5, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top2 == Seq((10L, 12L), (11L, 13L)), s"got $top2")
+  }
 }

@@ -457,6 +457,48 @@ class PlanSpec extends SparkSpec {
       s"merge chain missing from the projection:\n$plan")
   }
 
+  test("dd20: group-first is an aggregate, never a per-digest window; no unbounded join") {
+    val plan = planOf(run("dd20_span_removal"))
+    // a row_number window partitioned by digest would serialize a
+    // billion-doc boilerplate window into one task; the min(struct)
+    // aggregate map-combines instead. The only windows allowed are
+    // the gram frame's per-doc lead passes — no ranking expression,
+    // no single-partition stage, and no Expand (a countDistinct here
+    // would double the shuffled digest stream)
+    assert(!plan.contains("row_number"),
+      s"group-first became a ranking window:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"a distinct-aggregate Expand crept into the digest pass:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"a global single-partition stage in dd20:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"unbounded join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("mm08: frame join hashed with flood guards; the only window is per-pair") {
+    val plan = planOf(run("mm08_video_offset_neardup"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"unbounded frame join:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"a global single-partition stage in mm08:\n$plan")
+    // the argmax window must be keyed on the media pair, not global
+    assert(plan.contains("partial_count"),
+      s"vote count lost its map-side partial:\n$plan")
+  }
+
+  test("tx27: one projection scan + one map-combined groupBy — no join, bounded output") {
+    val plan = planOf(run("tx27_tokenizer_fertility"))
+    assert(!plan.contains("Join"), s"tx27 grew a join:\n$plan")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    // one hash exchange for the lang groupBy + the presentation sort
+    assert(exchanges <= 2, s"extra shuffles ($exchanges):\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"fertility agg lost its map-side partial:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
