@@ -105,7 +105,20 @@ object PipelineHeadroom {
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"HEADROOM $name%-24s n=$n rows=$nLabels%-9d ${dt}%.2f s rounds=$rounds")
         } else {
-        val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+        // FORCE full evaluation: a bare count() lets Catalyst
+        // join-eliminate aggregated-unique LEFT joins and prune every
+        // projection — dd15 "measured" 0.8 s under count() vs 68.1 s
+        // with its columns actually consumed (receipt in SCALING.md,
+        // round 14). Hashing the whole row into an aggregate
+        // references every output column, so nothing prunes, at the
+        // cost of one xxhash64 per row.
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        val forced = df.agg(count(lit(1)).as("rows"),
+          // bit_xor, not sum: summing 2^63-range hashes overflows
+          // under ANSI mode
+          bit_xor(xxhash64(struct(df.columns.map(col): _*))).as("sink"))
+          .collect()(0)
+        val rows = forced.getLong(0)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"HEADROOM $name%-24s n=$n rows=$rows%-9d ${dt}%.2f s")
         }
