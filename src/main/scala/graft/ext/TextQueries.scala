@@ -783,13 +783,32 @@ object TextQueries {
         val grams = TextOps
           .wordShinglePosRows(docs(s, dir), "doc_id", "text", k)
           .select(col("doc_id"), md5(col("_el")).as("gh"))
-        val firstDoc = grams.groupBy(col("gh"))
-          .agg(min(col("doc_id")).as("first_doc"))
-        val perDoc = grams.join(firstDoc, "gh")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_win"),
-            sum((col("doc_id") === col("first_doc")).cast("long"))
-              .as("n_novel"))
+        // JOIN-FREE first-carrier attribution (the dd20 packed-long
+        // trick): level 1 folds occurrences per (gh, doc) — each doc
+        // appears once per gh after it, and its count c < 2^20 (the
+        // maxDocTokens guard) — so level 2's min(doc*2^20 + c) is
+        // exactly (first carrier, its occurrence count), and a doc's
+        // novel occurrences are the sum of those counts over the
+        // windows it first carried. Replaces the digest-stream
+        // join-back (build-side of 36.7M rows at the 500k corpus);
+        // measured 143 -> 67-102 s forced (noisy box, consistent
+        // direction over three runs). n_win comes straight off the
+        // gram stream (|docs| groups — map-side combine folds hard),
+        // so the (gh, doc) level feeds ONLY the novelty path and is
+        // computed once; checkpoint-free throughout (wide streams
+        // recompute cheaper than they materialize).
+        val novel = grams.groupBy(col("gh"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("gh"))
+          .agg(min(col("doc_id") * lit(1048576L) + col("c")).as("fk"))
+          .select(expr("fk div 1048576").as("doc_id"),
+            pmod(col("fk"), lit(1048576L)).as("nv"))
+          .groupBy(col("doc_id")).agg(sum(col("nv")).as("n_novel"))
+        val perDoc = grams.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_win"))
+          .join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_win"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         d.join(perDoc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tok"),
             coalesce(col("n_win"), lit(0L)).as("n_win"),
