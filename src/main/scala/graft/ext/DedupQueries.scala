@@ -668,6 +668,70 @@ object DedupQueries {
              |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     CatalogQuery(
+      "dd21_dedup_impact",
+      "Dedup impact report per source: dd10's LSH-verified keep-min clusters attributed to the source column — docs and TOKENS removed per source with e6 shares, the governance dashboard a curation run publishes before anyone trusts the dedup",
+      (s, dir) => {
+        // What did the dedup actually delete, and from whom — the
+        // question asked in every curation review (a dedup that eats
+        // 40% of one source is a licensing/provenance signal, not
+        // just a space win). dd10's chain verbatim (shingle -> banded
+        // LSH -> exact verify -> min-label CC -> keep-min), then one
+        // 1:1 co-keyed join back to (source, n_tok) and ONE
+        // map-combined groupBy on source — |sources| rows out at any
+        // corpus size.
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val rows = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 3)
+        val pairs = TextOps.lshNearDupPairs(rows, "doc_id",
+            numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+            threshNum = 8, threshDen = 10)
+          .select(col("a_id"), col("b_id"))
+        val cl = minLabelComponents(pairs, "dd21")
+          .select(col("v").as("doc_id"),
+            (col("v") === col("lbl")).cast("long").as("keep"))
+        d.join(cl, Seq("doc_id"), "left")
+          .select(col("source"), col("n_tok"),
+            coalesce(col("keep"), lit(1L)).as("keep"),
+            when(col("keep").isNotNull, 1L).otherwise(0L).as("clustered"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("clustered")).as("n_clustered"),
+            sum(when(col("keep") === 0, 1L).otherwise(0L)).as("n_removed"),
+            sum(col("n_tok")).as("tok_total"),
+            sum(when(col("keep") === 0, col("n_tok")).otherwise(0L))
+              .as("tok_removed"))
+          .withColumn("removed_pct_e6",
+            round(col("tok_removed") * lit(1e6) / col("tok_total"))
+              .cast("long"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH cl AS (
+             |  SELECT doc_id, keep FROM (
+             |${TextOps.lshClustersOracleSql(TextOps.wordShingleSql(3),
+                 numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+                 threshNum = 8, threshDen = 10).linesIterator
+                 .map("    " + _).mkString("\n")}
+             |  ) t),
+             |d AS (SELECT doc_id, source,
+             |    CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+             |      AS BIGINT) AS n_tok
+             |  FROM documents),
+             |j AS (SELECT d.source, d.n_tok,
+             |    coalesce(cl.keep, 1) AS keep,
+             |    CASE WHEN cl.doc_id IS NULL THEN 0 ELSE 1 END AS clustered
+             |  FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(clustered) AS BIGINT) AS n_clustered,
+             |  CAST(sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_removed,
+             |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             |  CAST(sum(CASE WHEN keep = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+             |    AS tok_removed,
+             |  CAST(round(sum(CASE WHEN keep = 0 THEN n_tok ELSE 0 END)
+             |    * 1000000.0 / sum(n_tok)) AS BIGINT) AS removed_pct_e6
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    CatalogQuery(
       "dd11_incremental_dedup",
       "Incremental ingestion dedup: new batch (doc_id % 5 = 4) probed against the standing corpus by content hash, then keep-first within the batch",
       (s, dir) => {

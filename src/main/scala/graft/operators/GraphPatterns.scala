@@ -119,6 +119,40 @@ object GraphPatterns {
     }.tail
   }
 
+  /** Bounded breadth-first reachability: min-hop distance from a seed
+    * set, `rounds` hops out, over the symmetrized edge set (self-loops
+    * dropped). Returns (v, hops) for every node within `rounds` of a
+    * seed (seeds at hops 0). Bounded rounds, not a fixpoint, for the
+    * k-core/dd18 reason: a fixed unrolled depth is what a DuckDB
+    * oracle mirrors exactly. Per round: one hashed join of the edge
+    * set against the FRONTIER only (not the whole reached set) + one
+    * anti-join dedup — the textbook distributed BFS; every round's
+    * frontier/reached frame is localCheckpoint'd because the next
+    * round reads each twice (expand + anti-join). */
+  def boundedReach(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"bounded reach wants 1..16 rounds, got $rounds")
+    val e = edges.filter(col("src") =!= col("tgt"))
+    val sym = e.select(col("src").as("a"), col("tgt").as("b"))
+      .union(e.select(col("tgt").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var reached = seeds.select(col("v"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = reached.select(col("v"))
+    for (r <- 1 to rounds) {
+      val next = sym.join(frontier.withColumnRenamed("v", "a"), Seq("a"))
+        .select(col("b").as("v")).distinct()
+        .join(reached, Seq("v"), "left_anti")
+        .select(col("v"), lit(r.toLong).as("hops"))
+        .localCheckpoint(true)
+      reached = reached.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("v"))
+    }
+    reached
+  }
+
   /** Common-neighbor link prediction (triangle closing): every
     * non-adjacent node pair reachable through a wedge, scored by how
     * many neighbors it shares, top `k` by (score desc, u, v).

@@ -357,6 +357,88 @@ object EventQueries {
              |FROM cells c, g ORDER BY c.day_start, c.event_type""".stripMargin)),
 
     CatalogQuery(
+      "e11_attribution_window",
+      "Windowed attribution funnel: view -> click -> purchase where each step must land within 24h of the previous stage's watermark — e08's strict order plus the attribution-window constraint every analytics pipeline bills by; reports per-stage users, conversion, and mean step delay",
+      (s, dir) => {
+        // e08's min-timestamp cascade with a bounded qualifying
+        // window: the stage watermark is the FIRST qualifying event
+        // (strictly after the previous watermark AND within W of it),
+        // so a click 3 days later no longer converts. Same scale
+        // shape — three type-filtered hashed O(users) aggregates, no
+        // window over event data; the previous stage's watermark
+        // rides along each aggregate (min of a per-user constant) so
+        // the delay sums need no extra join.
+        val W = 86400000000L // 24h in microseconds
+        val e = ev(s, dir).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("us") > col("v_us") && col("us") <= col("v_us") + W)
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("c_us"), min(col("v_us")).as("v_us"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c.select(col("user_id"), col("c_us")), "user_id")
+          .filter(col("us") > col("c_us") && col("us") <= col("c_us") + W)
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("p_us"), min(col("c_us")).as("c_us"))
+        def stage(df: DataFrame, n: Long, name: String,
+            delay: Option[org.apache.spark.sql.Column]) =
+          df.agg(count(lit(1)).as("n_users"),
+              delay.map(sum(_)).getOrElse(lit(null).cast("long"))
+                .as("dsum"))
+            .select(lit(n).as("stage"), lit(name).as("stage_name"),
+              col("n_users"),
+              expr("dsum div nullif(n_users, 0)").as("avg_delay_us"))
+        val rows = stage(v, 1L, "view", None)
+          .unionByName(stage(c, 2L, "click_within_24h",
+            Some(col("c_us") - col("v_us"))))
+          .unionByName(stage(p, 3L, "purchase_within_24h",
+            Some(col("p_us") - col("c_us"))))
+        rows
+          .select(col("stage"), col("stage_name"), col("n_users"),
+            col("avg_delay_us"),
+            when(col("stage") === 1, lit(1000000L))
+              .otherwise(expr("n_users * 1000000L div " +
+                "nullif(lag(n_users, 1) over (order by stage), 0L)"))
+              .as("conv_e6"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_us,
+             |    min(v.v_us) AS v_us
+             |  FROM events e JOIN v ON v.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+             |    AND epoch_us(e.ts) <= v.v_us + 86400000000
+             |  GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us,
+             |    min(c.c_us) AS c_us
+             |  FROM events e JOIN c ON c.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+             |    AND epoch_us(e.ts) <= c.c_us + 86400000000
+             |  GROUP BY e.user_id),
+             |st AS (
+             |  SELECT 1 AS stage, 'view' AS stage_name,
+             |    (SELECT count(*) FROM v) AS n_users,
+             |    CAST(NULL AS BIGINT) AS avg_delay_us
+             |  UNION ALL SELECT 2, 'click_within_24h',
+             |    (SELECT count(*) FROM c),
+             |    (SELECT sum(c_us - v_us) // nullif(count(*), 0) FROM c)
+             |  UNION ALL SELECT 3, 'purchase_within_24h',
+             |    (SELECT count(*) FROM p),
+             |    (SELECT sum(p_us - c_us) // nullif(count(*), 0) FROM p))
+             |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+             |  CAST(n_users AS BIGINT) AS n_users,
+             |  CAST(avg_delay_us AS BIGINT) AS avg_delay_us,
+             |  CAST(CASE WHEN stage = 1 THEN 1000000
+             |    ELSE n_users * 1000000 //
+             |      nullif(lag(n_users, 1) OVER (ORDER BY stage), 0) END
+             |    AS BIGINT) AS conv_e6
+             |FROM st ORDER BY stage""".stripMargin)),
+
+    CatalogQuery(
       "e10_heavy_users",
       "Bounded-memory heavy-user summary: Misra-Gries (k=8) over event traffic — exact map-combined counts compressed by the (k+1)-th-largest subtraction, with the deterministic est/err/n_seen triple whose est <= true <= est+err bound holds at ANY scale; batch twin of HeavyHittersStream",
       (s, dir) => {

@@ -442,5 +442,47 @@ object GraphQueries {
               |    AS common_neighbors
               |FROM ne
               |ORDER BY common_neighbors DESC, u, v LIMIT 20""".stripMargin)),
+
+    CatalogQuery(
+      "g12_bounded_reach",
+      "Bounded BFS reachability: min-hop distance (<= 3) from the deterministic seed set (nodes = 0 mod 100) over the undirected fold graph — the contamination-spread / ego-expansion primitive; per round one frontier-only hashed join + one anti-join dedup, never a whole-graph fixpoint",
+      (s, dir) => {
+        // How far does influence/contamination spread in k hops from
+        // a flagged set — the bounded form of reachability a pipeline
+        // actually runs (a fixpoint is unbounded on an adversarial
+        // graph; 2-3 hops is the actionable radius). Semantics +
+        // scale notes in GraphPatterns.boundedReach; seeds are
+        // derived from the graph itself so the query is closed over
+        // the fixture tables.
+        val e = edges(s, dir)
+        val nodes = e.filter(col("src") =!= col("tgt"))
+          .select(col("src").as("v"))
+          .union(e.filter(col("src") =!= col("tgt"))
+            .select(col("tgt").as("v")))
+          .distinct()
+        val seeds = nodes.filter(pmod(col("v"), lit(100)) === 0)
+        graft.operators.GraphPatterns.boundedReach(e, seeds, 3)
+          .orderBy(col("v"))
+      },
+      Some(s"""WITH $edgesSql,
+              |sym AS (SELECT src AS a, tgt AS b FROM edges WHERE src <> tgt
+              |        UNION
+              |        SELECT tgt, src FROM edges WHERE src <> tgt),
+              |nodes AS (SELECT DISTINCT a AS v FROM sym),
+              |r0 AS (SELECT v, 0 AS hops FROM nodes WHERE v % 100 = 0),
+              |n1 AS (SELECT DISTINCT s.b AS v, 1 AS hops
+              |       FROM sym s JOIN r0 ON s.a = r0.v
+              |       WHERE s.b NOT IN (SELECT v FROM r0)),
+              |r1 AS (SELECT * FROM r0 UNION ALL SELECT * FROM n1),
+              |n2 AS (SELECT DISTINCT s.b AS v, 2 AS hops
+              |       FROM sym s JOIN n1 ON s.a = n1.v
+              |       WHERE s.b NOT IN (SELECT v FROM r1)),
+              |r2 AS (SELECT * FROM r1 UNION ALL SELECT * FROM n2),
+              |n3 AS (SELECT DISTINCT s.b AS v, 3 AS hops
+              |       FROM sym s JOIN n2 ON s.a = n2.v
+              |       WHERE s.b NOT IN (SELECT v FROM r2)),
+              |r3 AS (SELECT * FROM r2 UNION ALL SELECT * FROM n3)
+              |SELECT v, CAST(hops AS BIGINT) AS hops
+              |FROM r3 ORDER BY v""".stripMargin)),
   )
 }

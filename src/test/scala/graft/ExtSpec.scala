@@ -1546,6 +1546,59 @@ class ExtSpec extends SparkSpec {
       3L -> ((0L, -1L))), s"got $empty")
   }
 
+  test("e11 attribution window: a qualifying click must land within 24h — e08-converting users drop out; delay math exact") {
+    // u1: view, click +30min (in window), purchase +30h after click
+    // (OUT) -> stages 1-2. u2: view, click +2 days (OUT of window,
+    // though e08 would convert it) -> stage 1 only. u3: full funnel
+    // inside the window (click +1h, purchase +1h more) -> all stages.
+    val dir = java.nio.file.Files.createTempDirectory("e11-planted").toString
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2026-01-01 10:30:00"), 1L, "click", 1.0, "{}"),
+      (3L, t("2026-01-02 16:30:00"), 1L, "purchase", 1.0, "{}"),
+      (4L, t("2026-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, t("2026-01-03 10:00:00"), 2L, "click", 1.0, "{}"),
+      (6L, t("2026-01-01 10:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, t("2026-01-01 11:00:00"), 3L, "click", 1.0, "{}"),
+      (8L, t("2026-01-01 12:00:00"), 3L, "purchase", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("e11_attribution_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))).toMap
+    // stage 2 delays: u1 30min, u3 1h -> avg 45min = 2.7e9 us;
+    // stage 3: u3 only, 1h = 3.6e9 us
+    assert(got == Map(
+      1L -> ((3L, -1L, 1000000L)),
+      2L -> ((2L, 2700000000L, 666666L)),
+      3L -> ((1L, 3600000000L, 500000L))), s"got $got")
+    // cross-check the divergence: e08 (no window) converts u2's click
+    val e08 = SparkEntry.queries("e08_funnel_conversion")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(e08(2L) == 3L, s"e08 should convert all 3 clicks: $e08")
+  }
+
+  test("dd21 dedup impact: per-source totals conserve against dd10's cluster output") {
+    val impact = run("dd21_dedup_impact").collect()
+    val dd10 = run("dd10_dedup_clusters_lsh")
+    val nClustered = dd10.count()
+    val nRemoved = dd10.filter(col("keep") === 0).count()
+    assert(impact.map(_.getLong(2)).sum == nClustered,
+      "clustered docs don't conserve across sources")
+    assert(impact.map(_.getLong(3)).sum == nRemoved,
+      "removed docs don't conserve across sources")
+    impact.foreach { r =>
+      val (nd, nc, nr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (tt, tr, pct) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nr <= nc && nc <= nd, s"nesting broken in $r")
+      assert(tr <= tt && pct >= 0 && pct <= 1000000, s"token bounds in $r")
+    }
+    // the fixture plants real dups: something is removed somewhere
+    assert(impact.map(_.getLong(3)).sum > 0)
+  }
+
   test("tx24 psiContributions: identical cohorts score zero, planted shift matches hand math, one-sided bucket stays finite, foreign cohorts excluded") {
     import spark.implicits._
     import graft.ext.TextOps

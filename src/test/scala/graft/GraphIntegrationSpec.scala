@@ -112,6 +112,24 @@ class GraphIntegrationSpec extends SparkSpec {
     assert(run().toSeq == got.toSeq, "g07 not deterministic")
   }
 
+  test("boundedReach: min-hop on a diamond, frontier stops at the round bound, reverse edges reach") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus diamond 0-1 / 0-2' / 1-3' / 2'-3' checks
+    // min-hop (3' at 2 hops, not 3); edge 10 -> 0 is DIRECTED toward
+    // the seed, so 10 must still be reached (symmetrized)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 20L), (1L, 30L), (20L, 30L), (10L, 0L)).toDF("src", "tgt")
+    val seeds = Seq(0L).toDF("v")
+    val got = GraphPatterns.boundedReach(edges, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 20L -> 1L, 10L -> 1L,
+      2L -> 2L, 30L -> 2L, 3L -> 3L), s"got $got")
+    // nodes 4, 5 are 4+ hops out: absent at rounds = 3, present at 5
+    val deeper = GraphPatterns.boundedReach(edges, seeds, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deeper(4L) == 4L && deeper(5L) == 5L, s"got $deeper")
+  }
+
   test("commonNeighborLinks: path closes, square diagonals score 2, existing edges excluded, hub centers voteless") {
     import spark.implicits._
     // path 1-2-3: predict (1,3) via center 2. square 10-11-12-13-10:
