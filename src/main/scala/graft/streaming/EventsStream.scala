@@ -398,4 +398,54 @@ object EventsStream {
       }
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Watermarks unset (-1) for funnel stages not yet reached. */
+  case class FunnelState(v_us: Long, c_us: Long, p_us: Long)
+  case class FunnelRow(user_id: Long, stage: Long, v_us: Long,
+      c_us: Long, p_us: Long)
+
+  /** Streaming attribution funnel — the live twin of e11's batch
+    * cascade: a per-user 3-slot state machine (first view; first
+    * click strictly after it and within 24h; first purchase strictly
+    * after THAT and within 24h), emitting the user's current stage
+    * each batch (Update mode — the stage is monotone, last row wins).
+    *
+    * Contract (BudgetStream's ordered-batches convention): over
+    * batches that respect per-user event-time order, the final stage
+    * assignment equals e11's batch cascade on the concatenated table —
+    * within a batch, events sort before folding, so intra-batch
+    * disorder is free. Across batches the machine never rewinds: a
+    * view arriving AFTER a later click was already evaluated cannot
+    * retro-qualify it (the spec pins this divergence on a planted
+    * user). State per user is THREE longs regardless of history; no
+    * per-event retention, no timeout needed. */
+  def funnelStates(spark: SparkSession, events: DataFrame,
+      windowUs: Long = 86400000000L): Dataset[FunnelRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[(Long, String, Long)],
+            state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          batch.toArray.sortBy(t => (t._3, t._2)).foreach { case (_, et, us) =>
+            if (et == "view" && s.v_us < 0)
+              s = s.copy(v_us = us)
+            else if (et == "click" && s.v_us >= 0 && s.c_us < 0 &&
+                us > s.v_us && us <= s.v_us + windowUs)
+              s = s.copy(c_us = us)
+            else if (et == "purchase" && s.c_us >= 0 && s.p_us < 0 &&
+                us > s.c_us && us <= s.c_us + windowUs)
+              s = s.copy(p_us = us)
+          }
+          state.update(s)
+          val stage =
+            if (s.p_us >= 0) 3L else if (s.c_us >= 0) 2L
+            else if (s.v_us >= 0) 1L else 0L
+          FunnelRow(uid, stage, s.v_us, s.c_us, s.p_us)
+      }
+  }
 }

@@ -130,6 +130,49 @@ class StreamingSpec extends SparkSpec {
     assert(mismatched == 0)
   }
 
+  test("streaming funnel equals e11's batch cascade on the fixture; order contract pinned on a disordered arrival") {
+    // 1) fixture parity: final stage counts == e11's n_users
+    val stream = EventsStream.readEvents(spark, sfDir)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.funnelStates(spark, stream).toDF(),
+      "funnel_test", OutputMode.Update())
+    val finalStage = got.groupBy("user_id")
+      .agg(max("stage").as("stage"))
+    val e11 = SparkEntry.queries("e11_attribution_window")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (1L to 3L).foreach { k =>
+      val streamed = finalStage.filter(col("stage") >= k).count()
+      assert(streamed == e11(k),
+        s"stage $k: streamed $streamed != batch ${e11(k)}")
+    }
+    // 2) the order contract: a click ARRIVING before its user's view
+    // (event-time still after it) is gone by the time the view lands —
+    // batch e11 over the same rows converts it; the stream must not.
+    // u1 arrives in order across batches and must convert.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventsStream.funnelStates(spark,
+        ms.toDF().toDF("event_id", "ts", "user_id", "event_type")).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_order").start()
+    try {
+      ms.addData((1L, t("2026-01-01 10:30:00"), 2L, "click"),
+        (2L, t("2026-01-01 10:00:00"), 1L, "view"))
+      q.processAllAvailable()
+      ms.addData((3L, t("2026-01-01 10:00:00"), 2L, "view"),
+        (4L, t("2026-01-01 10:30:00"), 1L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val states = spark.table("funnel_order").groupBy("user_id")
+      .agg(max("stage").as("stage")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(states == Map(1L -> 2L, 2L -> 1L),
+      s"order contract broken: $states")
+  }
+
   test("foreachBatch idempotent sink: replaying the stream never duplicates rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-fb-ckpt").toString
