@@ -732,6 +732,54 @@ object DedupQueries {
              |FROM j GROUP BY source ORDER BY source""".stripMargin)),
 
     CatalogQuery(
+      "dd22_threshold_sweep",
+      "Dedup threshold sensitivity: dd03's verified candidate pairs re-counted at Jaccard cuts 0.80/0.85/0.90/0.95/1.00 (cross-multiplied integers) — the tuning curve read before committing a dedup threshold, over the SAME pair set production verifies",
+      (s, dir) => {
+        // Moving the dedup threshold is the highest-stakes knob in
+        // curation (0.8 vs 0.9 can double the removed mass); this
+        // reports how the verified pair count decays as the cut
+        // tightens, ONE pass over dd03's (inter, uni) pairs — no new
+        // corpus work, and every cut >= the LSH tuning point 0.8 so
+        // candidate recall is dd03's (cuts BELOW the banding's design
+        // threshold would undercount and are refused by omission).
+        val rows = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", 3)
+        val pairs = TextOps.lshNearDupPairs(rows, "doc_id",
+          numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+          threshNum = 8, threshDen = 10)
+        def atLeast(num: Int, den: Int) =
+          sum(when(col("inter") * den >= col("uni") * num, 1L)
+            .otherwise(0L))
+        pairs.agg(
+            atLeast(8, 10).as("t80"), atLeast(17, 20).as("t85"),
+            atLeast(9, 10).as("t90"), atLeast(19, 20).as("t95"),
+            atLeast(1, 1).as("t100"))
+          .selectExpr("stack(5, 800000L, t80, 850000L, t85, 900000L, t90," +
+            " 950000L, t95, 1000000L, t100) as (thresh_e6, n_pairs)")
+          .orderBy(col("thresh_e6"))
+      },
+      Some(s"""WITH vp AS (
+             |  SELECT inter, uni FROM (
+             |${TextOps.lshPairsOracleSql(TextOps.wordShingleSql(3),
+                 numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
+                 threshNum = 8, threshDen = 10).linesIterator
+                 .map("    " + _).mkString("\n")}
+             |  ) t)
+             |SELECT CAST(th AS BIGINT) AS thresh_e6, CAST(n AS BIGINT)
+             |    AS n_pairs
+             |FROM (
+             |  SELECT 800000 AS th, (SELECT count(*) FROM vp
+             |    WHERE inter * 10 >= uni * 8) AS n
+             |  UNION ALL SELECT 850000, (SELECT count(*) FROM vp
+             |    WHERE inter * 20 >= uni * 17)
+             |  UNION ALL SELECT 900000, (SELECT count(*) FROM vp
+             |    WHERE inter * 10 >= uni * 9)
+             |  UNION ALL SELECT 950000, (SELECT count(*) FROM vp
+             |    WHERE inter * 20 >= uni * 19)
+             |  UNION ALL SELECT 1000000, (SELECT count(*) FROM vp
+             |    WHERE inter >= uni))
+             |ORDER BY thresh_e6""".stripMargin)),
+
+    CatalogQuery(
       "dd11_incremental_dedup",
       "Incremental ingestion dedup: new batch (doc_id % 5 = 4) probed against the standing corpus by content hash, then keep-first within the batch",
       (s, dir) => {

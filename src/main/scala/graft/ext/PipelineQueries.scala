@@ -47,6 +47,93 @@ object PipelineQueries {
   /** dp05's typed row: (doc, its hash bucket, its token count). */
   case class DocTok(doc_id: Long, bucket: Long, n_tok: Long)
 
+  /** dp12's water-filling plan, unordered — shared by the dp12 entry
+    * and dp17's plan-vs-actuals reconciliation. */
+  private def budgetPlan(s: SparkSession, dir: String): DataFrame = {
+        // The planning step BEFORE dp08's sampling executes: given a
+        // total token budget, how many tokens come from each source?
+        // Target shares ∝ avail · floor(2^19/sqrt(avail)) ≈ sqrt(avail)
+        // (dp08's correctly-rounded-sqrt portability argument). A source
+        // whose share exceeds its availability caps there and its
+        // deficit redistributes over the others — water-filling. Rounds
+        // are BOUNDED at 3 allocations (2 redistributions), the g07b/g09
+        // convention that lets DuckDB unroll the loop exactly; a
+        // deeper-than-2 saturation cascade leaves budget unspent rather
+        // than over-drawing (final allocation clamps at avail). All
+        // integer arithmetic: every div is a floor on non-negative
+        // BIGINTs, so both engines agree bit-for-bit. Scale shape: one
+        // corpus scan to per-source sums; the water-filling runs on the
+        // #sources-row summary via 1-row aggregate cross-joins
+        // (broadcast by construction) — never on the corpus.
+        val d = docs(s, dir).select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val st = d.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("avail"))
+          .withColumn("target", col("avail") *
+            least(lit(524288L), floor(lit(524288.0) /
+              sqrt(greatest(col("avail"), lit(1L)))).cast("long")))
+        val g1 = st.agg(sum(col("target")).as("tot1"),
+          expr("(sum(avail) * 6) div 10").as("budget"))
+        val r1 = st.crossJoin(broadcast(g1))
+          .withColumn("alloc1", expr("(budget * target) div nullif(tot1, 0)"))
+          .withColumn("sat1", col("alloc1") >= col("avail"))
+        val g2 = r1.agg(
+          sum(when(col("sat1"), col("avail")).otherwise(0L)).as("satav1"),
+          sum(when(col("sat1"), 0L).otherwise(col("target"))).as("tot2"))
+        val r2 = r1.crossJoin(broadcast(g2))
+          .withColumn("alloc2",
+            expr("((budget - satav1) * target) div nullif(tot2, 0)"))
+          .withColumn("sat2", col("sat1") || col("alloc2") >= col("avail"))
+        val g3 = r2.agg(
+          sum(when(col("sat2"), col("avail")).otherwise(0L)).as("satav2"),
+          sum(when(col("sat2"), 0L).otherwise(col("target"))).as("tot3"))
+        r2.crossJoin(broadcast(g3))
+          .withColumn("alloc3",
+            expr("((budget - satav2) * target) div nullif(tot3, 0)"))
+          .select(col("source"), col("avail").as("n_tokens"), col("target"),
+            col("budget"),
+            when(col("sat2"), col("avail"))
+              .otherwise(least(col("avail"), col("alloc3")))
+              .as("planned_tokens"),
+            when(col("sat2"), lit(1L)).otherwise(lit(0L)).as("saturated"))
+  }
+
+  /** The DuckDB CTE chain of [[budgetPlan]] (through r3) — THE one
+    * copy, shared by dp12's oracle and dp17's reconciliation oracle so
+    * the plan arithmetic cannot drift between them. */
+  private val budgetPlanSqlCtes: String =
+    """d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail,
+      |    CAST(sum(n_tok) * least(524288, CAST(floor(524288.0
+      |      / sqrt(greatest(sum(n_tok), 1))) AS BIGINT)) AS BIGINT)
+      |      AS target
+      |  FROM d GROUP BY source),
+      |g1 AS (SELECT sum(target) AS tot1,
+      |  CAST((sum(avail) * 6) // 10 AS BIGINT) AS budget FROM st),
+      |r1 AS (SELECT st.*, g1.budget,
+      |  (g1.budget * st.target) // nullif(g1.tot1, 0) AS alloc1
+      |  FROM st, g1),
+      |s1 AS (SELECT *, alloc1 >= avail AS sat1 FROM r1),
+      |g2 AS (SELECT
+      |  sum(CASE WHEN sat1 THEN avail ELSE 0 END) AS satav1,
+      |  sum(CASE WHEN sat1 THEN 0 ELSE target END) AS tot2 FROM s1),
+      |r2 AS (SELECT s1.*,
+      |  ((s1.budget - g2.satav1) * s1.target)
+      |    // nullif(g2.tot2, 0) AS alloc2
+      |  FROM s1, g2),
+      |s2 AS (SELECT *, sat1 OR alloc2 >= avail AS sat2 FROM r2),
+      |g3 AS (SELECT
+      |  sum(CASE WHEN sat2 THEN avail ELSE 0 END) AS satav2,
+      |  sum(CASE WHEN sat2 THEN 0 ELSE target END) AS tot3 FROM s2),
+      |r3 AS (SELECT s2.*,
+      |  ((s2.budget - g3.satav2) * s2.target)
+      |    // nullif(g3.tot3, 0) AS alloc3
+      |  FROM s2, g3)""".stripMargin
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -606,86 +693,8 @@ object PipelineQueries {
     CatalogQuery(
       "dp12_token_budget_plan",
       "Token-budget water-filling: plan a 60%-of-corpus token budget across sources at sqrt-temperature proportions, capping saturated sources at availability and redistributing their deficit (2 redistribution rounds)",
-      (s, dir) => {
-        // The planning step BEFORE dp08's sampling executes: given a
-        // total token budget, how many tokens come from each source?
-        // Target shares ∝ avail · floor(2^19/sqrt(avail)) ≈ sqrt(avail)
-        // (dp08's correctly-rounded-sqrt portability argument). A source
-        // whose share exceeds its availability caps there and its
-        // deficit redistributes over the others — water-filling. Rounds
-        // are BOUNDED at 3 allocations (2 redistributions), the g07b/g09
-        // convention that lets DuckDB unroll the loop exactly; a
-        // deeper-than-2 saturation cascade leaves budget unspent rather
-        // than over-drawing (final allocation clamps at avail). All
-        // integer arithmetic: every div is a floor on non-negative
-        // BIGINTs, so both engines agree bit-for-bit. Scale shape: one
-        // corpus scan to per-source sums; the water-filling runs on the
-        // #sources-row summary via 1-row aggregate cross-joins
-        // (broadcast by construction) — never on the corpus.
-        val d = docs(s, dir).select(col("source"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-        val st = d.groupBy(col("source"))
-          .agg(sum(col("n_tok")).as("avail"))
-          .withColumn("target", col("avail") *
-            least(lit(524288L), floor(lit(524288.0) /
-              sqrt(greatest(col("avail"), lit(1L)))).cast("long")))
-        val g1 = st.agg(sum(col("target")).as("tot1"),
-          expr("(sum(avail) * 6) div 10").as("budget"))
-        val r1 = st.crossJoin(broadcast(g1))
-          .withColumn("alloc1", expr("(budget * target) div nullif(tot1, 0)"))
-          .withColumn("sat1", col("alloc1") >= col("avail"))
-        val g2 = r1.agg(
-          sum(when(col("sat1"), col("avail")).otherwise(0L)).as("satav1"),
-          sum(when(col("sat1"), 0L).otherwise(col("target"))).as("tot2"))
-        val r2 = r1.crossJoin(broadcast(g2))
-          .withColumn("alloc2",
-            expr("((budget - satav1) * target) div nullif(tot2, 0)"))
-          .withColumn("sat2", col("sat1") || col("alloc2") >= col("avail"))
-        val g3 = r2.agg(
-          sum(when(col("sat2"), col("avail")).otherwise(0L)).as("satav2"),
-          sum(when(col("sat2"), 0L).otherwise(col("target"))).as("tot3"))
-        r2.crossJoin(broadcast(g3))
-          .withColumn("alloc3",
-            expr("((budget - satav2) * target) div nullif(tot3, 0)"))
-          .select(col("source"), col("avail").as("n_tokens"), col("target"),
-            col("budget"),
-            when(col("sat2"), col("avail"))
-              .otherwise(least(col("avail"), col("alloc3")))
-              .as("planned_tokens"),
-            when(col("sat2"), lit(1L)).otherwise(lit(0L)).as("saturated"))
-          .orderBy(col("source"))
-      },
-      Some("""WITH d AS (
-             |  SELECT source,
-             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
-             |  FROM documents),
-             |st AS (
-             |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail,
-             |    CAST(sum(n_tok) * least(524288, CAST(floor(524288.0
-             |      / sqrt(greatest(sum(n_tok), 1))) AS BIGINT)) AS BIGINT)
-             |      AS target
-             |  FROM d GROUP BY source),
-             |g1 AS (SELECT sum(target) AS tot1,
-             |  CAST((sum(avail) * 6) // 10 AS BIGINT) AS budget FROM st),
-             |r1 AS (SELECT st.*, g1.budget,
-             |  (g1.budget * st.target) // nullif(g1.tot1, 0) AS alloc1
-             |  FROM st, g1),
-             |s1 AS (SELECT *, alloc1 >= avail AS sat1 FROM r1),
-             |g2 AS (SELECT
-             |  sum(CASE WHEN sat1 THEN avail ELSE 0 END) AS satav1,
-             |  sum(CASE WHEN sat1 THEN 0 ELSE target END) AS tot2 FROM s1),
-             |r2 AS (SELECT s1.*,
-             |  ((s1.budget - g2.satav1) * s1.target)
-             |    // nullif(g2.tot2, 0) AS alloc2
-             |  FROM s1, g2),
-             |s2 AS (SELECT *, sat1 OR alloc2 >= avail AS sat2 FROM r2),
-             |g3 AS (SELECT
-             |  sum(CASE WHEN sat2 THEN avail ELSE 0 END) AS satav2,
-             |  sum(CASE WHEN sat2 THEN 0 ELSE target END) AS tot3 FROM s2),
-             |r3 AS (SELECT s2.*,
-             |  ((s2.budget - g3.satav2) * s2.target)
-             |    // nullif(g3.tot3, 0) AS alloc3
-             |  FROM s2, g3)
+      (s, dir) => budgetPlan(s, dir).orderBy(col("source")),
+      Some(s"""WITH $budgetPlanSqlCtes
              |SELECT source, avail AS n_tokens, target, budget,
              |  CAST(CASE WHEN sat2 THEN avail
              |    ELSE least(avail, alloc3) END AS BIGINT) AS planned_tokens,
@@ -937,5 +946,82 @@ object PipelineQueries {
              |  CAST(coalesce(del_off // 256, (tokens_v2 + 255) // 256)
              |    AS BIGINT) AS n_reusable
              |FROM a ORDER BY bucket""".stripMargin)),
+
+    CatalogQuery(
+      "dp17_plan_reconciliation",
+      "Plan-vs-actuals reconciliation: dp12's water-filled budgets fed through dp14's prefix admission, reporting per source the planned tokens, admitted tokens/docs, the id watermark the cut landed on, and e6 utilization — the closing report of the plan -> enforce -> reconcile loop",
+      (s, dir) => {
+        // The loop a budgeted ingestion actually runs: dp12 PLANS the
+        // per-source token budgets, BudgetStream/dp14 ENFORCES them as
+        // prefix admission, and this op answers the operator's
+        // question afterwards — did each source fill its plan, and
+        // where did the cut land? Utilization < 1e6 with admitted
+        // docs < total docs is normal (the overflowing doc straddles
+        // the budget; prefix semantics leave the remainder unspent);
+        // utilization = 1e6 means the budget drained exactly. Costs:
+        // dp12's plan is |sources| rows (broadcast), the admission is
+        // dp14's one per-source cumsum window, the reconcile is one
+        // map-combined groupBy — nothing new touches the corpus twice.
+        import s.implicits._
+        val plan = budgetPlan(s, dir)
+          .select(col("source"), col("planned_tokens"))
+        val zero = Seq.empty[(String, Long)].toDF("source", "consumed")
+        val dec = graft.streaming.BudgetStream.decide(
+          plan.select(col("source"),
+            col("planned_tokens").as("budget_tokens")),
+          zero, docs(s, dir).select(col("doc_id"), col("source"), col("text")))
+        val agg = dec.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("admitted")).as("n_admitted"),
+            sum(when(col("admitted") === 1, col("n_tok")).otherwise(0L))
+              .as("admitted_tokens"),
+            max(when(col("admitted") === 1, col("doc_id")))
+              .as("watermark_id"))
+        plan.join(agg, Seq("source"))
+          .withColumn("utilization_e6",
+            expr("admitted_tokens * 1000000 div nullif(planned_tokens, 0)"))
+          .select(col("source"), col("planned_tokens"), col("n_docs"),
+            col("n_admitted"), col("admitted_tokens"), col("watermark_id"),
+            col("utilization_e6"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $budgetPlanSqlCtes,
+             |plan AS (
+             |  SELECT source,
+             |    CAST(CASE WHEN sat2 THEN avail
+             |      ELSE least(avail, alloc3) END AS BIGINT)
+             |      AS planned_tokens
+             |  FROM r3),
+             |dt AS (SELECT doc_id, source,
+             |    CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+             |      AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cum AS (
+             |  SELECT doc_id, source, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             |  FROM dt),
+             |dec AS (
+             |  SELECT cum.doc_id, cum.source, cum.n_tok,
+             |    CASE WHEN cum.c <= p.planned_tokens THEN 1 ELSE 0 END
+             |      AS admitted
+             |  FROM cum JOIN plan p ON p.source = cum.source),
+             |agg AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    sum(admitted) AS n_admitted,
+             |    sum(CASE WHEN admitted = 1 THEN n_tok ELSE 0 END)
+             |      AS admitted_tokens,
+             |    max(CASE WHEN admitted = 1 THEN doc_id END)
+             |      AS watermark_id
+             |  FROM dec GROUP BY source)
+             |SELECT p.source, p.planned_tokens,
+             |  CAST(a.n_docs AS BIGINT) AS n_docs,
+             |  CAST(a.n_admitted AS BIGINT) AS n_admitted,
+             |  CAST(a.admitted_tokens AS BIGINT) AS admitted_tokens,
+             |  CAST(a.watermark_id AS BIGINT) AS watermark_id,
+             |  CAST(a.admitted_tokens * 1000000
+             |    // nullif(p.planned_tokens, 0) AS BIGINT) AS utilization_e6
+             |FROM plan p JOIN agg a ON a.source = p.source
+             |ORDER BY p.source""".stripMargin)),
   )
 }

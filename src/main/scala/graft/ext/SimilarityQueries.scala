@@ -220,6 +220,30 @@ object SimilarityQueries {
         graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos"))
   }
 
+  /** The corpus-assignment CTE prefix of ss03b's oracle (e/n/cd/a) —
+    * shared by ss14's balance report. */
+  private def ivfAssignSqlCtes: String = {
+    def centLit(c: Int): String =
+      (0 until Dim).map(i => s"${centroidBits(c, i)}.0/65536.0 - 0.5")
+        .mkString("[", ", ", "]")
+    val cdList = (0 until IvfCentroids).map { c =>
+      s"list_dot_product(nv, ${centLit(c)}) - " +
+        s"list_dot_product(${centLit(c)}, ${centLit(c)})/2"
+    }.mkString("[", ", ", "]")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_dot_product(v, v) = 0 THEN v
+       |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    END AS nv
+       |  FROM e),
+       |cd AS (SELECT vec_id, nv, $cdList AS cd FROM n),
+       |a AS (SELECT vec_id,
+       |    list_position(cd, list_max(cd)) - 1 AS bucket FROM cd)"""
+      .stripMargin
+  }
+
   /** DuckDB value oracle for ss13: ss03b's CTE chain with one
     * probes/scored/top branch per probe width, each branch's hits
     * joined to the exact top-5 — the whole tuning curve in one
@@ -1456,6 +1480,45 @@ object SimilarityQueries {
           .orderBy(col("nprobe"))
       },
       Some(ivfSweepOracleSql(Seq(1, 2, 4)))),
+
+    CatalogQuery(
+      "ss14_ivf_balance",
+      "IVF list-balance report: per-bucket vector counts, corpus share, and e6 load factor (1e6 = perfectly balanced) over ss03b's fixed-codebook assignment — the 'why is my ANN p99 slow' diagnosis, since probe latency follows the FATTEST visited list, not the average",
+      (s, dir) => {
+        // The practical IVF failure mode is list imbalance: a bucket
+        // holding 10x its share makes every probe that visits it pay
+        // 10x, and recall tuning (ss13) can't see it. One codegen'd
+        // assignment scan + one 16-group map-combined count; empty
+        // buckets are REPORTED (left join against the centroid range)
+        // because an empty list is the other half of the same skew.
+        graft.functions.VectorOps.register(s)
+        val counts = embeddings(s, dir)
+          .select(ivfAssignCol(s).cast("long").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+        val tot = counts.agg(sum(col("n_vecs")).as("total"))
+        s.range(IvfCentroids).toDF("bucket")
+          .join(counts, Seq("bucket"), "left")
+          .na.fill(0L, Seq("n_vecs"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_vecs"),
+            expr("n_vecs * 1000000 div nullif(total, 0)").as("share_e6"),
+            expr(s"n_vecs * $IvfCentroids * 1000000 div nullif(total, 0)")
+              .as("load_e6"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $ivfAssignSqlCtes,
+             |b AS (SELECT unnest(range(0, $IvfCentroids)) AS bucket),
+             |cnt AS (SELECT bucket, count(*) AS n FROM a GROUP BY bucket),
+             |tot AS (SELECT count(*) AS total FROM a)
+             |SELECT CAST(b.bucket AS BIGINT) AS bucket,
+             |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs,
+             |  CAST(coalesce(cnt.n, 0) * 1000000 // nullif(tot.total, 0)
+             |    AS BIGINT) AS share_e6,
+             |  CAST(coalesce(cnt.n, 0) * $IvfCentroids * 1000000
+             |    // nullif(tot.total, 0) AS BIGINT) AS load_e6
+             |FROM b CROSS JOIN tot
+             |LEFT JOIN cnt ON cnt.bucket = b.bucket
+             |ORDER BY bucket""".stripMargin)),
   )
 
   /** Greedy MMR selection over an already-retrieved candidate page:

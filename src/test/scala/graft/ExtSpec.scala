@@ -1599,6 +1599,65 @@ class ExtSpec extends SparkSpec {
     assert(impact.map(_.getLong(3)).sum > 0)
   }
 
+  test("dp17 reconciliation: admission recomputed independently; utilization and nesting bounds hold") {
+    val got = run("dp17_plan_reconciliation").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (planned, nDocs, nAdm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (admTok, util) = (r.getLong(4), r.getLong(6))
+      assert(nAdm <= nDocs, s"admitted docs exceed docs in $r")
+      assert(admTok <= planned, s"admission overdrew the plan in $r")
+      assert(util >= 0 && util <= 1000000L, s"utilization out of range in $r")
+    }
+    // independent recomputation of admitted tokens from the published
+    // plan via a raw cumsum (not BudgetStream.decide)
+    import org.apache.spark.sql.expressions.Window
+    val plan = run("dp12_token_budget_plan")
+      .select(col("source"), col("planned_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .join(plan, "source")
+      .filter(col("cum") <= col("planned_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("adm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(r.getLong(4) == expect.getOrElse(r.getString(0), 0L),
+        s"admitted_tokens drifted from the raw cumsum for ${r.getString(0)}")
+    }
+  }
+
+  test("ss14 IVF balance: counts conserve, exactly one row per centroid, load factor is 16x the share") {
+    val got = run("ss14_ivf_balance").collect()
+    assert(got.length == 16)
+    val total = Tables.table(spark, sfDir, "embeddings").count()
+    assert(got.map(_.getLong(1)).sum == total, "bucket counts don't conserve")
+    // floor division: shares sum to <= 1e6 and within 16 floors of it
+    val shares = got.map(_.getLong(2)).sum
+    assert(shares <= 1000000L && shares > 1000000L - 16)
+    got.foreach { r =>
+      val (n, share, load) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(load == n * 16 * 1000000L / total, s"load_e6 wrong in $r")
+      assert(share == n * 1000000L / total, s"share_e6 wrong in $r")
+    }
+  }
+
+  test("dd22 threshold sweep: monotone non-increasing, anchored at dd03's verified pair count") {
+    val got = run("dd22_threshold_sweep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(800000L, 850000L, 900000L, 950000L, 1000000L))
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+      s"counts not monotone: $sorted")
+    // the 0.8 cut IS dd03's verification predicate
+    assert(got(800000L) == run("dd03_minhash_lsh").count(),
+      "0.8 cut disagrees with dd03's pair set")
+    assert(got(800000L) > 0)
+  }
+
   test("tx24 psiContributions: identical cohorts score zero, planted shift matches hand math, one-sided bucket stays finite, foreign cohorts excluded") {
     import spark.implicits._
     import graft.ext.TextOps
