@@ -181,6 +181,17 @@ object BenchFloors {
     "tx26_bpe_train" -> 0.753,
     "ss12_embedding_split_drift" -> 0.619,
     "dd19_best_rep_dedup" -> 2.728,
+    // round-14 session-2 additions >= 0.5s (final session board;
+    // tx27 / ss14 / dp16 / e10 stay unpinned below the noise bar)
+    "dd20_span_removal" -> 2.640,
+    "dd21_dedup_impact" -> 3.550,
+    "dd22_threshold_sweep" -> 2.310,
+    "mm08_video_offset_neardup" -> 1.050,
+    "g11_link_prediction" -> 1.110,
+    "g12_bounded_reach" -> 2.110,
+    "ss13_ivf_probe_sweep" -> 3.160,
+    "e11_attribution_window" -> 0.500,
+    "dp17_plan_reconciliation" -> 0.530,
   )
 
 }
