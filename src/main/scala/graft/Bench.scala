@@ -45,7 +45,21 @@ object Bench {
     val adjacent = sys.env.get("SPARK_GRAFT_BENCH_ADJACENT").contains("1")
     def runOnce(q: CatalogQuery): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      val ok = try { q.build(spark, sfDir).count(); true }
+      // FORCED evaluation, not count(): under a bare count() Catalyst
+      // join-eliminates aggregated-unique LEFT joins and prunes final
+      // projections — dd15's whole dup chain and tx17's novelty
+      // attribution were never running in the timed window (receipts
+      // in SCALING.md round 14; the PipelineHeadroom fix, applied to
+      // the official board). Hashing the full row into one aggregate
+      // references every output column, so nothing prunes; bit_xor
+      // because summing 2^63-range hashes overflows under ANSI mode.
+      val ok = try {
+        import org.apache.spark.sql.functions._
+        val df = q.build(spark, sfDir)
+        df.agg(count(lit(1)),
+          bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+        true
+      }
       catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // Isolation between runs: any cache/persist a query created is
@@ -84,7 +98,12 @@ object Bench {
     val sentinelQueries = Seq("q03_top_orders", "q27_topk",
       "g03_triangle_count", "tpcds_q4", "tpcds_q67", "impala_q59",
       "impala_orig_q59", "impala_q19", "tx10_tfidf_terms", "e03_sessionize")
-    val sentinelFloor = 6.6 // sec, sf0.1 local[32] median-of-3 (SCALING.md)
+    // sec, sf0.1 local[32] median-of-3 (SCALING.md). Round 14 scaled
+    // the 6.6 count()-era floor by the measured forced/pruned factor
+    // on the sentinel set itself (9.60/8.74 = 1.099 at local[8], both
+    // boards same session): the forced consumer charges the sentinel
+    // queries' final projections that count() used to prune.
+    val sentinelFloor = 7.25
     val sentinelTimes = results.filter { case (k, _, ok) =>
       ok && sentinelQueries.contains(k) }
     val sentinelApplies = sfDir.contains("sf0.1") &&

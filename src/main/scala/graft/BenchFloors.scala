@@ -33,165 +33,209 @@ object BenchFloors {
         (k, v, floors(k))
     }
 
-  // 140 queries >= 0.5s, min over 7 round-11 boards + 5 round-13
-  // boards (dd18/tx22/tx23 added; g09/tx21 mins refreshed lower)
+  // 193 queries >= 0.5s, min over the round-14 FORCED-EVALUATION
+  // board. Round 14 changed the instrument itself: Bench previously
+  // timed count(), under which Catalyst join-eliminated and
+  // projection-pruned part of many plans (dd15's dup chain, tx17's
+  // attribution, q38's 12 aggregates never ran in the timed window —
+  // SCALING.md receipts). Every pre-r14 floor was therefore the min of
+  // a PARTIALLY-PRUNED plan and would flag phantom episodes against
+  // honest times; the whole map is re-pinned from the first forced
+  // board rather than mixed across instruments.
   val floors: Map[String, Double] = Map(
-    "dd03_minhash_lsh" -> 2.323,
-    "dd04_simhash" -> 2.412,
-    "dd05_ngram_jaccard" -> 1.689,
-    "dd06_embedding_neardup" -> 0.518,
-    "dd07_simhash_wide" -> 2.105,
-    "dd08_dedup_clusters" -> 3.166,
-    "dd10_dedup_clusters_lsh" -> 3.084,
-    "dd12_embedding_neardup_lsh" -> 1.182,
-    "dd13_semdedup" -> 2.847,
-    "dd16_cc_star" -> 3.170,
-    "dd17_incremental_minhash" -> 0.556,
-    "dd18_sequential_admission" -> 2.785,
-    "dp10_curation_funnel" -> 0.580,
-    "dp12_token_budget_plan" -> 0.502,
-    "e03_sessionize" -> 0.565,
-    "e04_first_event_dedup" -> 0.505,
-    "g01_chain_count" -> 0.500,
-    "g03_triangle_count" -> 0.928,
-    "g04_square_count" -> 1.165,
-    "g07_pagerank" -> 1.277,
-    "g07b_pagerank_top100" -> 1.615,
-    "g08_hypercube_triangle" -> 1.825,
-    "g08b_hypercube_square" -> 1.878,
-    "g08c_hypercube_planned" -> 1.375,
-    "g09_kcore_peel" -> 1.436,
-    "impala_orig_q59" -> 0.568,
-    "impala_q59" -> 0.530,
-    "impala_q65" -> 0.636,
-    "mm04_media_neardup" -> 0.765,
-    "mm05_alignment_filter" -> 0.840,
-    "mm06_segment_dedup" -> 0.591,
-    "q03_top_orders" -> 0.884,
-    "q04_order_priority" -> 0.551,
-    "q05_region_volume" -> 0.816,
-    "q08_left_join" -> 0.537,
-    "q12_correlated_subquery" -> 0.797,
-    "q13_uncorrelated_subquery" -> 0.679,
-    "q14_window_rank" -> 0.645,
-    "q18_rollup" -> 0.578,
-    "q19_cube" -> 0.520,
-    "q20_grouping_sets" -> 0.811,
-    "q35_cast_key_join" -> 0.772,
-    "q37_rollup_rank" -> 1.074,
-    "q41_range_join" -> 0.610,
-    "rq10_channel_rollup" -> 0.561,
-    "rq11_return_ratio" -> 0.505,
-    "rq1_category_rollup_rank" -> 0.735,
-    "rq21_inventory_shift" -> 0.511,
-    "rq22_inventory_rollup" -> 0.600,
-    "rq26_basket_size" -> 0.507,
-    "rq4_top_brands_per_state" -> 0.572,
-    "rq9_cross_channel_customers" -> 0.515,
-    "ss01_ann_bruteforce" -> 0.519,
-    "ss02_ann_lsh" -> 1.164,
-    "ss03_ann_ivf" -> 1.101,
-    "ss03b_ann_ivf_fixed" -> 0.726,
-    "ss04_ann_filtered" -> 0.506,
-    "ss06_knn_graph" -> 1.135,
-    "ss07_hybrid_search" -> 0.902,
-    "ss08_ann_ivf_quantized" -> 0.584,
-    "ss09_ann_pq" -> 0.611,
-    "ss10_recall_eval" -> 0.769,
-    "tpcds_q1" -> 0.590,
-    "tpcds_q10" -> 0.548,
-    "tpcds_q11" -> 0.561,
-    "tpcds_q11_exact" -> 0.503,
-    "tpcds_q14a" -> 2.041,
-    "tpcds_q14b" -> 1.697,
-    "tpcds_q17" -> 0.554,
-    "tpcds_q2" -> 0.511,
-    "tpcds_q22" -> 0.528,
-    "tpcds_q23a" -> 0.801,
-    "tpcds_q23b" -> 0.831,
-    "tpcds_q24a" -> 0.806,
-    "tpcds_q24b" -> 0.534,
-    "tpcds_q25" -> 0.518,
-    "tpcds_q30" -> 0.601,
-    "tpcds_q31_exact" -> 0.538,
-    "tpcds_q31_verbatim" -> 0.512,
-    "tpcds_q33" -> 0.511,
-    "tpcds_q34" -> 0.511,
-    "tpcds_q35" -> 0.624,
-    "tpcds_q36" -> 0.591,
-    "tpcds_q38" -> 0.573,
-    "tpcds_q39a" -> 0.601,
-    "tpcds_q4" -> 0.647,
-    "tpcds_q44" -> 0.551,
-    "tpcds_q47" -> 1.362,
-    "tpcds_q49" -> 0.662,
-    "tpcds_q4_exact" -> 0.752,
-    "tpcds_q5" -> 0.526,
-    "tpcds_q50" -> 0.512,
-    "tpcds_q51" -> 0.594,
-    "tpcds_q53" -> 0.515,
-    "tpcds_q54" -> 0.563,
-    "tpcds_q56" -> 0.507,
-    "tpcds_q57" -> 0.950,
-    "tpcds_q58" -> 0.562,
-    "tpcds_q59" -> 0.518,
-    "tpcds_q6" -> 0.502,
-    "tpcds_q60" -> 0.505,
-    "tpcds_q63" -> 0.585,
-    "tpcds_q64" -> 0.764,
-    "tpcds_q65" -> 0.676,
-    "tpcds_q66" -> 0.521,
-    "tpcds_q67" -> 0.656,
-    "tpcds_q69" -> 0.534,
-    "tpcds_q70" -> 0.632,
-    "tpcds_q71" -> 0.554,
-    "tpcds_q72" -> 1.310,
-    "tpcds_q74" -> 0.508,
-    "tpcds_q74_exact" -> 0.500,
-    "tpcds_q75" -> 0.738,
-    "tpcds_q76" -> 0.504,
-    "tpcds_q77" -> 0.568,
-    "tpcds_q78" -> 0.547,
-    "tpcds_q8" -> 0.543,
-    "tpcds_q80" -> 0.601,
-    "tpcds_q81" -> 0.566,
-    "tpcds_q87" -> 0.530,
-    "tpcds_q88" -> 0.514,
-    "tpcds_q89" -> 0.535,
-    "tpcds_q95" -> 0.508,
-    "tpcds_q97" -> 0.550,
-    "tx04_fingerprint" -> 1.066,
+    "dd03_minhash_lsh" -> 2.615,
+    "dd04_simhash" -> 3.280,
+    "dd05_ngram_jaccard" -> 2.269,
+    "dd06_embedding_neardup" -> 0.556,
+    "dd07_simhash_wide" -> 2.723,
+    "dd08_dedup_clusters" -> 4.171,
+    "dd09_chunk_dedup" -> 1.003,
+    "dd10_dedup_clusters_lsh" -> 3.560,
+    "dd12_embedding_neardup_lsh" -> 1.500,
+    "dd13_semdedup" -> 3.919,
+    "dd14_bloom_prefilter" -> 0.644,
+    "dd15_substring_dedup" -> 2.795,
+    "dd16_cc_star" -> 4.143,
+    "dd17_incremental_minhash" -> 2.518,
+    "dd18_sequential_admission" -> 3.685,
+    "dd19_best_rep_dedup" -> 3.387,
+    "dd20_span_removal" -> 3.059,
+    "dd21_dedup_impact" -> 3.915,
+    "dd22_threshold_sweep" -> 2.650,
+    "dp08_temperature_sample" -> 0.532,
+    "dp10_curation_funnel" -> 1.846,
+    "dp12_token_budget_plan" -> 0.844,
+    "dp13_balanced_shards" -> 0.654,
+    "dp15_bpe_pack" -> 1.079,
+    "dp17_plan_reconciliation" -> 1.297,
+    "e03_sessionize" -> 0.707,
+    "e05_json_extract" -> 0.537,
+    "e08_funnel_conversion" -> 0.867,
+    "e09_stream_drift" -> 0.619,
+    "e11_attribution_window" -> 0.719,
+    "g01_chain_count" -> 0.668,
+    "g03_triangle_count" -> 1.143,
+    "g04_square_count" -> 1.383,
+    "g07_pagerank" -> 2.099,
+    "g07b_pagerank_top100" -> 1.569,
+    "g08_hypercube_triangle" -> 2.071,
+    "g08b_hypercube_square" -> 2.570,
+    "g08c_hypercube_planned" -> 1.530,
+    "g09_kcore_peel" -> 2.034,
+    "g10_triangle_estimate" -> 0.603,
+    "g11_link_prediction" -> 0.965,
+    "g12_bounded_reach" -> 1.752,
+    "impala_orig_q19" -> 0.516,
+    "impala_orig_q34" -> 0.539,
+    "impala_orig_q46" -> 0.547,
+    "impala_orig_q59" -> 1.110,
+    "impala_orig_qSsMax" -> 0.526,
+    "impala_q59" -> 1.118,
+    "impala_q65" -> 0.831,
+    "impala_q8" -> 0.513,
+    "impala_qSsMax" -> 0.556,
+    "mm04_media_neardup" -> 0.976,
+    "mm05_alignment_filter" -> 1.032,
+    "mm06_segment_dedup" -> 1.153,
+    "mm07_static_detection" -> 0.821,
+    "mm08_video_offset_neardup" -> 1.404,
+    "q01_pricing_summary" -> 0.774,
+    "q02_scalar_stats" -> 0.891,
+    "q03_top_orders" -> 1.183,
+    "q04_order_priority" -> 0.610,
+    "q05_region_volume" -> 1.290,
+    "q08_left_join" -> 0.685,
+    "q12_correlated_subquery" -> 1.114,
+    "q13_uncorrelated_subquery" -> 0.966,
+    "q14_window_rank" -> 0.982,
+    "q16_window_ratio" -> 0.821,
+    "q17_window_lag" -> 0.559,
+    "q18_rollup" -> 0.754,
+    "q19_cube" -> 0.693,
+    "q20_grouping_sets" -> 0.986,
+    "q21_union" -> 0.608,
+    "q35_cast_key_join" -> 1.010,
+    "q36_approx_distinct" -> 3.325,
+    "q37_rollup_rank" -> 1.440,
+    "q38_wide_agg" -> 4.819,
+    "q39_asof_join" -> 0.989,
+    "q41_range_join" -> 0.717,
+    "rq10_channel_rollup" -> 0.684,
+    "rq14_above_average_returns" -> 0.524,
+    "rq17_category_share" -> 0.556,
+    "rq18_channel_except" -> 0.559,
+    "rq1_category_rollup_rank" -> 0.902,
+    "rq22_inventory_rollup" -> 0.705,
+    "rq26_basket_size" -> 0.515,
+    "rq2_channel_union" -> 0.510,
+    "rq4_top_brands_per_state" -> 0.702,
+    "rq8_wide_scan_max" -> 0.562,
+    "rq9_cross_channel_customers" -> 0.612,
+    "ss01_ann_bruteforce" -> 0.771,
+    "ss02_ann_lsh" -> 1.915,
+    "ss03_ann_ivf" -> 1.592,
+    "ss03b_ann_ivf_fixed" -> 1.098,
+    "ss06_knn_graph" -> 1.944,
+    "ss07_hybrid_search" -> 1.265,
+    "ss08_ann_ivf_quantized" -> 0.941,
+    "ss09_ann_pq" -> 1.289,
+    "ss10_recall_eval" -> 2.174,
+    "ss11_mmr_rerank" -> 0.614,
+    "ss12_embedding_split_drift" -> 0.784,
+    "ss13_ivf_probe_sweep" -> 3.467,
+    "tpcds_q1" -> 0.620,
+    "tpcds_q10" -> 0.641,
+    "tpcds_q11" -> 0.627,
+    "tpcds_q11_exact" -> 0.747,
+    "tpcds_q14a" -> 3.066,
+    "tpcds_q14b" -> 2.170,
+    "tpcds_q17" -> 0.799,
+    "tpcds_q2" -> 0.806,
+    "tpcds_q20" -> 0.502,
+    "tpcds_q22" -> 0.701,
+    "tpcds_q23a" -> 1.250,
+    "tpcds_q23b" -> 1.011,
+    "tpcds_q24a" -> 1.192,
+    "tpcds_q24b" -> 1.103,
+    "tpcds_q25" -> 0.697,
+    "tpcds_q28" -> 0.962,
+    "tpcds_q29" -> 0.658,
+    "tpcds_q30" -> 0.661,
+    "tpcds_q31_exact" -> 0.755,
+    "tpcds_q31_verbatim" -> 0.621,
+    "tpcds_q33" -> 0.541,
+    "tpcds_q34" -> 0.528,
+    "tpcds_q35" -> 0.636,
+    "tpcds_q36" -> 0.648,
+    "tpcds_q38" -> 0.553,
+    "tpcds_q39a" -> 0.731,
+    "tpcds_q39b" -> 0.658,
+    "tpcds_q4" -> 0.857,
+    "tpcds_q46" -> 0.543,
+    "tpcds_q47" -> 1.492,
+    "tpcds_q49" -> 0.959,
+    "tpcds_q4_exact" -> 0.946,
+    "tpcds_q5" -> 0.825,
+    "tpcds_q50" -> 0.576,
+    "tpcds_q51" -> 0.729,
+    "tpcds_q53" -> 0.516,
+    "tpcds_q54" -> 0.845,
+    "tpcds_q56" -> 0.517,
+    "tpcds_q57" -> 1.132,
+    "tpcds_q58" -> 0.664,
+    "tpcds_q59" -> 0.987,
+    "tpcds_q6" -> 0.653,
+    "tpcds_q60" -> 0.529,
+    "tpcds_q63" -> 0.580,
+    "tpcds_q64" -> 1.106,
+    "tpcds_q65" -> 0.798,
+    "tpcds_q66" -> 0.687,
+    "tpcds_q67" -> 1.180,
+    "tpcds_q69" -> 0.566,
+    "tpcds_q70" -> 0.961,
+    "tpcds_q71" -> 0.681,
+    "tpcds_q72" -> 2.780,
+    "tpcds_q74" -> 0.747,
+    "tpcds_q74_exact" -> 0.865,
+    "tpcds_q75" -> 1.358,
+    "tpcds_q76" -> 0.539,
+    "tpcds_q77" -> 0.866,
+    "tpcds_q78" -> 1.069,
+    "tpcds_q79" -> 0.510,
+    "tpcds_q8" -> 0.600,
+    "tpcds_q80" -> 0.798,
+    "tpcds_q81" -> 0.641,
+    "tpcds_q86" -> 0.528,
+    "tpcds_q87" -> 0.632,
+    "tpcds_q88" -> 1.144,
+    "tpcds_q89" -> 0.640,
+    "tpcds_q9" -> 0.689,
+    "tpcds_q95" -> 0.534,
+    "tpcds_q97" -> 0.617,
+    "tpcds_q98" -> 0.518,
+    "tx04_fingerprint" -> 1.392,
     "tx05_heavy_hitters" -> 0.615,
-    "tx05b_heavy_hitters_exact" -> 0.848,
-    "tx06_ngram_repetition" -> 0.895,
-    "tx08_decontamination" -> 1.149,
-    "tx10_tfidf_terms" -> 1.272,
-    "tx11_bpe_pairs" -> 0.597,
-    "tx12_bm25_search" -> 0.772,
-    "tx13_model_quality_filter" -> 0.518,
-    "tx16_lm_bigram_score" -> 0.888,
-    "tx18_cms_counts" -> 1.048,
-    "tx19_scored_decontamination" -> 1.267,
-    "tx20_quality_gate" -> 0.578,
-    "tx21_source_overlap" -> 1.971,
-    "tx22_source_overlap_estimate" -> 0.838,
-    "tx23_cross_source_neardup" -> 2.300,
-    // round-14 additions >= 0.5s (min over the r14 boards; tx25 /
-    // e09 / dp14-class stay unpinned below the noise bar)
-    "tx26_bpe_train" -> 0.753,
-    "ss12_embedding_split_drift" -> 0.619,
-    "dd19_best_rep_dedup" -> 2.728,
-    // round-14 session-2 additions >= 0.5s (final session board;
-    // tx27 / ss14 / dp16 / e10 stay unpinned below the noise bar)
-    "dd20_span_removal" -> 2.640,
-    "dd21_dedup_impact" -> 3.550,
-    "dd22_threshold_sweep" -> 2.310,
-    "mm08_video_offset_neardup" -> 1.050,
-    "g11_link_prediction" -> 1.110,
-    "g12_bounded_reach" -> 2.110,
-    "ss13_ivf_probe_sweep" -> 3.160,
-    "e11_attribution_window" -> 0.500,
-    "dp17_plan_reconciliation" -> 0.530,
+    "tx05b_heavy_hitters_exact" -> 0.739,
+    "tx06_ngram_repetition" -> 1.269,
+    "tx08_decontamination" -> 1.393,
+    "tx10_tfidf_terms" -> 1.519,
+    "tx11_bpe_pairs" -> 0.629,
+    "tx12_bm25_search" -> 1.032,
+    "tx13_model_quality_filter" -> 0.558,
+    "tx14_boilerplate_removal" -> 1.202,
+    "tx15_contamination_report" -> 1.962,
+    "tx16_lm_bigram_score" -> 1.265,
+    "tx17_novelty_score" -> 2.673,
+    "tx18_cms_counts" -> 1.558,
+    "tx19_scored_decontamination" -> 2.053,
+    "tx20_quality_gate" -> 0.757,
+    "tx21_source_overlap" -> 2.542,
+    "tx22_source_overlap_estimate" -> 1.898,
+    "tx23_cross_source_neardup" -> 3.170,
+    "tx24_split_drift_psi" -> 0.539,
+    "tx25_bpe_tokenize" -> 0.911,
+    "tx26_bpe_train" -> 0.971,
+    "tx27_tokenizer_fertility" -> 1.075
   )
 
 }
