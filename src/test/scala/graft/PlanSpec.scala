@@ -499,6 +499,25 @@ class PlanSpec extends SparkSpec {
       s"fertility agg lost its map-side partial:\n$plan")
   }
 
+  test("dp17: one per-source admission window; the only nested-loop joins are the 1-row broadcast totals") {
+    val plan = planOf(run("dp17_plan_reconciliation"))
+    val windows = plan.linesIterator.count(_.matches("\\(\\d+\\) Window.*"))
+    assert(windows == 1,
+      s"expected exactly the per-source cumsum window, got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"a real cartesian crept into dp17:\n$plan")
+  }
+
+  test("dd21: attribution join hashed, per-source fold keeps map-side partials, no window") {
+    val plan = planOf(run("dd21_dedup_impact"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"unbounded join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"source fold lost its map-side partial:\n$plan")
+    val windows = plan.linesIterator.count(_.matches("\\(\\d+\\) Window.*"))
+    assert(windows == 0, s"a window crept into dd21 ($windows):\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
