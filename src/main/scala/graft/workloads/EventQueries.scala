@@ -439,6 +439,59 @@ object EventQueries {
              |FROM st ORDER BY stage""".stripMargin)),
 
     CatalogQuery(
+      "e12_retention_cohorts",
+      "Retention triangle: users grouped by first-seen day, re-activity counted at day offsets 0-3 with e6 retention vs the cohort size — the product-analytics table behind every retention chart; two map-combined aggregates + one hashed join, (days x 4) rows out at any scale",
+      (s, dir) => {
+        // The third classic events report alongside sessions (e03) and
+        // funnels (e08/e11): cohort users by FIRST-seen day, then ask
+        // what fraction was active again k days later. Scale shape:
+        // the distinct (user, day) activity relation folds map-side,
+        // first-seen is one O(users) min aggregate, the offset join is
+        // hashed on user_id, and the report is (days x offsets) rows.
+        // Day-0 retention is definitionally 1e6 (a user is active on
+        // their own first day), which the oracle equality makes a
+        // built-in sanity row per cohort.
+        val a = ev(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val f = a.groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+        val j = a.join(f, "user_id")
+          .withColumn("off", datediff(col("d"), col("fd")))
+          .filter(col("off").between(0, 3))
+          .groupBy(col("fd").as("cohort_day"), col("off"))
+          .agg(count(lit(1)).as("n_active"))
+        val size = j.filter(col("off") === 0)
+          .select(col("cohort_day"), col("n_active").as("cohort_n"))
+        j.join(size, Seq("cohort_day"))
+          // presented as TIMESTAMP (e09's day_start precedent: Spark
+          // DATE arrives as python date objects and dtype-fails the
+          // driver compare against DuckDB's datetime64)
+          .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+            col("off").cast("long").as("off"),
+            col("n_active"), col("cohort_n"),
+            expr("n_active * 1000000 div cohort_n").as("retention_e6"))
+          .orderBy(col("cohort_day"), col("off"))
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |f AS (SELECT user_id, min(d) AS fd FROM a GROUP BY user_id),
+             |j AS (
+             |  SELECT a.d - f.fd AS off, f.fd AS cohort_day
+             |  FROM a JOIN f ON f.user_id = a.user_id
+             |  WHERE a.d - f.fd BETWEEN 0 AND 3),
+             |g AS (SELECT cohort_day, off, count(*) AS n_active
+             |      FROM j GROUP BY 1, 2),
+             |sz AS (SELECT cohort_day, n_active AS cohort_n FROM g
+             |       WHERE off = 0)
+             |SELECT CAST(g.cohort_day AS TIMESTAMP) AS cohort_day,
+             |  CAST(g.off AS BIGINT) AS off,
+             |  CAST(g.n_active AS BIGINT) AS n_active,
+             |  CAST(sz.cohort_n AS BIGINT) AS cohort_n,
+             |  CAST(g.n_active * 1000000 // sz.cohort_n AS BIGINT)
+             |    AS retention_e6
+             |FROM g JOIN sz ON sz.cohort_day = g.cohort_day
+             |ORDER BY g.cohort_day, g.off""".stripMargin)),
+
+    CatalogQuery(
       "e10_heavy_users",
       "Bounded-memory heavy-user summary: Misra-Gries (k=8) over event traffic — exact map-combined counts compressed by the (k+1)-th-largest subtraction, with the deterministic est/err/n_seen triple whose est <= true <= est+err bound holds at ANY scale; batch twin of HeavyHittersStream",
       (s, dir) => {

@@ -1599,6 +1599,33 @@ class ExtSpec extends SparkSpec {
     assert(impact.map(_.getLong(3)).sum > 0)
   }
 
+  test("e12 retention: cohorts keyed by first-seen day, day-0 is 1e6, absent offsets are absent rows, far re-activity excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("e12-planted").toString
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // uA: first 01-01, active days 0,1,3 (and one FAR return at day 9,
+    // outside the 0-3 window); uB: first 01-01, day 0 only; uC: first
+    // 01-02, active days 0,1
+    val rows = Seq(
+      (1L, t("2026-01-01"), 1L), (2L, t("2026-01-02"), 1L),
+      (3L, t("2026-01-04"), 1L), (4L, t("2026-01-10"), 1L),
+      (5L, t("2026-01-01"), 2L),
+      (6L, t("2026-01-02"), 3L), (7L, t("2026-01-03"), 3L))
+      .map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("e12_retention_cohorts")(spark, dir)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("2026-01-01", 0L) -> ((2L, 2L, 1000000L)),
+      ("2026-01-01", 1L) -> ((1L, 2L, 500000L)),
+      ("2026-01-01", 3L) -> ((1L, 2L, 500000L)),
+      ("2026-01-02", 0L) -> ((1L, 1L, 1000000L)),
+      ("2026-01-02", 1L) -> ((1L, 1L, 1000000L))), s"got $got")
+  }
+
   test("dp17 reconciliation: admission recomputed independently; utilization and nesting bounds hold") {
     val got = run("dp17_plan_reconciliation").collect()
     assert(got.nonEmpty)
