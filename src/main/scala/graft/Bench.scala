@@ -60,7 +60,13 @@ object Bench {
           bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
         true
       }
-      catch { case _: Throwable => false }
+      // Named, not silent: an unhashable output schema (map column,
+      // duplicate names) throws inside the consumer and would be
+      // indistinguishable from a real query failure otherwise.
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: " +
+          s"${t.getClass.getName}: ${t.getMessage}")
+        false }
       val dt = (System.nanoTime() - t0) / 1e9
       // Isolation between runs: any cache/persist a query created is
       // charged to that query and must not squat on executor memory

@@ -500,10 +500,21 @@ object DedupQueries {
         // copy with a boilerplate-padded one (near-dup groups usually
         // do). Same linear chain as dd10 (shingle → banded LSH →
         // exact verify → min-label CC), then the keeper is the
-        // per-cluster quality argmax: one window PARTITIONED BY
-        // cluster (bounded by the largest dup group, never global),
-        // score = tx20's round(distinct/total*1e6) integers so the
-        // oracle reproduces the argmax exactly.
+        // per-cluster quality argmax, computed WITHOUT a ranking
+        // window (the dd09/dd20 rule: a row_number partition
+        // serializes the largest cluster into one task, and dd19's
+        // target input — boilerplate-padded dup groups — is exactly
+        // where one cluster goes mega). (score desc, doc_id asc) is
+        // totally ordered as ONE packed long, (1e6 - score_e6) majors
+        // over doc_id minors with radix 2^43 (dd20's documented
+        // doc_id bound; score_e6 <= 1e6 < 2^20 by construction, so
+        // the product stays under 2^63): min() of it map-combines on
+        // any partitioning, and the keeper joins back 1:1 on cluster
+        // (a |clusters|-row hashed join — same result as the window
+        // under the same total order; the DuckDB oracle keeps its
+        // row_number spelling, the VALUES agree). Score = tx20's
+        // round(distinct/total*1e6) integers so the oracle reproduces
+        // the argmax exactly.
         val d = docs(s, dir)
         val rows = TextOps.wordShingleRows(d, "doc_id", "text", 3)
         val pairs = TextOps.lshNearDupPairs(rows, "doc_id",
@@ -516,13 +527,15 @@ object DedupQueries {
         val scored = d.select(col("doc_id"),
           round(size(array_distinct(toks)) * lit(1e6) / size(toks))
             .cast("long").as("score_e6"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster"))
-          .orderBy(col("score_e6").desc, col("doc_id"))
-        cl.join(scored, "doc_id")
-          .withColumn("keep",
-            (row_number().over(w) === 1).cast("long"))
-          .select(col("doc_id"), col("cluster"), col("score_e6"), col("keep"))
+        val joined = cl.join(scored, "doc_id")
+        val radix = 8796093022208L // 2^43
+        val best = joined.groupBy(col("cluster"))
+          .agg(min((lit(1000000L) - col("score_e6")) * lit(radix)
+            + col("doc_id")).as("bk"))
+          .select(col("cluster"), pmod(col("bk"), lit(radix)).as("best_id"))
+        joined.join(best, "cluster")
+          .select(col("doc_id"), col("cluster"), col("score_e6"),
+            (col("doc_id") === col("best_id")).cast("long").as("keep"))
           .orderBy(col("doc_id"))
       },
       Some(TextOps.lshBestRepOracleSql(TextOps.wordShingleSql(3),
@@ -573,7 +586,10 @@ object DedupQueries {
         // pass to a SortAggregate over string keys (measured 10x dd15's
         // identically-shaped chain); pos < 2^20 is enforced by the
         // wordShinglePosRows maxDocTokens guard, so doc_id*2^20 + pos
-        // orders exactly like the pair for doc_id < 2^43.
+        // orders exactly like the pair for doc_id < 2^43. The guard
+        // only implies pos < 2^20 while the user-raisable cap itself
+        // stays <= 2^20 — refuse an over-raised cap loudly here.
+        TextOps.requirePackablePositions(s)
         val packed = col("doc_id") * lit(1048576L) + col("pos")
         val perGh = grams.groupBy(col("gh"))
           .agg(min(packed).as("fkey"), max(col("doc_id")).as("hi"))
@@ -778,6 +794,83 @@ object DedupQueries {
              |  UNION ALL SELECT 1000000, (SELECT count(*) FROM vp
              |    WHERE inter >= uni))
              |ORDER BY thresh_e6""".stripMargin)),
+
+    CatalogQuery(
+      "dd23_substring_dup_estimate",
+      "ExactSubstr duplicated-fraction ESTIMATOR — the estimate-vs-exact pairing (tx22-for-tx21, g10-for-g03) for the dd15/dd20/tx17 digest family: the 8-token window stream thinned 1/8 by a deterministic digest coin BEFORE anything shuffles; per-doc duplicated-WINDOW fraction estimated from the surviving sample",
+      (s, dir) => {
+        // dd15/dd20/tx17 each shuffle the FULL corpus window-digest
+        // stream (36.7M rows at the 500k headroom corpus) — the most
+        // expensive thing a curation run does at 100 TB, honestly
+        // 70-100 s each at 500k under forced evaluation. This is the
+        // family's petabyte path: a deterministic coin on the DIGEST
+        // (first hex char < '2' — exactly 2/16 of md5 space) thins the
+        // stream 1/8 inside the same codegen'd projection that computes
+        // the md5, so only ~1/8 of the rows ever shuffle and the dup
+        // join-back build side shrinks identically. Sampling BY DIGEST,
+        // not by occurrence, keeps every occurrence of a window in or
+        // out together, so each sampled window's duplicated-ness
+        // (min(doc) != max(doc), dd15's test) is computed EXACTLY —
+        // the only estimation error is which windows are observed: an
+        // unbiased 1/8 sample of each doc's windows, stderr per doc
+        // ~ sqrt(p(1-p)*8/n_win). The md5 coin makes reruns AND the
+        // DuckDB oracle sample identically (g10's convention — the
+        // estimator itself is value-checked, not just rows-checked),
+        // and the calibration spec pins the estimate against exact
+        // dd15 on a planted known-fraction corpus. Downstream use:
+        // run dd23 to budget/triage (which sources carry duplication,
+        // whether exact surgery is worth it), run dd15/dd20 only on
+        // the slices that light up.
+        val k = 8
+        val d = docs(s, dir).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        val samp = TextOps
+          .wordShinglePosRows(docs(s, dir), "doc_id", "text", k)
+          .select(col("doc_id"), md5(col("_el")).as("gh"))
+          .filter(substring(col("gh"), 1, 1) < "2")
+        val dup = samp.groupBy(col("gh"))
+          .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+          .filter(col("lo") =!= col("hi"))
+          .select(col("gh"), lit(1L).as("isdup"))
+        val perDoc = samp.join(dup, Seq("gh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_samp"),
+            sum(coalesce(col("isdup"), lit(0L))).as("n_dup_samp"))
+        d.join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            coalesce(col("n_samp"), lit(0L)).as("n_samp"),
+            coalesce(col("n_dup_samp"), lit(0L)).as("n_dup_samp"))
+          .withColumn("est_dup_win_pct_e6",
+            when(col("n_samp") === 0, lit(-1L))
+              .otherwise(round(col("n_dup_samp") * 1e6 / col("n_samp"))
+                .cast("long")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+             |  FROM documents),
+             |d AS (SELECT doc_id, len(tok) AS n_tok, tok FROM t),
+             |g AS (
+             |  SELECT doc_id, md5(array_to_string(tok[i:i+7], ' ')) AS gh
+             |  FROM (
+             |    SELECT doc_id, tok, unnest(range(1, len(tok) - 6)) AS i
+             |    FROM d WHERE len(tok) >= 8)),
+             |sm AS (SELECT doc_id, gh FROM g WHERE substr(gh, 1, 1) < '2'),
+             |df AS (SELECT gh, CAST(1 AS BIGINT) AS isdup FROM (
+             |    SELECT gh, min(doc_id) AS lo, max(doc_id) AS hi FROM sm
+             |    GROUP BY gh)
+             |  WHERE lo <> hi),
+             |pd AS (SELECT sm.doc_id, count(*) AS n_samp,
+             |    sum(coalesce(isdup, 0)) AS n_dup_samp
+             |  FROM sm LEFT JOIN df USING (gh) GROUP BY sm.doc_id)
+             |SELECT d.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             |  CAST(coalesce(n_samp, 0) AS BIGINT) AS n_samp,
+             |  CAST(coalesce(n_dup_samp, 0) AS BIGINT) AS n_dup_samp,
+             |  CAST(CASE WHEN coalesce(n_samp, 0) = 0 THEN -1
+             |    ELSE round(n_dup_samp * 1000000.0 / n_samp) END AS BIGINT)
+             |    AS est_dup_win_pct_e6
+             |FROM d LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     CatalogQuery(
       "dd11_incremental_dedup",

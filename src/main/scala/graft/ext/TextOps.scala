@@ -108,6 +108,27 @@ object TextOps {
       .select(col(idCol), col("_pos"), col("_el"))
   }
 
+  /** Guard for the packed-long `doc_id * 2^20 + pos/count` encoding
+    * (dd20's cut-set group-first, tx17's first-carrier attribution).
+    * The packing is correct only while every position/count fits in
+    * 20 bits, which the `wordShinglePosRows` guard enforces ONLY when
+    * the user-raisable `graft.ext.maxDocTokens` cap itself stays at or
+    * under 2^20 — the guard's error message invites raising the conf,
+    * and a cap past 1,048,576 would let pos bits bleed into doc_id:
+    * silently wrong attribution, no error. Refuse that configuration
+    * loudly at the packing site instead. */
+  def requirePackablePositions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mt = spark.conf.getOption("graft.ext.maxDocTokens")
+      .map(_.toLong).getOrElse(1000000L)
+    require(mt <= 1048576L,
+      s"graft.ext.maxDocTokens=$mt exceeds 1048576 (2^20): this operator " +
+        "packs (doc_id, position/count) into one long with radix 2^20, so " +
+        "positions past 2^20 would bleed into doc_id and silently corrupt " +
+        "first-carrier attribution. Chunk oversized documents first " +
+        "(dd09-style fixed-size token windows) instead of raising the cap " +
+        "past 2^20.")
+  }
+
   /** Fan a small corpus leaf out to the session's parallelism before a
     * 100-1000x per-row expansion (shingle windows + per-element
     * digests).
@@ -1014,6 +1035,22 @@ object TextOps {
     * (left, right) list to [[bpeEncode]]'s table shape to APPLY it
     * (tx25). tx11 is exactly one round of this, unweighted. */
   def bpeTrain(wordFreq: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    // The "every round is bounded" claim rests on the word table being
+    // vocab-sized — true of natural language (Heaps' law) but not of an
+    // adversarial corpus (random strings: |words| ≈ |corpus tokens|).
+    // Make the bound explicit with the wordShingleRows loud-refusal
+    // pattern: count once (a bounded single-row job over the
+    // already-checkpointed table) and refuse past the cap, naming the
+    // remedy. Under the cap nothing changes — oracle untouched.
+    val cap = wordFreq.sparkSession.conf
+      .getOption("graft.ext.bpeMaxWords").map(_.toLong).getOrElse(1048576L)
+    val nWords = wordFreq.count()
+    require(nWords <= cap,
+      s"bpeTrain: the word-frequency table has $nWords distinct words > " +
+        s"graft.ext.bpeMaxWords=$cap — this corpus does not look like " +
+        "natural language and every training round would scan an " +
+        "unbounded table. Pre-cut the word table (min-frequency or " +
+        "top-V) or raise spark.conf graft.ext.bpeMaxWords.")
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {

@@ -796,7 +796,10 @@ object TextQueries {
         // gram stream (|docs| groups — map-side combine folds hard),
         // so the (gh, doc) level feeds ONLY the novelty path and is
         // computed once; checkpoint-free throughout (wide streams
-        // recompute cheaper than they materialize).
+        // recompute cheaper than they materialize). The c < 2^20
+        // bound holds only while the user-raisable maxDocTokens cap
+        // itself stays <= 2^20 — refuse an over-raised cap loudly.
+        TextOps.requirePackablePositions(s)
         val novel = grams.groupBy(col("gh"), col("doc_id"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("gh"))

@@ -518,6 +518,21 @@ class PlanSpec extends SparkSpec {
     assert(windows == 0, s"a window crept into dd21 ($windows):\n$plan")
   }
 
+  test("dd19: the per-cluster argmax is an aggregate, never a ranking window") {
+    val plan = planOf(run("dd19_best_rep_dedup"))
+    // dd19's target corpora (boilerplate-padded dup groups) are where
+    // one cluster goes mega; a row_number partition would serialize
+    // it into one task. The packed-long min map-combines instead.
+    assert(!plan.contains("row_number"),
+      s"the argmax became a ranking window:\n$plan")
+    val windows = plan.linesIterator.count(_.matches("\\(\\d+\\) Window.*"))
+    assert(windows == 0, s"a window crept into dd19 ($windows):\n$plan")
+    assert(plan.contains("partial_min"),
+      s"the argmax lost its map-side partial:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"unbounded join:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
