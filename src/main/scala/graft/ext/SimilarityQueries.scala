@@ -198,14 +198,25 @@ object SimilarityQueries {
     * candidates exact-dotted. ss03b is nprobe = IvfProbes; ss13 sweeps
     * nprobe for the recall-vs-candidates tuning curve. */
   private def ivfScored(s: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfScoredRanked(s, dir, nprobe).drop("rank")
+
+  /** [[ivfScored]] plus each candidate's probe RANK — the probe order
+    * (1 = best) of the candidate's (unique) bucket in its query's
+    * ranked probe list. Width p's candidate set is exactly
+    * `rank <= p`, so one pass at the widest probe carries every
+    * narrower width as a prefix (ss13 reads the whole tuning curve
+    * from a single corpus scan instead of one per width). */
+  private def ivfScoredRanked(s: SparkSession, dir: String,
+      maxProbe: Int): DataFrame = {
     graft.functions.VectorOps.register(s)
     val e = embeddings(s, dir)
     val assigned = e.select(col("vec_id"), col("v"),
       ivfAssignCol(s).as("bucket"))
     // probe selection: 10 queries × 16 buckets → bounded top-nprobe
-    // agg, same (score DESC, id ASC) order as TopKByScore everywhere
-    val probeTopk = udaf(new TopKByScore(nprobe))
+    // agg, same (score DESC, id ASC) order as TopKByScore everywhere;
+    // items come back best-first, so posexplode's pos IS the order
+    val probeTopk = udaf(new TopKByScore(maxProbe))
     val probes = broadcast(e.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), ivfScoreCol.as("cd"))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -213,11 +224,12 @@ object SimilarityQueries {
       .groupBy(col("q_id"), col("qv"))
       .agg(probeTopk(col("s"), col("bucket").cast("long")).as("pb"))
       .select(col("q_id"), col("qv"),
-        explode(col("pb.items.id")).as("bucket")))
+        posexplode(col("pb.items.id")).as(Seq("pr", "bucket"))))
     probes.join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos"))
+        graft.functions.VectorOps.dot(col("qv"), col("v")).as("cos"),
+        (col("pr") + 1).cast("long").as("rank"))
   }
 
   /** The corpus-assignment CTE prefix of ss03b's oracle (e/n/cd/a) —
@@ -1460,22 +1472,38 @@ object SimilarityQueries {
       (s, dir) => {
         // ss10 scores ONE configuration; a deployment tunes by the
         // CURVE — recall against scan cost as the probe width widens
-        // (nprobe = IvfProbes is the catalog's serving point). Each
-        // width reuses the production ivfScored chain, so the curve
-        // is the real index's curve. The per-width hit/scan counts
-        // are bounded single-row jobs (the tx ratio-totals
-        // precedent); the output is |widths| rows at any corpus size.
+        // (nprobe = IvfProbes is the catalog's serving point). The
+        // widths reuse the production chain AT THE WIDEST probe in
+        // ONE corpus pass: each candidate carries its bucket's probe
+        // RANK, so width p's candidate set is exactly rank <= p —
+        // scan counts fold into one conditional aggregate, the three
+        // top-5 selections run over the checkpointed candidate frame
+        // (never the corpus again), and their hits resolve in one
+        // union + semi-join job. Output is |widths| rows at any
+        // corpus size; every remaining job is bounded (the tx
+        // ratio-totals precedent).
         import s.implicits._
         val exact = exactTop5(s, dir)
           .select(col("q_id"), col("neighbor_id")).localCheckpoint()
         val nQ = exact.select(col("q_id")).distinct().count()
-        Seq(1, 2, 4).map { p =>
-          val scored = ivfScored(s, dir, p).localCheckpoint()
-          val top = topNeighbors(scored)
-            .select(col("q_id"), col("neighbor_id"))
-          val nHit = exact.join(top, Seq("q_id", "neighbor_id"),
-            "left_semi").count()
-          (p.toLong, nHit, nHit * 1000000L / (K * nQ), scored.count())
+        val widths = Seq(1, 2, 4)
+        val cand = ivfScoredRanked(s, dir, widths.max).localCheckpoint()
+        val scanAggs = widths.map(p =>
+          coalesce(sum((col("rank") <= p).cast("long")), lit(0L))
+            .as(s"s$p"))
+        val scans = cand.agg(scanAggs.head, scanAggs.tail: _*).head()
+        val tops = widths.map { p =>
+          topNeighbors(cand.filter(col("rank") <= p))
+            .select(lit(p.toLong).as("nprobe"), col("q_id"),
+              col("neighbor_id"))
+        }.reduce(_ unionByName _)
+        val hitMap = tops.join(exact, Seq("q_id", "neighbor_id"),
+            "left_semi")
+          .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        widths.zipWithIndex.map { case (p, i) =>
+          val nHit = hitMap.getOrElse(p.toLong, 0L)
+          (p.toLong, nHit, nHit * 1000000L / (K * nQ), scans.getLong(i))
         }.toDF("nprobe", "n_hit", "recall_e6", "n_scored")
           .orderBy(col("nprobe"))
       },

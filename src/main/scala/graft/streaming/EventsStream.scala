@@ -417,35 +417,71 @@ object EventsStream {
     * disorder is free. Across batches the machine never rewinds: a
     * view arriving AFTER a later click was already evaluated cannot
     * retro-qualify it (the spec pins this divergence on a planted
-    * user). State per user is THREE longs regardless of history; no
-    * per-event retention, no timeout needed. */
+    * user). State per user is THREE longs — and, since round 15,
+    * BOUNDED IN USER COUNT too: an event-time timeout evicts a user
+    * once the watermark passes the funnel's advance horizon (first
+    * view + 2 windows — a click must land by view+W and a purchase by
+    * click+W, so past v+2W no event can change the stage; pre-view
+    * users anchor on their last event). Eviction emits the frozen
+    * stage one final time (idempotent under the max(stage)-per-user
+    * consumer) and frees the state; a user re-appearing AFTER
+    * eviction starts a FRESH funnel — the retention contract, pinned
+    * in-spec. `watermarkDelay` is the allowed arrival lateness
+    * (independent of the funnel window; late events beyond it are
+    * dropped by the watermark, the standard streaming trade). */
   def funnelStates(spark: SparkSession, events: DataFrame,
-      windowUs: Long = 86400000000L): Dataset[FunnelRow] = {
+      windowUs: Long = 86400000000L,
+      watermarkDelay: String = "24 hours"): Dataset[FunnelRow] = {
     import spark.implicits._
+    def stageOf(s: FunnelState): Long =
+      if (s.p_us >= 0) 3L else if (s.c_us >= 0) 2L
+      else if (s.v_us >= 0) 1L else 0L
     events
-      .select(col("user_id"), col("event_type"),
+      .withWatermark("ts", watermarkDelay)
+      // ts rides along UNPROJECTED: the event-time-timeout checker
+      // requires the watermarked attribute itself (not a derived
+      // long) to reach the stateful operator's input
+      .select(col("user_id"), col("event_type"), col("ts"),
         unix_micros(col("ts")).as("us"))
-      .as[(Long, String, Long)]
+      .as[(Long, String, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (uid: Long, batch: Iterator[(Long, String, Long)],
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[(Long, String, java.sql.Timestamp, Long)],
             state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          batch.toArray.sortBy(t => (t._3, t._2)).foreach { case (_, et, us) =>
-            if (et == "view" && s.v_us < 0)
-              s = s.copy(v_us = us)
-            else if (et == "click" && s.v_us >= 0 && s.c_us < 0 &&
-                us > s.v_us && us <= s.v_us + windowUs)
-              s = s.copy(c_us = us)
-            else if (et == "purchase" && s.c_us >= 0 && s.p_us < 0 &&
-                us > s.c_us && us <= s.c_us + windowUs)
-              s = s.copy(p_us = us)
+          if (state.hasTimedOut) {
+            // the watermark passed this funnel's advance horizon:
+            // whatever stage stands is final. Emit it once more and
+            // free the three longs; a later arrival for this user is
+            // a new funnel.
+            val s = state.get
+            state.remove()
+            FunnelRow(uid, stageOf(s), s.v_us, s.c_us, s.p_us)
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var maxUs = Long.MinValue
+            batch.toArray.sortBy(t => (t._4, t._2))
+              .foreach { case (_, et, _, us) =>
+              if (us > maxUs) maxUs = us
+              if (et == "view" && s.v_us < 0)
+                s = s.copy(v_us = us)
+              else if (et == "click" && s.v_us >= 0 && s.c_us < 0 &&
+                  us > s.v_us && us <= s.v_us + windowUs)
+                s = s.copy(c_us = us)
+              else if (et == "purchase" && s.c_us >= 0 && s.p_us < 0 &&
+                  us > s.c_us && us <= s.c_us + windowUs)
+                s = s.copy(p_us = us)
+            }
+            state.update(s)
+            // advance horizon: v+2W bounds completion; Spark requires
+            // the timeout timestamp to sit strictly past the current
+            // watermark, so an already-passed horizon evicts on the
+            // next watermark advance instead of throwing.
+            val anchorUs = if (s.v_us >= 0) s.v_us else maxUs
+            val deadlineMs = anchorUs / 1000L + 2L * (windowUs / 1000L)
+            state.setTimeoutTimestamp(
+              math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+            FunnelRow(uid, stageOf(s), s.v_us, s.c_us, s.p_us)
           }
-          state.update(s)
-          val stage =
-            if (s.p_us >= 0) 3L else if (s.c_us >= 0) 2L
-            else if (s.v_us >= 0) 1L else 0L
-          FunnelRow(uid, stage, s.v_us, s.c_us, s.p_us)
       }
   }
 }

@@ -208,6 +208,97 @@ class ExtSpec extends SparkSpec {
       21L -> ((20L, 1000000L, 0L))), s"got $got")
   }
 
+  test("dd19 mega-cluster: one cluster far bigger than the rest still keeps its argmax, not its min id") {
+    // The scale scenario dd19 exists for: a boilerplate-padded dup
+    // group that dwarfs every other cluster (30 members vs 2). All 30
+    // share the identical cyclic 3-shingle set (Jaccard 1, same LSH
+    // buckets) but repetition count m varies, so score = 3e6/(3m)
+    // differs per member: doc 72 has m=2 (the best score, 500000) and
+    // must take the keep bit off min-id doc 50 (m=3). A ranking window
+    // would also get this right — the point of the planted shape is
+    // that it exercises the one-big-partition case the map-combining
+    // aggregate is designed for, with the small 90/91 cluster proving
+    // the argmax stays per-cluster.
+    val dir = java.nio.file.Files.createTempDirectory("dd19-mega").toString
+    import spark.implicits._
+    val mega = (50L until 80L).map { id =>
+      val m = if (id == 72L) 2 else 3 + (id - 50L).toInt // unique best
+      (id, Seq.fill(m)("x y z").mkString(" "))
+    }
+    val small = Seq(
+      (90L, "one two three four five six seven eight"),
+      (91L, "one two three four five six seven eight"))
+    val fillers = (100L until 120L).map(i =>
+      (i, (0 until 8).map(j => s"f${i}w$j").mkString(" ")))
+    plantDocs((mega ++ small ++ fillers).toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("dd19_best_rep_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val megaKeepers = got.filter { case (id, (cl, _, k)) =>
+      cl == 50L && k == 1L }.keySet
+    assert(megaKeepers == Set(72L),
+      s"mega-cluster keeper should be the argmax doc 72: $got")
+    assert(got(72L)._2 == 500000L, s"best score drifted: ${got(72L)}")
+    assert(got(90L) == ((90L, 1000000L, 1L)) &&
+      got(91L) == ((90L, 1000000L, 0L)),
+      s"small cluster tiebreak broke: ${got(90L)} ${got(91L)}")
+    assert(got.count(_._2._3 == 1L) == 2, s"one keeper per cluster: $got")
+  }
+
+  test("packed-long radix guard: an over-raised maxDocTokens cap is refused loudly (dd20, tx17)") {
+    // The 2^20 packing radix in dd20's cut-set group-first and tx17's
+    // first-carrier attribution is only correct while positions fit in
+    // 20 bits; the wordShinglePosRows guard enforces that ONLY when the
+    // user-raisable cap itself stays <= 2^20. Past it, the builders
+    // must refuse — silent bit-bleed into doc_id is the failure mode.
+    spark.conf.set("graft.ext.maxDocTokens", "2000000")
+    try {
+      Seq("dd20_span_removal", "tx17_novelty_score").foreach { q =>
+        val e = intercept[IllegalArgumentException] {
+          SparkEntry.queries(q)(spark, sfDir)
+        }
+        assert(e.getMessage.contains("1048576"), s"$q: ${e.getMessage}")
+      }
+      // exactly at the radix the cap is still accepted
+      spark.conf.set("graft.ext.maxDocTokens", "1048576")
+      SparkEntry.queries("dd20_span_removal")(spark, sfDir)
+      SparkEntry.queries("tx17_novelty_score")(spark, sfDir)
+    } finally spark.conf.unset("graft.ext.maxDocTokens")
+  }
+
+  test("dd23 estimator calibration: the 1/8-sampled duplicated-window fraction tracks exact dd15 on a planted known-fraction corpus") {
+    // 100 pairs, each sharing a 100-token half with a unique 100-token
+    // tail: every doc's exact window-dup fraction is 93/193 (the
+    // windows fully inside the shared half; boundary-spanning windows
+    // mix in unique tokens). dd15 must report exactly that; dd23's
+    // digest-sampled estimate must land within 0.05 of it (stderr at
+    // ~3.7k sampled distinct digests is ~0.008 — the tolerance is 6x).
+    // Two 5-token runts pin the no-sampled-windows contract (est -1).
+    val dir = java.nio.file.Files.createTempDirectory("dd23-calib").toString
+    import spark.implicits._
+    val rows = (0L until 200L).map { id =>
+      val pair = id / 2
+      val shared = (0 until 100).map(j => s"p${pair}s$j").mkString(" ")
+      val uniq = (0 until 100).map(j => s"d${id}u$j").mkString(" ")
+      (id, shared + " " + uniq)
+    } ++ Seq((900L, "tiny doc under the window"),
+      (901L, "another runt below eight"))
+    plantDocs(rows.toDF("doc_id", "text"), dir)
+    val exact = SparkEntry.queries("dd15_substring_dedup")(spark, dir)
+      .agg(sum("n_dup_win"), sum("n_win")).head()
+    val pExact = exact.getLong(0).toDouble / exact.getLong(1)
+    assert(math.abs(pExact - 93.0 / 193.0) < 1e-9,
+      s"the plant is not what the test thinks: $pExact")
+    val estDf = SparkEntry.queries("dd23_substring_dup_estimate")(spark, dir)
+    val est = estDf.agg(sum("n_dup_samp"), sum("n_samp")).head()
+    val pEst = est.getLong(0).toDouble / est.getLong(1)
+    assert(math.abs(pEst - pExact) < 0.05, s"est $pEst vs exact $pExact")
+    val runts = estDf.filter(col("doc_id") >= 900L)
+      .select("n_samp", "est_dup_win_pct_e6")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(runts == Set((0L, -1L)), s"runt contract broke: $runts")
+  }
+
   test("LSH mega-buckets rep-chain instead of dropping: cluster beyond the cap still collapses") {
     // 30 identical docs with bucket cap 5: every band bucket holds all
     // 30 (> cap), so the old drop-the-bucket behavior emitted ZERO
@@ -1497,6 +1588,21 @@ class ExtSpec extends SparkSpec {
     }
     val totals = (0 to learned.length).map(k => totalTokens(learned.take(k)))
     assert(totals == Seq(14L, 10L, 8L, 7L), s"got $totals")
+  }
+
+  test("tx26 vocab cap: an over-sized word table is refused loudly before any training round") {
+    // the per-round-bounded claim holds only while the word table is
+    // vocab-sized; an adversarial (non-natural-language) corpus must
+    // refuse, naming the remedy, instead of scanning unbounded
+    import spark.implicits._
+    val wf = (0 until 20).map(i => (s"w$i", 1L)).toDF("tok", "freq")
+    spark.conf.set("graft.ext.bpeMaxWords", "10")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        TextOps.bpeTrain(wf, 1)
+      }
+      assert(ex.getMessage.contains("bpeMaxWords"), ex.getMessage)
+    } finally spark.conf.unset("graft.ext.bpeMaxWords")
   }
 
   test("ss11 MMR: the driver-side greedy refuses a page past the 64-candidate bound") {

@@ -173,6 +173,50 @@ class StreamingSpec extends SparkSpec {
       s"order contract broken: $states")
   }
 
+  test("funnel state TTL: eviction past the advance horizon; a re-appearing user starts a fresh funnel") {
+    // u1 views then clicks (stage 2). The watermark is then driven far
+    // past u1's advance horizon (v + 2*24h) by another user's events,
+    // firing the event-time timeout: u1's frozen stage is emitted once
+    // more (same values — pre-eviction results unchanged) and the
+    // state freed. A u1 view arriving after that must open a FRESH
+    // funnel — stage 1 with the NEW v_us; un-evicted state would have
+    // ignored the view (v_us already set) and kept emitting stage 2.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventsStream.funnelStates(spark,
+        ms.toDF().toDF("event_id", "ts", "user_id", "event_type")).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_ttl").start()
+    try {
+      ms.addData((1L, t("2026-01-01 10:00:00"), 1L, "view"),
+        (2L, t("2026-01-01 10:30:00"), 1L, "click"))
+      q.processAllAvailable()
+      // push the watermark past u1's horizon (Jan 3 10:00), then one
+      // more batch so the advanced watermark fires the timeout
+      ms.addData((3L, t("2026-01-10 00:00:00"), 99L, "view"))
+      q.processAllAvailable()
+      ms.addData((4L, t("2026-01-10 00:01:00"), 99L, "click"))
+      q.processAllAvailable()
+      ms.addData((5L, t("2026-01-10 01:00:00"), 1L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("funnel_ttl").filter(col("user_id") === 1L)
+      .select("stage", "v_us", "c_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pre-eviction rows (original v_us): stage 2, never mutated after
+    val pre = u1.filter(_._2 != u1.map(_._2).max)
+    assert(pre.nonEmpty && pre.forall(r => r._1 == 2L && r._3 > 0),
+      s"pre-eviction funnel changed: ${u1.toSeq}")
+    // the re-appearance row: a FRESH funnel — stage 1, new v_us, no click
+    val fresh = u1.filter(_._2 == u1.map(_._2).max)
+    assert(fresh.toSeq == Seq((1L, fresh.head._2, -1L)) &&
+      fresh.head._2 > pre.head._2,
+      s"re-appearance did not start a fresh funnel: ${u1.toSeq}")
+  }
+
   test("foreachBatch idempotent sink: replaying the stream never duplicates rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-fb-ckpt").toString
