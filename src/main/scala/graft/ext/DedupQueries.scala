@@ -572,7 +572,8 @@ object DedupQueries {
         val grams = TextOps
           .wordShinglePosRows(d, "doc_id", "text", k)
           .select(col("doc_id"), col("_pos").cast("long").as("pos"),
-            md5(col("_el")).as("gh"))
+            TextOps.windowKey1(col("_el")).as("h1"),
+            TextOps.windowKey2(col("_el")).as("h2"))
         // dup definition (>= 2 distinct docs, dd15's) AND the
         // group-first owner in ONE pure-partial aggregation pass:
         // ">= 2 distinct docs" is exactly min(doc_id) != max(doc_id),
@@ -591,15 +592,17 @@ object DedupQueries {
         // stays <= 2^20 — refuse an over-raised cap loudly here.
         TextOps.requirePackablePositions(s)
         val packed = col("doc_id") * lit(1048576L) + col("pos")
-        val perGh = grams.groupBy(col("gh"))
+        val perGh = grams.groupBy(col("h1"), col("h2"))
           .agg(min(packed).as("fkey"), max(col("doc_id")).as("hi"))
           // `div`, not `/`: long / long is DOUBLE division in Spark,
           // and fkey ranges past 2^53 where doubles drop low bits
           .filter(expr("fkey div 1048576") =!= col("hi"))
-          .select(col("gh"),
+          .select(col("h1"), col("h2"),
             expr("fkey div 1048576").as("fd"),
             pmod(col("fkey"), lit(1048576L)).as("fp"))
-        val cut = grams.join(perGh, "gh")
+        // shuffle_hash: probe = the full window stream (SMJ would sort
+        // it); build = duplicated keys only (dd15's bound note)
+        val cut = grams.join(perGh.hint("shuffle_hash"), Seq("h1", "h2"))
           .filter(!(col("doc_id") === col("fd") && col("pos") === col("fp")))
           .select(col("doc_id"),
             explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
@@ -824,15 +827,22 @@ object DedupQueries {
         val k = 8
         val d = docs(s, dir).select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        // the COIN stays md5 (the DuckDB oracle reproduces the exact
+        // sampling); the downstream agg/join key is the two-long
+        // windowKey — md5 prunes away right after the filter
         val samp = TextOps
           .wordShinglePosRows(docs(s, dir), "doc_id", "text", k)
-          .select(col("doc_id"), md5(col("_el")).as("gh"))
-          .filter(substring(col("gh"), 1, 1) < "2")
-        val dup = samp.groupBy(col("gh"))
+          .select(col("doc_id"), md5(col("_el")).as("mh"),
+            TextOps.windowKey1(col("_el")).as("h1"),
+            TextOps.windowKey2(col("_el")).as("h2"))
+          .filter(substring(col("mh"), 1, 1) < "2")
+          .select(col("doc_id"), col("h1"), col("h2"))
+        val dup = samp.groupBy(col("h1"), col("h2"))
           .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
           .filter(col("lo") =!= col("hi"))
-          .select(col("gh"), lit(1L).as("isdup"))
-        val perDoc = samp.join(dup, Seq("gh"), "left")
+          .select(col("h1"), col("h2"), lit(1L).as("isdup"))
+        val perDoc = samp.join(dup.hint("shuffle_hash"),
+            Seq("h1", "h2"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_samp"),
             sum(coalesce(col("isdup"), lit(0L))).as("n_dup_samp"))
@@ -1085,8 +1095,8 @@ object DedupQueries {
         // alignment, so detection is exact for runs >= k regardless of
         // where the run sits in each doc (no winnowing/stride recall
         // loss). Costs, at 100 TB: window generation is the linear
-        // lead-window pass (wordShinglePosRows, one task per doc
-        // partition, skew-guarded); only the 16-byte md5 digest of
+        // shuffle-free sliding pass (wordShinglePosRows, guarded per
+        // doc); only the 16-byte two-long window key of
         // each window shuffles, never the window text; doc-frequency
         // is a two-level aggregation whose (digest, doc) distinct
         // pre-aggregates map-side, so a boilerplate window present in
@@ -1100,7 +1110,8 @@ object DedupQueries {
         val grams = TextOps
           .wordShinglePosRows(docs(s, dir), "doc_id", "text", k)
           .select(col("doc_id"), col("_pos").cast("long").as("pos"),
-            md5(col("_el")).as("gh"))
+            TextOps.windowKey1(col("_el")).as("h1"),
+            TextOps.windowKey2(col("_el")).as("h2"))
         // windows in >= 2 distinct docs, tested as min(doc_id) !=
         // max(doc_id) in ONE pure-partial aggregation — dd20's trick:
         // the distinct -> count spelling is a second full shuffle of
@@ -1108,14 +1119,21 @@ object DedupQueries {
         // 500k docs (SCALING.md round 14; the dd07/tx14 no-raw-
         // countDistinct lesson still holds, this sidesteps the
         // distinct pass entirely)
-        val dup = grams.groupBy(col("gh"))
+        val dup = grams.groupBy(col("h1"), col("h2"))
           .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-          .filter(col("lo") =!= col("hi")).select(col("gh"))
+          .filter(col("lo") =!= col("hi")).select(col("h1"), col("h2"))
+        // shuffle_hash, not sort-merge: the probe side is the full
+        // 36.7M-row window stream and SMJ would SORT it; the build
+        // side is only the duplicated keys — bounded per partition
+        // (|dup windows| / shuffle.partitions × 16 bytes) even on a
+        // fully-duplicated corpus. Measured 52 s SMJ → 36 s SHJ at
+        // 500k (Dd15StageProbe).
         // checkpointed: nDup and covered both read it, and each lazy
         // reference re-ran the digest stream AND the dup aggregation
         // (the dd03 small-frame checkpoint rule: dup windows are
         // |dup occurrences| rows — tiny next to their upstream)
-        val dupWin = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+        val dupWin = grams.join(dup.hint("shuffle_hash"), Seq("h1", "h2"))
+          .select(col("doc_id"), col("pos"))
           .localCheckpoint()
         val nDup = dupWin.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_dup_win"))

@@ -51,8 +51,8 @@ object TextOps {
     if (n == 1)
       return fanOut(df).select(col(idCol),
         explode(tokens(col(textCol))).as("_el"))
-    // the positioned sibling carries the lead-window pass AND the
-    // per-document skew guard (see wordShinglePosRows)
+    // the positioned sibling carries the sliding window builder AND
+    // the per-document guard (see wordShinglePosRows)
     val shingled = wordShinglePosRows(df, idCol, textCol, n)
       .select(col(idCol), col("_el"))
     // docs with < n tokens: fall back to the whole trimmed text
@@ -68,45 +68,82 @@ object TextOps {
     * window's 0-based start token (dd15's duplicated-span accounting).
     * Documents shorter than n tokens contribute NO rows (they cannot
     * contain an n-token window); callers wanting the whole-text
-    * fallback use `wordShingleRows`. Same plan shape and per-document
-    * skew guard: one posexplode + one lead-window pass per doc, all
-    * inside codegen. */
+    * fallback use `wordShingleRows`.
+    *
+    * Generator shape — the third measured design (ShingleAbProbe,
+    * 36.7M windows at the 500k headroom corpus, value-identical
+    * outputs): a typed mapPartitions sliding builder over the
+    * materialized token array, 7.96 s vs 11.9 s for the
+    * transform/slice lambda (higher-order lambdas evaluate
+    * interpreted) vs 18.9 s for the rounds-1-14 posexplode +
+    * per-doc lead-window pass — which also cost a full shuffle+sort
+    * of the token stream and put a Window between the scan and every
+    * downstream consumer. mapPartitions is the documented last
+    * resort, earned here: each row is one whole document, the window
+    * build is a per-row imperative loop no codegen'd expression
+    * expresses without either a shuffle (lead) or interpreted lambdas
+    * (transform), and the 2.4x on the ExactSubstr family's dominant
+    * cost is receipt-backed. No per-doc window also means no per-doc
+    * serialization point — the skew guard below remains for the
+    * packed-radix bound (pos < 2^20) and single-row memory, not task
+    * shape. */
   def wordShinglePosRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 2, s"positioned shingle size must be >= 2, got $n")
-    import org.apache.spark.sql.expressions.Window
-    // Skew guard: the lead-window pass below partitions by doc id, so
-    // ONE pathological document (a 100 TB web corpus will have a few)
-    // would sort and shingle entirely inside a single task. Refuse it
-    // in-flight — assert_true evaluates inside the same codegen'd scan,
-    // no extra corpus pass — and name the remedy. The token array is
-    // materialized by the projection, so the guard reads it for free.
-    val maxTokens = df.sparkSession.conf
+    require(df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"wordShinglePosRows: id column $idCol must be LongType " +
+        s"(got ${df.schema(idCol).dataType}); the typed sliding " +
+        "builder encodes ids as longs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxTokens = spark.conf
       .getOption("graft.ext.maxDocTokens").map(_.toLong).getOrElse(1000000L)
-    // fanOut-spread: the posexplode below is a ~n_tokens-per-row
+    // fanOut-spread: the sliding builder is a ~n_tokens-per-row
     // expansion that runs on the scan partitioning — one core for a
-    // small single-file leaf. The window pass re-shuffles by doc id
-    // anyway, so spreading the explode costs nothing extra downstream.
+    // small single-file leaf — and nothing downstream re-shuffles it.
     val guarded = fanOut(df)
       .select(col(idCol), tokens(col(textCol)).as("_t"))
       .filter(assert_true(size(col("_t")) <= maxTokens,
         concat(lit("wordShingleRows: document "), col(idCol).cast("string"),
           lit(" has "), size(col("_t")).cast("string"),
-          lit(s" tokens > graft.ext.maxDocTokens=$maxTokens; its shingle " +
-            "window pass would serialize in one task. Chunk oversized " +
-            "documents first (dd09-style fixed-size token windows), or " +
+          lit(s" tokens > graft.ext.maxDocTokens=$maxTokens; one row's " +
+            "window fan-out would own a task and its positions would " +
+            "overflow the packed-long radix. Chunk oversized documents " +
+            "first (dd09-style fixed-size token windows), or " +
             "raise spark.conf graft.ext.maxDocTokens."))).isNull)
-    val toks = guarded.select(col(idCol),
-      posexplode(col("_t")).as(Seq("_pos", "_tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val leads = (1 until n).map(j => lead(col("_tok"), j).over(w))
-    toks
-      .select(col(idCol), col("_pos"),
-        concat_ws(" ", (col("_tok") +: leads): _*).as("_el"),
-        leads.last.isNotNull.as("_full"))
-      .filter(col("_full"))
-      .select(col(idCol), col("_pos"), col("_el"))
+      .filter(size(col("_t")) >= n)
+    guarded.as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          (0 to t.length - n).iterator.map { i =>
+            val sb = new StringBuilder(t(i))
+            var j = i + 1
+            while (j < i + n) { sb.append(' ').append(t(j)); j += 1 }
+            (id, i, sb.toString)
+          }
+        }
+      }
+      .toDF(idCol, "_pos", "_el")
   }
+
+  /** 128-bit ENGINE-INTERNAL window key: two independent xxhash64
+    * lanes over the window text, carried as TWO FLAT LONG columns
+    * (h1, h2). Replaces the md5 hex-string key in the ExactSubstr
+    * family's internal aggregations and joins (dd15/dd20/tx17/dd23):
+    * Dd15StageProbe at the 500k headroom corpus (36.7M windows)
+    * measured the dup aggregation at 42 s on string keys vs 23 s on
+    * the flat long pair, and the digest join-back at 122 s (string
+    * SMJ) vs 52 s (flat SMJ) vs 36 s (flat shuffle-hash) — flat, not
+    * a two-long struct, because struct grouping keys hash and compare
+    * interpreted (struct spelling measured no better than strings).
+    * Collision class matches md5 itself (2^-128-scale), so the "exact
+    * detection" contract is unchanged; md5 stays wherever a digest
+    * value reaches an oracle-visible output or an oracle-reproduced
+    * sampling coin (dd23's first-hex-char coin, tx04's fingerprints,
+    * minhash seg32 lanes). */
+  def windowKey1(el: Column): Column = xxhash64(el)
+  def windowKey2(el: Column): Column = xxhash64(el, lit(1))
 
   /** Guard for the packed-long `doc_id * 2^20 + pos/count` encoding
     * (dd20's cut-set group-first, tx17's first-carrier attribution).

@@ -782,7 +782,8 @@ object TextQueries {
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
         val grams = TextOps
           .wordShinglePosRows(docs(s, dir), "doc_id", "text", k)
-          .select(col("doc_id"), md5(col("_el")).as("gh"))
+          .select(col("doc_id"), TextOps.windowKey1(col("_el")).as("h1"),
+            TextOps.windowKey2(col("_el")).as("h2"))
         // JOIN-FREE first-carrier attribution (the dd20 packed-long
         // trick): level 1 folds occurrences per (gh, doc) — each doc
         // appears once per gh after it, and its count c < 2^20 (the
@@ -800,9 +801,9 @@ object TextQueries {
         // bound holds only while the user-raisable maxDocTokens cap
         // itself stays <= 2^20 — refuse an over-raised cap loudly.
         TextOps.requirePackablePositions(s)
-        val novel = grams.groupBy(col("gh"), col("doc_id"))
+        val novel = grams.groupBy(col("h1"), col("h2"), col("doc_id"))
           .agg(count(lit(1)).as("c"))
-          .groupBy(col("gh"))
+          .groupBy(col("h1"), col("h2"))
           .agg(min(col("doc_id") * lit(1048576L) + col("c")).as("fk"))
           .select(expr("fk div 1048576").as("doc_id"),
             pmod(col("fk"), lit(1048576L)).as("nv"))
