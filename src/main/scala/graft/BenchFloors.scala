@@ -33,8 +33,13 @@ object BenchFloors {
         (k, v, floors(k))
     }
 
-  // 193 queries >= 0.5s, min over the round-14 FORCED-EVALUATION
-  // board. Round 14 changed the instrument itself: Bench previously
+  // 194 queries >= 0.5s, min over the round-14 FORCED-EVALUATION
+  // board; the 24 queries whose code changed in round 15 (the shingle
+  // generator/window-key family dd03/10/15/17-23, tx04/06/08/15-19/
+  // 21-23/26, dp10, ss13) re-pinned from the round-15 clean local[32]
+  // board (sentinel ratio 0.995, degraded:false), per the
+  // re-pin-only-on-code-change convention; dd23 newly pinned.
+  // Round 14 changed the instrument itself: Bench previously
   // timed count(), under which Catalyst join-eliminated and
   // projection-pruned part of many plans (dd15's dup chain, tx17's
   // attribution, q38's 12 aggregates never ran in the timed window —
@@ -43,27 +48,28 @@ object BenchFloors {
   // honest times; the whole map is re-pinned from the first forced
   // board rather than mixed across instruments.
   val floors: Map[String, Double] = Map(
-    "dd03_minhash_lsh" -> 2.615,
+    "dd03_minhash_lsh" -> 2.923,
     "dd04_simhash" -> 3.280,
     "dd05_ngram_jaccard" -> 2.269,
     "dd06_embedding_neardup" -> 0.556,
     "dd07_simhash_wide" -> 2.723,
     "dd08_dedup_clusters" -> 4.171,
     "dd09_chunk_dedup" -> 1.003,
-    "dd10_dedup_clusters_lsh" -> 3.560,
+    "dd10_dedup_clusters_lsh" -> 3.902,
     "dd12_embedding_neardup_lsh" -> 1.500,
     "dd13_semdedup" -> 3.919,
     "dd14_bloom_prefilter" -> 0.644,
-    "dd15_substring_dedup" -> 2.795,
+    "dd15_substring_dedup" -> 2.407,
     "dd16_cc_star" -> 4.143,
-    "dd17_incremental_minhash" -> 2.518,
-    "dd18_sequential_admission" -> 3.685,
-    "dd19_best_rep_dedup" -> 3.387,
-    "dd20_span_removal" -> 3.059,
-    "dd21_dedup_impact" -> 3.915,
-    "dd22_threshold_sweep" -> 2.650,
+    "dd17_incremental_minhash" -> 3.124,
+    "dd18_sequential_admission" -> 3.646,
+    "dd19_best_rep_dedup" -> 3.115,
+    "dd20_span_removal" -> 2.626,
+    "dd21_dedup_impact" -> 4.283,
+    "dd22_threshold_sweep" -> 2.386,
+    "dd23_substring_dup_estimate" -> 1.814,
     "dp08_temperature_sample" -> 0.532,
-    "dp10_curation_funnel" -> 1.846,
+    "dp10_curation_funnel" -> 2.104,
     "dp12_token_budget_plan" -> 0.844,
     "dp13_balanced_shards" -> 0.654,
     "dp15_bpe_pack" -> 1.079,
@@ -142,7 +148,7 @@ object BenchFloors {
     "ss10_recall_eval" -> 2.174,
     "ss11_mmr_rerank" -> 0.614,
     "ss12_embedding_split_drift" -> 0.784,
-    "ss13_ivf_probe_sweep" -> 3.467,
+    "ss13_ivf_probe_sweep" -> 3.259,
     "tpcds_q1" -> 0.620,
     "tpcds_q10" -> 0.641,
     "tpcds_q11" -> 0.627,
@@ -213,28 +219,28 @@ object BenchFloors {
     "tpcds_q95" -> 0.534,
     "tpcds_q97" -> 0.617,
     "tpcds_q98" -> 0.518,
-    "tx04_fingerprint" -> 1.392,
+    "tx04_fingerprint" -> 1.366,
     "tx05_heavy_hitters" -> 0.615,
     "tx05b_heavy_hitters_exact" -> 0.739,
-    "tx06_ngram_repetition" -> 1.269,
-    "tx08_decontamination" -> 1.393,
+    "tx06_ngram_repetition" -> 1.500,
+    "tx08_decontamination" -> 1.553,
     "tx10_tfidf_terms" -> 1.519,
     "tx11_bpe_pairs" -> 0.629,
     "tx12_bm25_search" -> 1.032,
     "tx13_model_quality_filter" -> 0.558,
     "tx14_boilerplate_removal" -> 1.202,
-    "tx15_contamination_report" -> 1.962,
-    "tx16_lm_bigram_score" -> 1.265,
-    "tx17_novelty_score" -> 2.673,
-    "tx18_cms_counts" -> 1.558,
-    "tx19_scored_decontamination" -> 2.053,
+    "tx15_contamination_report" -> 2.733,
+    "tx16_lm_bigram_score" -> 1.732,
+    "tx17_novelty_score" -> 2.816,
+    "tx18_cms_counts" -> 2.495,
+    "tx19_scored_decontamination" -> 2.591,
     "tx20_quality_gate" -> 0.757,
-    "tx21_source_overlap" -> 2.542,
-    "tx22_source_overlap_estimate" -> 1.898,
-    "tx23_cross_source_neardup" -> 3.170,
+    "tx21_source_overlap" -> 3.372,
+    "tx22_source_overlap_estimate" -> 1.960,
+    "tx23_cross_source_neardup" -> 3.150,
     "tx24_split_drift_psi" -> 0.539,
     "tx25_bpe_tokenize" -> 0.911,
-    "tx26_bpe_train" -> 0.971,
+    "tx26_bpe_train" -> 1.181,
     "tx27_tokenizer_fertility" -> 1.075
   )
 
