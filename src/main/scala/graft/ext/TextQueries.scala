@@ -791,31 +791,33 @@ object TextQueries {
         // exactly (first carrier, its occurrence count), and a doc's
         // novel occurrences are the sum of those counts over the
         // windows it first carried. Replaces the digest-stream
-        // join-back (build-side of 36.7M rows at the 500k corpus);
-        // measured 143 -> 67-102 s forced (noisy box, consistent
-        // direction over three runs). n_win comes straight off the
-        // gram stream (|docs| groups — map-side combine folds hard),
-        // so the (gh, doc) level feeds ONLY the novelty path and is
-        // computed once; checkpoint-free throughout (wide streams
-        // recompute cheaper than they materialize). The c < 2^20
-        // bound holds only while the user-raisable maxDocTokens cap
-        // itself stays <= 2^20 — refuse an over-raised cap loudly.
+        // join-back (build-side of 36.7M rows at the 500k corpus).
+        // ONE shuffle for both levels: an explicit repartition on
+        // (h1, h2) satisfies the clustered distribution of BOTH the
+        // finer (h1, h2, doc) grouping and the coarser (h1, h2) one —
+        // the default plan shuffled the 36.7M-row stream twice (the
+        // lost map-side partial combined near-nothing on near-unique
+        // keys anyway). And n_win never touches the gram stream: the
+        // stride-1 window count is CLOSED-FORM from the token count
+        // (n_tok - k + 1 when n_tok >= k) — the previous
+        // groupBy(doc_id) over 36.7M rows recomputed a subtraction.
+        // Checkpoint-free throughout (wide streams recompute cheaper
+        // than they materialize). The c < 2^20 bound holds only while
+        // the user-raisable maxDocTokens cap itself stays <= 2^20 —
+        // refuse an over-raised cap loudly.
         TextOps.requirePackablePositions(s)
-        val novel = grams.groupBy(col("h1"), col("h2"), col("doc_id"))
+        val novel = grams.repartition(col("h1"), col("h2"))
+          .groupBy(col("h1"), col("h2"), col("doc_id"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("h1"), col("h2"))
           .agg(min(col("doc_id") * lit(1048576L) + col("c")).as("fk"))
           .select(expr("fk div 1048576").as("doc_id"),
             pmod(col("fk"), lit(1048576L)).as("nv"))
           .groupBy(col("doc_id")).agg(sum(col("nv")).as("n_novel"))
-        val perDoc = grams.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_win"))
-          .join(novel, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_win"),
-            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
-        d.join(perDoc, Seq("doc_id"), "left")
+        d.join(novel, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tok"),
-            coalesce(col("n_win"), lit(0L)).as("n_win"),
+            when(col("n_tok") >= k, col("n_tok") - (k - 1))
+              .otherwise(0L).cast("long").as("n_win"),
             coalesce(col("n_novel"), lit(0L)).as("n_novel"))
           .withColumn("novelty_pct_e6",
             when(col("n_win") === 0, lit(1000000L))

@@ -533,6 +533,23 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), s"unbounded join:\n$plan")
   }
 
+  test("dd23: the md5 coin filters in the scan stage, the dup join is shuffle-hash, no window") {
+    val plan = planOf(run("dd23_substring_dup_estimate"))
+    // the estimator's whole value is cutting 7/8 of the stream BEFORE
+    // the shuffle: the coin must survive as an in-plan filter (if it
+    // disappears, something started sampling post-shuffle or not at
+    // all), the hinted shuffle-hash join must hold (SMJ would sort
+    // the full sampled stream), and no ranking window may appear
+    assert(plan.contains("substring(md5"),
+      s"the sampling coin vanished from the plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the dup join lost its shuffle-hash shape:\n$plan")
+    val windows = plan.linesIterator.count(_.matches("\\(\\d+\\) Window.*"))
+    assert(windows == 0, s"a window crept into dd23 ($windows):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"unbounded join:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
