@@ -883,6 +883,79 @@ object DedupQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     CatalogQuery(
+      "dd24_dup_source_estimate",
+      "Per-SOURCE duplicated-fraction triage from dd23's sampled digests: estimated duplicated-window share of each source's corpus slice — the drill-down that decides WHERE to run dd15/dd20's exact surgery (dd21's governance report, at estimator cost)",
+      (s, dir) => {
+        // dd23 answers "how much duplication"; a curation run acts per
+        // SOURCE (drop a crawl slice, re-weight a feed), so the triage
+        // report it actually reads is this one. Same 1/8 digest-coin
+        // sample and corpus-WIDE dup test as dd23 (a window shared
+        // across sources marks BOTH sources — cross-source boilerplate
+        // is precisely what the report must surface), then dd21's
+        // attribution shape: fold to doc level first (|docs| rows,
+        // map-combined), one 1:1 hashed join to the source column, one
+        // map-combined groupBy(source) — |sources| rows out at any
+        // corpus size. Docs with no sampled window still count in
+        // n_docs; a source with zero sampled windows reports est -1
+        // (unknown), dd23's runt convention.
+        val k = 8
+        val d = docs(s, dir).select(col("doc_id"), col("source"))
+        val samp = TextOps
+          .wordShinglePosRows(docs(s, dir), "doc_id", "text", k)
+          .select(col("doc_id"), md5(col("_el")).as("mh"),
+            TextOps.windowKey1(col("_el")).as("h1"),
+            TextOps.windowKey2(col("_el")).as("h2"))
+          .filter(substring(col("mh"), 1, 1) < "2")
+          .select(col("doc_id"), col("h1"), col("h2"))
+        val dup = samp.groupBy(col("h1"), col("h2"))
+          .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+          .filter(col("lo") =!= col("hi"))
+          .select(col("h1"), col("h2"), lit(1L).as("isdup"))
+        val perDoc = samp.join(dup.hint("shuffle_hash"),
+            Seq("h1", "h2"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_samp"),
+            sum(coalesce(col("isdup"), lit(0L))).as("n_dup_samp"))
+        d.join(perDoc, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_samp"), lit(0L))).as("n_samp"),
+            sum(coalesce(col("n_dup_samp"), lit(0L))).as("n_dup_samp"))
+          .withColumn("est_dup_win_pct_e6",
+            when(col("n_samp") === 0, lit(-1L))
+              .otherwise(round(col("n_dup_samp") * 1e6 / col("n_samp"))
+                .cast("long")))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+             |  FROM documents),
+             |d AS (SELECT doc_id, len(tok) AS n_tok, tok FROM t),
+             |g AS (
+             |  SELECT doc_id, md5(array_to_string(tok[i:i+7], ' ')) AS gh
+             |  FROM (
+             |    SELECT doc_id, tok, unnest(range(1, len(tok) - 6)) AS i
+             |    FROM d WHERE len(tok) >= 8)),
+             |sm AS (SELECT doc_id, gh FROM g WHERE substr(gh, 1, 1) < '2'),
+             |df AS (SELECT gh, CAST(1 AS BIGINT) AS isdup FROM (
+             |    SELECT gh, min(doc_id) AS lo, max(doc_id) AS hi FROM sm
+             |    GROUP BY gh)
+             |  WHERE lo <> hi),
+             |pd AS (SELECT sm.doc_id, count(*) AS n_samp,
+             |    sum(coalesce(isdup, 0)) AS n_dup_samp
+             |  FROM sm LEFT JOIN df USING (gh) GROUP BY sm.doc_id)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(coalesce(n_samp, 0)) AS BIGINT) AS n_samp,
+             |  CAST(sum(coalesce(n_dup_samp, 0)) AS BIGINT) AS n_dup_samp,
+             |  CAST(CASE WHEN sum(coalesce(n_samp, 0)) = 0 THEN -1
+             |    ELSE round(sum(coalesce(n_dup_samp, 0)) * 1000000.0
+             |      / sum(coalesce(n_samp, 0))) END AS BIGINT)
+             |    AS est_dup_win_pct_e6
+             |FROM documents LEFT JOIN pd USING (doc_id)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    CatalogQuery(
       "dd11_incremental_dedup",
       "Incremental ingestion dedup: new batch (doc_id % 5 = 4) probed against the standing corpus by content hash, then keep-first within the batch",
       (s, dir) => {

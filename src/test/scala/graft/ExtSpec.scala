@@ -299,6 +299,36 @@ class ExtSpec extends SparkSpec {
     assert(runts == Set((0L, -1L)), s"runt contract broke: $runts")
   }
 
+  test("dd24 per-source triage: the duplicated source lights up, the clean one reads zero; totals conserve vs dd23") {
+    // source "dup" is 20 identical pairs (every window cross-doc
+    // duplicated -> est exactly 1e6); source "clean" is 40 unique docs
+    // (no shared window -> est exactly 0). The per-source sums must
+    // also reproduce dd23's doc-level totals — the report is an
+    // attribution of the estimator, never a re-estimate.
+    val dir = java.nio.file.Files.createTempDirectory("dd24-planted").toString
+    import spark.implicits._
+    val rows = (0L until 40L).map { id =>
+      val pair = id / 2
+      (id, (0 until 40).map(j => s"p${pair}w$j").mkString(" "), "dup")
+    } ++ (100L until 140L).map(i =>
+      (i, (0 until 40).map(j => s"u${i}w$j").mkString(" "), "clean"))
+    plantDocs(rows.toDF("doc_id", "text", "source"), dir)
+    val got = SparkEntry.queries("dd24_dup_source_estimate")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set("dup", "clean"), s"sources: $got")
+    assert(got("dup")._1 == 40L && got("clean")._1 == 40L, s"n_docs: $got")
+    assert(got("dup")._2 > 0 && got("dup")._4 == 1000000L,
+      s"fully-duplicated source must read 1e6: $got")
+    assert(got("clean")._2 > 0 && got("clean")._4 == 0L,
+      s"clean source must read 0: $got")
+    val tot = SparkEntry.queries("dd23_substring_dup_estimate")(spark, dir)
+      .agg(sum("n_samp"), sum("n_dup_samp")).head()
+    assert(got.values.map(_._2).sum == tot.getLong(0) &&
+      got.values.map(_._3).sum == tot.getLong(1),
+      s"attribution lost mass: $got vs ${tot}")
+  }
+
   test("LSH mega-buckets rep-chain instead of dropping: cluster beyond the cap still collapses") {
     // 30 identical docs with bucket cap 5: every band bucket holds all
     // 30 (> cap), so the old drop-the-bucket behavior emitted ZERO
