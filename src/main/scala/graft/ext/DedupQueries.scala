@@ -956,6 +956,80 @@ object DedupQueries {
              |ORDER BY source""".stripMargin)),
 
     CatalogQuery(
+      "dd25_incremental_substring",
+      "Incremental ExactSubstr probe: the new batch's (doc_id % 5 = 4) 8-token windows probed against the STANDING corpus's window keys — per-batch-doc already-known-window fraction + keep flag; history is never re-paired with itself (dd11/dd17's ingestion convention applied to the suffix-dedup family)",
+      (s, dir) => {
+        // dd15 re-scans the whole corpus per run; an ingestion
+        // pipeline runs suffix-dedup DAILY against what it already
+        // holds. Shape: history folds ONCE into its distinct window
+        // keys (at 100 TB that is a standing bucketed table maintained
+        // by appending each accepted batch's keys; here derived
+        // in-query, the dd11/dd17 precedent) — history-history windows
+        // are never compared. The batch signs ONLY itself (window cost
+        // ∝ batch size), the probe join co-partitions on the two-long
+        // window key, and the hinted shuffle-hash build side is the
+        // BATCH's windows (the small side at any real batch:corpus
+        // ratio). n_win is closed-form from the token count (the tx17
+        // lesson); a window repeated inside the batch doc counts each
+        // occurrence (span accounting, dd15's convention); keep mirrors
+        // dd15's < 20 % cut on the known fraction.
+        val k = 8
+        val d = docs(s, dir)
+        val isBatch = pmod(col("doc_id"), lit(5)) === 4
+        def winKeys(df: DataFrame) = TextOps
+          .wordShinglePosRows(df, "doc_id", "text", k)
+          .select(col("doc_id"), TextOps.windowKey1(col("_el")).as("h1"),
+            TextOps.windowKey2(col("_el")).as("h2"))
+        val histKeys = winKeys(d.filter(!isBatch))
+          .select(col("h1"), col("h2")).distinct()
+        val known = histKeys
+          .join(winKeys(d.filter(isBatch)).hint("shuffle_hash"),
+            Seq("h1", "h2"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_known"))
+        d.filter(isBatch)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .join(known, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            when(col("n_tok") >= k, col("n_tok") - (k - 1))
+              .otherwise(0L).cast("long").as("n_win"),
+            coalesce(col("n_known"), lit(0L)).as("n_known"))
+          .withColumn("known_pct_e6",
+            when(col("n_win") === 0, lit(0L))
+              .otherwise(round(col("n_known") * 1e6 / col("n_win"))
+                .cast("long")))
+          .withColumn("keep", (col("known_pct_e6") < 200000).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+             |  FROM documents),
+             |d AS (SELECT doc_id, len(tok) AS n_tok, tok FROM t),
+             |g AS (
+             |  SELECT doc_id, md5(array_to_string(tok[i:i+7], ' ')) AS gh
+             |  FROM (
+             |    SELECT doc_id, tok, unnest(range(1, len(tok) - 6)) AS i
+             |    FROM d WHERE len(tok) >= 8)),
+             |hk AS (SELECT DISTINCT gh FROM g WHERE doc_id % 5 <> 4),
+             |kn AS (SELECT doc_id, count(*) AS n_known FROM g
+             |  JOIN hk USING (gh) WHERE doc_id % 5 = 4 GROUP BY doc_id),
+             |o AS (
+             |  SELECT d.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             |    CAST(CASE WHEN n_tok >= 8 THEN n_tok - 7 ELSE 0 END
+             |      AS BIGINT) AS n_win,
+             |    CAST(coalesce(n_known, 0) AS BIGINT) AS n_known
+             |  FROM d LEFT JOIN kn USING (doc_id) WHERE d.doc_id % 5 = 4)
+             |SELECT doc_id, n_tok, n_win, n_known,
+             |  CAST(CASE WHEN n_win = 0 THEN 0
+             |    ELSE round(n_known * 1000000.0 / n_win) END AS BIGINT)
+             |    AS known_pct_e6,
+             |  CAST(CASE WHEN (CASE WHEN n_win = 0 THEN 0
+             |      ELSE round(n_known * 1000000.0 / n_win) END) < 200000
+             |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM o
+             |ORDER BY doc_id""".stripMargin)),
+
+    CatalogQuery(
       "dd11_incremental_dedup",
       "Incremental ingestion dedup: new batch (doc_id % 5 = 4) probed against the standing corpus by content hash, then keep-first within the batch",
       (s, dir) => {

@@ -329,6 +329,36 @@ class ExtSpec extends SparkSpec {
       s"attribution lost mass: $got vs ${tot}")
   }
 
+  test("dd25 incremental substring: history runs are known at every alignment, batch-batch overlap is not, runts keep") {
+    // batch doc 4 opens with a 10-token run S that history doc 0 ends
+    // with: a shared run of length L >= k matches at L-k+1 = 3
+    // alignments, so n_known = 3 of its 13 windows (230769 e6 — above
+    // the 20% cut, keep 0). Batch docs 9 and 14 are byte-identical to
+    // EACH OTHER only: batch-batch windows are not "already known"
+    // (the standing index holds history alone), so both read 0 and
+    // keep. The 3-token runt has no windows: pct 0, keep 1.
+    val dir = java.nio.file.Files.createTempDirectory("dd25-planted").toString
+    import spark.implicits._
+    val s10 = (0 until 10).map(j => s"s$j").mkString(" ")
+    val rows = Seq(
+      (0L, (0 until 10).map(j => s"h$j").mkString(" ") + " " + s10),
+      (4L, s10 + " " + (0 until 10).map(j => s"b4u$j").mkString(" ")),
+      (9L, (0 until 20).map(j => s"bb$j").mkString(" ")),
+      (14L, (0 until 20).map(j => s"bb$j").mkString(" ")),
+      (19L, "tiny batch doc"),
+      (1L, (0 until 12).map(j => s"f1w$j").mkString(" ")),
+      (2L, (0 until 12).map(j => s"f2w$j").mkString(" ")))
+    plantDocs(rows.toDF("doc_id", "text"), dir)
+    val got = SparkEntry.queries("dd25_incremental_substring")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      4L -> ((20L, 13L, 3L, 230769L, 0L)),
+      9L -> ((20L, 13L, 0L, 0L, 1L)),
+      14L -> ((20L, 13L, 0L, 0L, 1L)),
+      19L -> ((3L, 0L, 0L, 0L, 1L))), s"got $got")
+  }
+
   test("LSH mega-buckets rep-chain instead of dropping: cluster beyond the cap still collapses") {
     // 30 identical docs with bucket cap 5: every band bucket holds all
     // 30 (> cap), so the old drop-the-bucket behavior emitted ZERO
