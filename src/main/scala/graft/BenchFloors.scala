@@ -33,12 +33,12 @@ object BenchFloors {
         (k, v, floors(k))
     }
 
-  // 195 queries >= 0.5s, min over the round-14 FORCED-EVALUATION
+  // 196 queries >= 0.5s, min over the round-14 FORCED-EVALUATION
   // board; the 24 queries whose code changed in round 15 (the shingle
   // generator/window-key family dd03/10/15/17-23, tx04/06/08/15-19/
   // 21-23/26, dp10, ss13) re-pinned from the round-15 clean local[32]
   // board (sentinel ratio 0.995, degraded:false), per the
-  // re-pin-only-on-code-change convention; dd23/dd24 newly pinned and
+  // re-pin-only-on-code-change convention; dd23/dd24/dd25 newly pinned and
   // tx17 re-pinned (1.378) from post-reshape local[32] median-of-3
   // runs taken after that board.
   // Round 14 changed the instrument itself: Bench previously
@@ -71,6 +71,7 @@ object BenchFloors {
     "dd22_threshold_sweep" -> 2.386,
     "dd23_substring_dup_estimate" -> 1.814,
     "dd24_dup_source_estimate" -> 1.598,
+    "dd25_incremental_substring" -> 1.342,
     "dp08_temperature_sample" -> 0.532,
     "dp10_curation_funnel" -> 2.104,
     "dp12_token_budget_plan" -> 0.844,
