@@ -137,13 +137,25 @@ object TextOps {
     * SMJ) vs 52 s (flat SMJ) vs 36 s (flat shuffle-hash) — flat, not
     * a two-long struct, because struct grouping keys hash and compare
     * interpreted (struct spelling measured no better than strings).
-    * Collision class matches md5 itself (2^-128-scale), so the "exact
+    *
+    * LANE INDEPENDENCE (the r15 defect): Spark's multi-arg xxhash64
+    * folds children left-to-right using the running hash as the next
+    * child's seed, so the old spelling `xxhash64(el, lit(1))` computed
+    * h2 = XXH64(1L, seed = h1) — a fixed bijection of h1, making every
+    * h1 collision an automatic h2 collision (the pair carried 64 bits,
+    * not 128). The constant must hash FIRST: `xxhash64(lit(1), el)`
+    * folds to XXH64(el_bytes, seed = XXH64(1L, seed = 42)) — the same
+    * string hashed under a different constant seed, i.e. a genuinely
+    * distinct member of the xxhash64 family at identical cost.
+    * HashOpsSpec pins the construction (h2 is NOT the seed-chained
+    * recomputation of h1). With two independent 64-bit lanes the
+    * collision class matches md5 itself (2^-128-scale), so the "exact
     * detection" contract is unchanged; md5 stays wherever a digest
     * value reaches an oracle-visible output or an oracle-reproduced
     * sampling coin (dd23's first-hex-char coin, tx04's fingerprints,
     * minhash seg32 lanes). */
   def windowKey1(el: Column): Column = xxhash64(el)
-  def windowKey2(el: Column): Column = xxhash64(el, lit(1))
+  def windowKey2(el: Column): Column = xxhash64(lit(1), el)
 
   /** Guard for the packed-long `doc_id * 2^20 + pos/count` encoding
     * (dd20's cut-set group-first, tx17's first-carrier attribution).
