@@ -527,7 +527,11 @@ object DedupQueries {
         val scored = d.select(col("doc_id"),
           round(size(array_distinct(toks)) * lit(1e6) / size(toks))
             .cast("long").as("score_e6"))
-        val joined = cl.join(scored, "doc_id")
+        // doc_id must fit the 2^43 minor radix or min(bk) picks the
+        // wrong keeper — per-row refusal, requirePackablePositions'
+        // data-side twin (no conf bounds doc ids)
+        val joined = TextOps.requirePackableDocIds(
+          cl.join(scored, "doc_id"), "doc_id", "dd19")
         val radix = 8796093022208L // 2^43
         val best = joined.groupBy(col("cluster"))
           .agg(min((lit(1000000L) - col("score_e6")) * lit(radix)
@@ -592,7 +596,10 @@ object DedupQueries {
         // stays <= 2^20 — refuse an over-raised cap loudly here.
         TextOps.requirePackablePositions(s)
         val packed = col("doc_id") * lit(1048576L) + col("pos")
-        val perGh = grams.groupBy(col("h1"), col("h2"))
+        // doc_id < 2^43 enforced per-row (the data-side bound the conf
+        // guard can't see) — one codegen comparison on the agg input
+        val perGh = TextOps.requirePackableDocIds(grams, "doc_id", "dd20")
+          .groupBy(col("h1"), col("h2"))
           .agg(min(packed).as("fkey"), max(col("doc_id")).as("hi"))
           // `div`, not `/`: long / long is DOUBLE division in Spark,
           // and fkey ranges past 2^53 where doubles drop low bits

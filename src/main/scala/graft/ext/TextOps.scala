@@ -178,6 +178,26 @@ object TextOps {
         "past 2^20.")
   }
 
+  /** Per-row twin of [[requirePackablePositions]] for the doc_id side
+    * of the packed-long encodings: dd19 packs (1e6−score)·2^43 +
+    * doc_id (doc_id minors under the score majors), dd20/tx17 pack
+    * doc_id·2^20 + pos/count (doc_id majors) — all three are correct
+    * only while 0 <= doc_id < 2^43, and unlike positions (bounded by
+    * the maxDocTokens conf) doc ids have no conf to check, so the
+    * bound is enforced on the data itself: one codegen'd comparison
+    * per row (assert_true filter, the wordShingleRows idiom), refusing
+    * loudly instead of silently corrupting the keeper choice /
+    * first-carrier attribution when the packing wraps. */
+  def requirePackableDocIds(df: DataFrame, idCol: String,
+      ctx: String): DataFrame = {
+    val lim = 8796093022208L // 2^43
+    df.filter(assert_true(col(idCol) >= 0 && col(idCol) < lim,
+      concat(lit(s"$ctx: doc_id "), col(idCol).cast("string"),
+        lit(" is outside [0, 2^43): the packed-long encoding would " +
+          "overflow and silently corrupt the result. Re-key documents " +
+          "below 2^43 first."))).isNull)
+  }
+
   /** Fan a small corpus leaf out to the session's parallelism before a
     * 100-1000x per-row expansion (shingle windows + per-element
     * digests).
@@ -1088,11 +1108,22 @@ object TextOps {
     // vocab-sized — true of natural language (Heaps' law) but not of an
     // adversarial corpus (random strings: |words| ≈ |corpus tokens|).
     // Make the bound explicit with the wordShingleRows loud-refusal
-    // pattern: count once (a bounded single-row job over the
-    // already-checkpointed table) and refuse past the cap, naming the
-    // remedy. Under the cap nothing changes — oracle untouched.
+    // pattern, and make its count PAY FOR ITSELF: the table is
+    // persisted here, so the guard count is also the materialization
+    // action, and every training round re-reads the cached vocab rows
+    // instead of re-running the caller's upstream pipeline (rounds
+    // scan wordFreq once per round — uncached, an un-checkpointed
+    // caller would re-tokenize the corpus `rounds` times; r15 ADVICE).
+    // Cache-on-checkpointed (tx26's caller) is a cheap no-op layer.
     val cap = wordFreq.sparkSession.conf
       .getOption("graft.ext.bpeMaxWords").map(_.toLong).getOrElse(1048576L)
+    val wf = wordFreq.persist()
+    try bpeTrainRounds(wf, rounds, cap)
+    finally wf.unpersist()
+  }
+
+  private def bpeTrainRounds(wordFreq: DataFrame, rounds: Int,
+      cap: Long): Seq[(Int, String, String, Long)] = {
     val nWords = wordFreq.count()
     require(nWords <= cap,
       s"bpeTrain: the word-frequency table has $nWords distinct words > " +

@@ -797,7 +797,14 @@ object TextQueries {
         // finer (h1, h2, doc) grouping and the coarser (h1, h2) one —
         // the default plan shuffled the 36.7M-row stream twice (the
         // lost map-side partial combined near-nothing on near-unique
-        // keys anyway). And n_win never touches the gram stream: the
+        // keys anyway). AT-SCALE NOTE: a manual repartition PINS the
+        // partition count (spark.sql.shuffle.partitions) and opts
+        // that exchange out of AQE coalescing/skew-split — the right
+        // trade at the measured 500k scale (it is what removes the
+        // second shuffle), but on a real cluster the count should
+        // track the window-stream size (~one partition per 128 MB of
+        // (h1,h2,doc_id) rows): set graft.ext.substrShufflePartitions
+        // to size it explicitly; unset, the session default applies. And n_win never touches the gram stream: the
         // stride-1 window count is CLOSED-FORM from the token count
         // (n_tok - k + 1 when n_tok >= k) — the previous
         // groupBy(doc_id) over 36.7M rows recomputed a subtraction.
@@ -806,9 +813,19 @@ object TextQueries {
         // the user-raisable maxDocTokens cap itself stays <= 2^20 —
         // refuse an over-raised cap loudly.
         TextOps.requirePackablePositions(s)
-        val novel = grams.repartition(col("h1"), col("h2"))
-          .groupBy(col("h1"), col("h2"), col("doc_id"))
-          .agg(count(lit(1)).as("c"))
+        // doc_id < 2^43 enforced per-row on the level-1 output (the
+        // smaller stream — distinct (h1,h2,doc) rows), before the
+        // packing aggregate that would overflow on a wider id
+        val reparted = s.conf.getOption("graft.ext.substrShufflePartitions")
+          .map(_.toInt) match {
+          case Some(n) => grams.repartition(n, col("h1"), col("h2"))
+          case None => grams.repartition(col("h1"), col("h2"))
+        }
+        val novel = TextOps.requirePackableDocIds(
+            reparted
+              .groupBy(col("h1"), col("h2"), col("doc_id"))
+              .agg(count(lit(1)).as("c")),
+            "doc_id", "tx17")
           .groupBy(col("h1"), col("h2"))
           .agg(min(col("doc_id") * lit(1048576L) + col("c")).as("fk"))
           .select(expr("fk div 1048576").as("doc_id"),

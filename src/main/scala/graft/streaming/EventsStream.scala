@@ -399,8 +399,14 @@ object EventsStream {
       .outputMode(OutputMode.Append())
       .start()
 
-  /** Watermarks unset (-1) for funnel stages not yet reached. */
-  case class FunnelState(v_us: Long, c_us: Long, p_us: Long)
+  /** Watermarks unset (-1) for funnel stages not yet reached; a_us is
+    * the eviction anchor for PRE-VIEW users — the max event time seen
+    * across all their batches, kept MONOTONE in state so a late batch
+    * carrying only older events can never move an existing user's
+    * timeout deadline backward (the documented horizon is last event
+    * + 2W; view users anchor on v_us and ignore it). */
+  case class FunnelState(v_us: Long, c_us: Long, p_us: Long,
+      a_us: Long = Long.MinValue)
   case class FunnelRow(user_id: Long, stage: Long, v_us: Long,
       c_us: Long, p_us: Long)
 
@@ -422,7 +428,9 @@ object EventsStream {
     * once the watermark passes the funnel's advance horizon (first
     * view + 2 windows — a click must land by view+W and a purchase by
     * click+W, so past v+2W no event can change the stage; pre-view
-    * users anchor on their last event). Eviction emits the frozen
+    * users anchor on the max event time seen so far, stored in state
+    * so the deadline only ever advances — a late batch with older
+    * events cannot pull it backward). Eviction emits the frozen
     * stage one final time (idempotent under the max(stage)-per-user
     * consumer) and frees the state; a user re-appearing AFTER
     * eviction starts a FRESH funnel — the retention contract, pinned
@@ -457,7 +465,8 @@ object EventsStream {
             state.remove()
             FunnelRow(uid, stageOf(s), s.v_us, s.c_us, s.p_us)
           } else {
-            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var s = state.getOption.getOrElse(
+              FunnelState(-1L, -1L, -1L, Long.MinValue))
             var maxUs = Long.MinValue
             batch.toArray.sortBy(t => (t._4, t._2))
               .foreach { case (_, et, _, us) =>
@@ -471,12 +480,13 @@ object EventsStream {
                   us > s.c_us && us <= s.c_us + windowUs)
                 s = s.copy(p_us = us)
             }
+            s = s.copy(a_us = math.max(s.a_us, maxUs))
             state.update(s)
             // advance horizon: v+2W bounds completion; Spark requires
             // the timeout timestamp to sit strictly past the current
             // watermark, so an already-passed horizon evicts on the
             // next watermark advance instead of throwing.
-            val anchorUs = if (s.v_us >= 0) s.v_us else maxUs
+            val anchorUs = if (s.v_us >= 0) s.v_us else s.a_us
             val deadlineMs = anchorUs / 1000L + 2L * (windowUs / 1000L)
             state.setTimeoutTimestamp(
               math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))

@@ -217,6 +217,56 @@ class StreamingSpec extends SparkSpec {
       s"re-appearance did not start a fresh funnel: ${u1.toSeq}")
   }
 
+  test("funnel TTL anchor is monotone: a late batch of older events cannot pull a pre-view user's deadline backward") {
+    // u7 never views, so its eviction anchor is event-time-based.
+    // Batch 1: click at Jan 1 10:00 -> horizon Jan 3 10:00. Batch 2
+    // arrives LATE with an OLDER click (Jan 1 09:00, inside the 24h
+    // watermark delay): the documented horizon is LAST event + 2W, so
+    // it must stay Jan 3 10:00 — the r15 defect recomputed it from the
+    // current batch's max (Jan 3 09:00). Park the watermark BETWEEN
+    // the two candidate horizons: a slid-back anchor evicts u7 here
+    // (a third, timeout-emitted stage-0 row); the monotone anchor
+    // must not. Then advance past the TRUE horizon and require the
+    // eviction row — the anchor is monotone, not immortal.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventsStream.funnelStates(spark,
+        ms.toDF().toDF("event_id", "ts", "user_id", "event_type")).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_anchor").start()
+    def u7Rows() = spark.table("funnel_anchor")
+      .filter(col("user_id") === 7L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    try {
+      ms.addData((1L, t("2026-01-01 10:00:00"), 7L, "click"))
+      q.processAllAvailable()
+      ms.addData((2L, t("2026-01-01 09:00:00"), 7L, "click"))
+      q.processAllAvailable()
+      // watermark -> Jan 3 09:30 (between the slid-back horizon
+      // Jan 3 09:00 and the true one Jan 3 10:00), + one batch so an
+      // expired timeout would fire
+      ms.addData((3L, t("2026-01-04 09:30:00"), 99L, "view"))
+      q.processAllAvailable()
+      ms.addData((4L, t("2026-01-04 09:31:00"), 99L, "view"))
+      q.processAllAvailable()
+      val before = u7Rows()
+      assert(before.length == 2 && before.forall(_ == (0L, -1L, -1L, -1L)),
+        s"u7 was evicted before its last-event+2W horizon (the anchor " +
+          s"slid backward on the late batch): ${before.toSeq}")
+      // now cross the true horizon: watermark -> Jan 3 11:00
+      ms.addData((5L, t("2026-01-04 11:00:00"), 99L, "view"))
+      q.processAllAvailable()
+      ms.addData((6L, t("2026-01-04 11:01:00"), 99L, "view"))
+      q.processAllAvailable()
+      val after = u7Rows()
+      assert(after.length == 3,
+        s"u7 not evicted after the true horizon passed: ${after.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink: replaying the stream never duplicates rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-fb-ckpt").toString
