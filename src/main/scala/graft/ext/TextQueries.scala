@@ -1079,21 +1079,34 @@ object TextQueries {
       (s, dir) => {
         // Exact set semantics so DuckDB can mirror it: distinct
         // (source, shingle) rows, per-source set sizes, pairwise
-        // intersections via a self-join hashed on the shingle string.
-        // Scale shape: both aggregates map-side combine; the self-join's
-        // per-shingle fanout is bounded by #sources² (a handful), and
-        // the output is |sources|² rows. The distinct-shingle shuffle is
-        // the honest cost — at petabyte scale you would estimate this
-        // matrix from dd03's per-doc minhash signatures instead (same
-        // report, sampled); this exact form is the oracle-able baseline
-        // that calibrates such an estimator.
+        // intersections via a self-join on the shingle key. The
+        // shingle is carried as the two-long (h1, h2) window key from
+        // the moment it leaves the generator — the Dd15StageProbe
+        // receipts (string keys 2-4x slower to hash/sort through
+        // aggregation and join) applied to tx21's three string-keyed
+        // exchanges (doc_id join-back, distinct, self-join), and the
+        // key never reaches the output so md5-portability doesn't
+        // bind; the lanes are independent (TextOps.windowKey2's
+        // lane-independence contract), so the 2^-128 collision class
+        // keeps the distinct-set cardinalities exact at any real
+        // corpus. Scale shape: both aggregates map-side combine; the
+        // self-join's per-shingle fanout is bounded by #sources² (a
+        // handful), and the output is |sources|² rows. The
+        // distinct-shingle shuffle is the honest cost — at petabyte
+        // scale you would estimate this matrix from dd03's per-doc
+        // minhash signatures instead (same report, sampled); this
+        // exact form is the oracle-able baseline that calibrates such
+        // an estimator.
         val d = docs(s, dir)
         val ss = TextOps.wordShingleRows(d, "doc_id", "text", 3)
+          .select(col("doc_id"), TextOps.windowKey1(col("_el")).as("h1"),
+            TextOps.windowKey2(col("_el")).as("h2"))
           .join(d.select(col("doc_id"), col("source")), "doc_id")
-          .select(col("source"), col("_el").as("el")).distinct()
+          .select(col("source"), col("h1"), col("h2")).distinct()
         val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val inter = ss.as("a").join(ss.as("b"),
-            col("a.el") === col("b.el") && col("a.source") < col("b.source"))
+            col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+              col("a.source") < col("b.source"))
           .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
           .agg(count(lit(1)).as("n_inter"))
         inter
