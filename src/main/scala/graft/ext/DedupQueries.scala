@@ -970,9 +970,11 @@ object DedupQueries {
         // pipeline runs suffix-dedup DAILY against what it already
         // holds. Shape: history folds ONCE into its distinct window
         // keys (at 100 TB that is a standing bucketed table maintained
-        // by appending each accepted batch's keys; here derived
-        // in-query, the dd11/dd17 precedent) — history-history windows
-        // are never compared. The batch signs ONLY itself (window cost
+        // by appending each accepted batch's keys — a REAL component
+        // since round 16: SubstrIndex build/append/probe, value-parity
+        // with this query spec-gated in SubstrIndexSpec; here derived
+        // in-query so the oracle can mirror it, the dd11/dd17
+        // precedent) — history-history windows are never compared. The batch signs ONLY itself (window cost
         // ∝ batch size), the probe join co-partitions on the two-long
         // window key, and the hinted shuffle-hash build side is the
         // BATCH's windows (the small side at any real batch:corpus
