@@ -41,6 +41,12 @@ object BenchFloors {
   // re-pin-only-on-code-change convention; dd23/dd24/dd25 newly pinned and
   // tx17 re-pinned (1.378) from post-reshape local[32] median-of-3
   // runs taken after that board.
+  // Round 16 re-pins the 9 code-changed queries (windowKey lane fix:
+  // dd15/dd20/dd23/dd24/dd25/tx17; doc_id guards: dd19/dd20/tx17;
+  // tx21 flat key; tx26 persist) as the MIN of the two round-16 clean
+  // local[32] boards (sentinel ratios 1.008 and 0.964, both
+  // degraded:false, flagged:{}); tx21 from the second board only (the
+  // first predates its flat-key change).
   // Round 14 changed the instrument itself: Bench previously
   // timed count(), under which Catalyst join-eliminated and
   // projection-pruned part of many plans (dd15's dup chain, tx17's
@@ -61,17 +67,17 @@ object BenchFloors {
     "dd12_embedding_neardup_lsh" -> 1.500,
     "dd13_semdedup" -> 3.919,
     "dd14_bloom_prefilter" -> 0.644,
-    "dd15_substring_dedup" -> 2.407,
+    "dd15_substring_dedup" -> 2.348,
     "dd16_cc_star" -> 4.143,
     "dd17_incremental_minhash" -> 3.124,
     "dd18_sequential_admission" -> 3.646,
-    "dd19_best_rep_dedup" -> 3.115,
-    "dd20_span_removal" -> 2.626,
+    "dd19_best_rep_dedup" -> 3.409,
+    "dd20_span_removal" -> 2.643,
     "dd21_dedup_impact" -> 4.283,
     "dd22_threshold_sweep" -> 2.386,
-    "dd23_substring_dup_estimate" -> 1.814,
-    "dd24_dup_source_estimate" -> 1.598,
-    "dd25_incremental_substring" -> 1.342,
+    "dd23_substring_dup_estimate" -> 1.855,
+    "dd24_dup_source_estimate" -> 1.515,
+    "dd25_incremental_substring" -> 1.620,
     "dp08_temperature_sample" -> 0.532,
     "dp10_curation_funnel" -> 2.104,
     "dp12_token_budget_plan" -> 0.844,
@@ -235,16 +241,16 @@ object BenchFloors {
     "tx14_boilerplate_removal" -> 1.202,
     "tx15_contamination_report" -> 2.733,
     "tx16_lm_bigram_score" -> 1.732,
-    "tx17_novelty_score" -> 1.378,
+    "tx17_novelty_score" -> 1.676,
     "tx18_cms_counts" -> 2.495,
     "tx19_scored_decontamination" -> 2.591,
     "tx20_quality_gate" -> 0.757,
-    "tx21_source_overlap" -> 3.372,
+    "tx21_source_overlap" -> 2.160,
     "tx22_source_overlap_estimate" -> 1.960,
     "tx23_cross_source_neardup" -> 3.150,
     "tx24_split_drift_psi" -> 0.539,
     "tx25_bpe_tokenize" -> 0.911,
-    "tx26_bpe_train" -> 1.181,
+    "tx26_bpe_train" -> 1.071,
     "tx27_tokenizer_fertility" -> 1.075
   )
 

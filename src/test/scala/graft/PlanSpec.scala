@@ -550,6 +550,49 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), s"unbounded join:\n$plan")
   }
 
+  test("tx21: no exchange carries the raw shingle string — the flat (h1, h2) key holds") {
+    // The round-16 reshape: tx21's shingle is hashed to the two-long
+    // window key at the generator's edge, so the doc_id join-back,
+    // the (source, shingle) distinct, and the self-join all move
+    // longs. If a raw `el`/`_el` string attribute re-appears in ANY
+    // exchange's partitioning, the 2.2x at 500k (ShingleKeyProbe) is
+    // silently gone.
+    // executedPlan.toString, not formatted explain: the formatted mode
+    // moves an Exchange's partitioning expressions to a detail section,
+    // so a single-line match can never see them
+    val plan = run("tx21_source_overlap")
+      .queryExecution.executedPlan.toString
+    val badEx = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("el#") || l.contains("_el#"))).toSeq
+    assert(badEx.isEmpty,
+      s"a string-keyed exchange crept back into tx21:\n${badEx.mkString("\n")}")
+    val keyEx = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("h1#"))
+    assert(keyEx >= 2,
+      s"the flat window-key lanes vanished from tx21's exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"unbounded join:\n$plan")
+  }
+
+  test("tx17: ONE window-key exchange serves both aggregation levels; the doc-id guard doesn't add a shuffle") {
+    // The r15 reshape's whole point: the explicit repartition on
+    // (h1, h2) satisfies the clustered distribution of BOTH the finer
+    // (h1, h2, doc_id) grouping and the coarser (h1, h2) one, so the
+    // 36.7M-row gram stream shuffles ONCE. The round-16 per-row
+    // doc_id guard sits between the two levels — a Filter preserves
+    // partitioning, and this gate holds it to that.
+    val plan = run("tx17_novelty_score")
+      .queryExecution.executedPlan.toString
+    val keyExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("h1#"))
+    assert(keyExchanges == 1,
+      s"the gram stream should shuffle exactly once on (h1, h2), " +
+        s"found $keyExchanges key exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"unbounded join:\n$plan")
+  }
+
   test("tpcds q72: the 10-way join keeps every dimension broadcast") {
     graft.datagen.RetailData.views(spark)
     val df = spark.sql(graft.workloads.TpcdsCatalog.byName("q72"))
