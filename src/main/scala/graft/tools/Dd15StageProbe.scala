@@ -30,8 +30,11 @@ object Dd15StageProbe {
     def gramsFlat: DataFrame = graft.ext.TextOps
       .wordShinglePosRows(d, "doc_id", "text", k)
       .select(col("doc_id"), col("_pos").cast("long").as("pos"),
-        xxhash64(col("_el")).as("h1"),
-        xxhash64(col("_el"), lit(1)).as("h2"))
+        // the production lanes (windowKey2 hashes the constant FIRST —
+        // xxhash64(el, lit(1)) seed-chains and carries no extra entropy;
+        // identical cost, so the r15 measurements stand)
+        graft.ext.TextOps.windowKey1(col("_el")).as("h1"),
+        graft.ext.TextOps.windowKey2(col("_el")).as("h2"))
     time("grams_forced") {
       grams.agg(count(lit(1)), bit_xor(xxhash64(struct(col("doc_id"),
         col("pos"), col("gh"))))).collect()
