@@ -40,7 +40,10 @@ object SubstrIndex {
       .select(col("doc_id"), TextOps.windowKey1(col("_el")).as("h1"),
         TextOps.windowKey2(col("_el")).as("h2"))
 
-  private def distinctKeys(docs: DataFrame): DataFrame =
+  /** The corpus's distinct window-key SET — what build persists and
+    * what the streaming admission ([[graft.streaming.DocsStream]])
+    * holds as its standing state. */
+  def keySet(docs: DataFrame): DataFrame =
     windowKeys(docs).select(col("h1"), col("h2")).distinct()
 
   private def write(keys: DataFrame, table: String, nBuckets: Int,
@@ -53,7 +56,7 @@ object SubstrIndex {
     * corpus's distinct window keys, bucketed+sorted on the key. The
     * one cost ∝ corpus; everything after is ∝ batch. */
   def build(docs: DataFrame, table: String, nBuckets: Int = 8): Unit =
-    write(distinctKeys(docs), table, nBuckets, "overwrite")
+    write(keySet(docs), table, nBuckets, "overwrite")
 
   /** Append an ACCEPTED batch's window keys — only the genuinely new
     * ones (anti-join against the standing set, the index side of which
@@ -63,7 +66,7 @@ object SubstrIndex {
     * property survives ingestion. */
   def append(docs: DataFrame, table: String, nBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
-    val fresh = distinctKeys(docs)
+    val fresh = keySet(docs)
       .join(spark.table(table), Seq("h1", "h2"), "left_anti")
     write(fresh, table, nBuckets, "append")
   }
@@ -77,8 +80,14 @@ object SubstrIndex {
     * any real batch:corpus ratio). n_win is closed-form from the token
     * count; keep mirrors dd25's < 20 % cut on the known fraction.
     * SubstrIndexSpec pins value-parity with in-query dd25. */
-  def probe(spark: SparkSession, table: String, batch: DataFrame): DataFrame = {
-    val known = spark.table(table)
+  def probe(spark: SparkSession, table: String, batch: DataFrame): DataFrame =
+    probeKeys(spark.table(table), batch)
+
+  /** [[probe]] against any standing key frame (a persisted index scan,
+    * or the streaming admission's accrued state) — the single pass
+    * over the standing side, with everything after it batch-sized. */
+  def probeKeys(standingKeys: DataFrame, batch: DataFrame): DataFrame = {
+    val known = standingKeys
       .join(windowKeys(batch).hint("shuffle_hash"), Seq("h1", "h2"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_known"))
     batch

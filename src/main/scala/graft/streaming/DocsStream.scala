@@ -152,4 +152,115 @@ object DocsStream {
       }
       .outputMode(OutputMode.Append())
       .start()
+
+  // ---------------------------------------------------------------
+  // ExactSubstr (suffix-dedup) admission — dd25 run continuously
+  // ---------------------------------------------------------------
+
+  private val keySchema = StructType(Seq(
+    StructField("h1", LongType), StructField("h2", LongType)))
+
+  /** Accepted window keys from every batch EXCEPT `excludeBatchId`
+    * (replay safety, [[acceptedState]]'s convention); empty when no
+    * batch has landed yet. */
+  private[graft] def keyState(spark: SparkSession, stateDir: String,
+      excludeBatchId: Long): DataFrame =
+    StreamState.readDir(spark, stateDir)
+      .map(_.filter(col("batch_id") =!= excludeBatchId)
+        .select(col("h1"), col("h2")))
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], keySchema))
+
+  /** One suffix-dedup admission round: dd25's standing-corpus probe
+    * PLUS intra-batch first-carrier accounting (tx17's keep-first
+    * rule applied within the batch). Per batch doc:
+    * `n_known_hist` = window occurrences whose key is in the standing
+    * set (exactly dd25's n_known); `n_known_batch` = occurrences NOT
+    * in the standing set whose batch-wide first carrier (min doc_id
+    * over the batch's occurrences of that key) is a SMALLER batch doc
+    * — so a doc repeating its own window isn't self-blocked, ties go
+    * to the first carrier, and two identical docs in one batch admit
+    * exactly one (dd25 alone would admit both: its batch-batch
+    * overlap is deliberately un-counted, pinned in ExtSpec — an
+    * admission gate must not inherit that). keep mirrors dd25's cut
+    * on the COMBINED fraction. Deterministic under any partitioning
+    * (min + counts). Scale shape: ONE pass over the standing side
+    * (semi-join down to the batch's own key set, batch the
+    * shuffle-hash build side); every other frame is batch-sized. */
+  private[graft] def substrDecide(standingKeys: DataFrame,
+      batch: DataFrame): DataFrame = {
+    import graft.ext.SubstrIndex
+    val k = SubstrIndex.K
+    val bk = SubstrIndex.windowKeys(batch) // per occurrence
+    val knownKeys = standingKeys
+      .join(bk.select(col("h1"), col("h2")).distinct().hint("shuffle_hash"),
+        Seq("h1", "h2"))
+      .withColumn("_hist", lit(1L))
+    val fc = bk.groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc_id")).as("_fc"))
+    val perDoc = bk
+      .join(fc, Seq("h1", "h2"))
+      .join(knownKeys, Seq("h1", "h2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("_hist").isNotNull, 1L).otherwise(0L))
+          .as("n_known_hist"),
+        sum(when(col("_hist").isNull && col("_fc") < col("doc_id"), 1L)
+          .otherwise(0L)).as("n_known_batch"))
+    batch
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        when(col("n_tok") >= k, col("n_tok") - (k - 1))
+          .otherwise(0L).cast("long").as("n_win"),
+        coalesce(col("n_known_hist"), lit(0L)).as("n_known_hist"),
+        coalesce(col("n_known_batch"), lit(0L)).as("n_known_batch"))
+      .withColumn("known_pct_e6",
+        when(col("n_win") === 0, lit(0L))
+          .otherwise(round((col("n_known_hist") + col("n_known_batch"))
+            * 1e6 / col("n_win")).cast("long")))
+      .withColumn("keep", (col("known_pct_e6") < 200000).cast("long"))
+  }
+
+  /** Start the suffix-dedup admission stream — [[nearDupAdmission]]'s
+    * storage/replay design (parquet state dir keyed by batch_id,
+    * overwrite-by-batchId sinks, standing view excludes the current
+    * batch) with dd25's probe as the decision rule: each micro-batch's
+    * 8-token windows probe the standing key set (initial corpus +
+    * every batch accepted so far), kept docs' genuinely NEW keys
+    * append (anti-join keeps the standing union a SET — a duplicate
+    * key would double later batches' known counts). The initial
+    * corpus re-folds to its key set per batch here so the dd25 twin
+    * spec binds; at deployment the standing set is a [[graft.ext.SubstrIndex]]
+    * table (build once, append accepted batches) and the per-batch
+    * cost is signing + one co-partitioned join ∝ batch. */
+  def substrAdmission(
+      spark: SparkSession,
+      docs: DataFrame,
+      initialCorpus: DataFrame,
+      stateDir: String,
+      decisionsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ext.SubstrIndex
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+        val standing = SubstrIndex.keySet(
+            initialCorpus.select(col("doc_id"), col("text")))
+          .union(keyState(spark, stateDir, excludeBatchId = batchId))
+          .localCheckpoint(true) // read twice: probe + append anti-join
+        val decisions = substrDecide(standing, b).localCheckpoint(true)
+        decisions.coalesce(1).write.mode("overwrite")
+          .parquet(s"$decisionsDir/batch_id=$batchId")
+        SubstrIndex.keySet(
+            b.join(decisions.filter(col("keep") === 1).select("doc_id"),
+              "doc_id"))
+          .join(standing, Seq("h1", "h2"), "left_anti")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/batch_id=$batchId")
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
 }

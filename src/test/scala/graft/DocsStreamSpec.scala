@@ -141,4 +141,107 @@ class DocsStreamSpec extends SparkSpec {
     // missing dir -> empty frame, not a throw
     assert(DocsStream.acceptedState(spark, s"$base/nope", 0).count() == 0)
   }
+
+  // ------------- suffix-dedup (ExactSubstr) admission -------------
+
+  test("substr admission, single batch: standing probe equals dd25 column-for-column") {
+    // the §2.9 twin convention: same history/batch split as dd25
+    // (doc_id % 5), ONE micro-batch — n_known_hist must equal dd25's
+    // n_known on every doc, and keep must agree wherever intra-batch
+    // accounting adds nothing (n_known_batch == 0; the batch-carrier
+    // rule is the admission flavor's DOCUMENTED divergence, pinned in
+    // the planted test below)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("substr-stream").toString
+    val d = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val hist = d.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    val batchRows = d.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = DocsStream.substrAdmission(spark,
+      ms.toDF().toDF("doc_id", "text"), hist,
+      s"$base/state", s"$base/decisions", s"$base/ck")
+    try { ms.addData(batchRows); q.processAllAvailable() } finally q.stop()
+    val got = spark.read.parquet(s"$base/decisions").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6))).toMap // n_tok, n_win, hist, batch, keep
+    val want = run("dd25_incremental_substring").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5))).toMap // n_tok, n_win, n_known, keep
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (nt, nw, kh, kb, keep)) =>
+      val (wnt, wnw, wkn, wkeep) = want(id)
+      assert((nt, nw, kh) == (wnt, wnw, wkn),
+        s"doc $id: stream (n_tok=$nt, n_win=$nw, n_known_hist=$kh) != " +
+          s"dd25 ($wnt, $wnw, $wkn)")
+      if (kb == 0) assert(keep == wkeep,
+        s"doc $id: keep=$keep != dd25 $wkeep with no batch-known windows")
+    }
+    assert(got.values.exists(_._3 > 0), "no hist-known doc — parity vacuous")
+  }
+
+  test("substr admission: intra-batch first-carrier, rejected keys stay out of state, state accrual, set property") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("substr-planted").toString
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val aText = words("a", 50).mkString(" ")          // corpus doc
+    val fText = words("f", 50).mkString(" ")          // fresh
+    val mText = (words("a", 40) ++ words("r", 10)).mkString(" ") // 77% known
+    val rText = words("r", 10).mkString(" ")          // m's fresh tail
+    val corpus = Seq((0L, aText)).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = DocsStream.substrAdmission(spark,
+      ms.toDF().toDF("doc_id", "text"), corpus,
+      s"$base/state", s"$base/decisions", s"$base/ck")
+    try {
+      // batch 0: 10 = corpus copy (reject, all hist-known); 11 = fresh
+      // (keep); 12 = SAME text as 11 — dd25 alone would admit both
+      // (batch overlap un-counted); the admission's first-carrier rule
+      // must reject it as batch-known; 13 = 77% corpus text + a fresh
+      // tail (reject — and its fresh windows must NOT enter state)
+      ms.addData((10L, aText), (11L, fText), (12L, fText), (13L, mText))
+      q.processAllAvailable()
+      // batch 1: 20 = 11's text (state accrual -> all hist-known);
+      // 21 = exactly 13's fresh tail — 13 was REJECTED, so these
+      // windows are unseen and 21 must keep
+      ms.addData((20L, fText), (21L, rText))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.read.parquet(s"$base/decisions").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(6)))
+      .toMap // (n_known_hist, n_known_batch, keep)
+    assert(dec == Map(
+      10L -> ((43L, 0L, 0L)),
+      11L -> ((0L, 0L, 1L)),
+      12L -> ((0L, 43L, 0L)),
+      13L -> ((33L, 0L, 0L)),
+      20L -> ((43L, 0L, 0L)),
+      21L -> ((0L, 0L, 1L))), s"got $dec")
+    // state = exactly the accepted docs' keys: 11's 43 f-windows +
+    // 21's 3 r-windows, all distinct, none already in the corpus
+    val state = spark.read.parquet(s"$base/state").select("h1", "h2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(state.length == 46 && state.distinct.length == 46,
+      s"state not a 46-key set: ${state.length}/${state.distinct.length}")
+    val corpusKeys = graft.ext.SubstrIndex.keySet(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state.forall(k => !corpusKeys.contains(k)),
+      "an already-standing key was re-appended")
+  }
+
+  test("keyState excludes the current batch id (replay safety)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("substr-state").toString
+    Seq((1L, 10L)).toDF("h1", "h2")
+      .write.parquet(s"$base/state/batch_id=0")
+    Seq((2L, 20L)).toDF("h1", "h2")
+      .write.parquet(s"$base/state/batch_id=1")
+    val got = DocsStream.keyState(spark, s"$base/state", excludeBatchId = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L)))
+    assert(DocsStream.keyState(spark, s"$base/nope", 0).count() == 0)
+  }
 }
