@@ -82,6 +82,14 @@ object PipelineHeadroom {
       println(s"GENERATED $n embeddings at $dir")
     }
 
+    // Untimed warm-up (Bench.scala's convention): without it the FIRST
+    // named query absorbs the session's JIT/codegen/parquet-footer
+    // bring-up — measured worth ~50 s on dd15 at 500k (r16 receipts:
+    // 88.6 s in slot 1, 39.4 s one slot later, same code)
+    spark.range(1000000).selectExpr("count(*)", "sum(id)").collect()
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    spark.read.parquet(s"$dir/embeddings.parquet").count()
+
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
