@@ -226,18 +226,21 @@ object DocsStream {
     * storage/replay design (parquet state dir keyed by batch_id,
     * overwrite-by-batchId sinks, standing view excludes the current
     * batch) with dd25's probe as the decision rule: each micro-batch's
-    * 8-token windows probe the standing key set (initial corpus +
-    * every batch accepted so far), kept docs' genuinely NEW keys
-    * append (anti-join keeps the standing union a SET — a duplicate
-    * key would double later batches' known counts). The initial
-    * corpus re-folds to its key set per batch here so the dd25 twin
-    * spec binds; at deployment the standing set is a [[graft.ext.SubstrIndex]]
-    * table (build once, append accepted batches) and the per-batch
-    * cost is signing + one co-partitioned join ∝ batch. */
+    * 8-token windows probe the standing key set (initial keys + every
+    * batch accepted so far), kept docs' genuinely NEW keys append
+    * (anti-join keeps the standing union a SET — a duplicate key would
+    * double later batches' known counts). `initialKeys` is any
+    * (h1, h2) key frame and is RE-EVALUATED per batch: pass
+    * `spark.table(indexTable)` for a persisted [[graft.ext.SubstrIndex]]
+    * (the deployment path — each batch re-reads the bucketed key scan,
+    * cost ∝ index IO, no corpus re-sign) or
+    * [[graft.ext.SubstrIndex.keySet]] of a corpus frame (the dd25 twin
+    * shape the spec binds against — re-folds the corpus per batch,
+    * test-scale only). */
   def substrAdmission(
       spark: SparkSession,
       docs: DataFrame,
-      initialCorpus: DataFrame,
+      initialKeys: DataFrame,
       stateDir: String,
       decisionsDir: String,
       checkpointDir: String): StreamingQuery =
@@ -246,8 +249,7 @@ object DocsStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ext.SubstrIndex
         val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
-        val standing = SubstrIndex.keySet(
-            initialCorpus.select(col("doc_id"), col("text")))
+        val standing = initialKeys.select(col("h1"), col("h2"))
           .union(keyState(spark, stateDir, excludeBatchId = batchId))
           .localCheckpoint(true) // read twice: probe + append anti-join
         val decisions = substrDecide(standing, b).localCheckpoint(true)

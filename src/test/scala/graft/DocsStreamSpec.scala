@@ -161,7 +161,7 @@ class DocsStreamSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     val ms = MemoryStream[(Long, String)]
     val q = DocsStream.substrAdmission(spark,
-      ms.toDF().toDF("doc_id", "text"), hist,
+      ms.toDF().toDF("doc_id", "text"), graft.ext.SubstrIndex.keySet(hist),
       s"$base/state", s"$base/decisions", s"$base/ck")
     try { ms.addData(batchRows); q.processAllAvailable() } finally q.stop()
     val got = spark.read.parquet(s"$base/decisions").collect()
@@ -194,7 +194,7 @@ class DocsStreamSpec extends SparkSpec {
     val corpus = Seq((0L, aText)).toDF("doc_id", "text")
     val ms = MemoryStream[(Long, String)]
     val q = DocsStream.substrAdmission(spark,
-      ms.toDF().toDF("doc_id", "text"), corpus,
+      ms.toDF().toDF("doc_id", "text"), graft.ext.SubstrIndex.keySet(corpus),
       s"$base/state", s"$base/decisions", s"$base/ck")
     try {
       // batch 0: 10 = corpus copy (reject, all hist-known); 11 = fresh
@@ -230,6 +230,36 @@ class DocsStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(state.forall(k => !corpusKeys.contains(k)),
       "an already-standing key was re-appended")
+  }
+
+  test("substr admission over a persisted SubstrIndex table (the deployment path) decides identically") {
+    // initialKeys = spark.table(indexTable): the standing set reads as
+    // the bucketed key scan instead of re-folding the corpus per batch
+    // - same decisions, proven on the planted geometry's first batch
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("substr-idxstream").toString
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val aText = words("a", 50).mkString(" ")
+    val fText = words("f", 50).mkString(" ")
+    val corpus = Seq((0L, aText)).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS substr_idx_stream")
+    graft.ext.SubstrIndex.build(corpus, "substr_idx_stream")
+    val ms = MemoryStream[(Long, String)]
+    val q = DocsStream.substrAdmission(spark,
+      ms.toDF().toDF("doc_id", "text"), spark.table("substr_idx_stream"),
+      s"$base/state", s"$base/decisions", s"$base/ck")
+    try {
+      ms.addData((10L, aText), (11L, fText), (12L, fText))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.read.parquet(s"$base/decisions").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(6)))
+      .toMap
+    assert(dec == Map(
+      10L -> ((43L, 0L, 0L)),
+      11L -> ((0L, 0L, 1L)),
+      12L -> ((0L, 43L, 0L))), s"table-backed admission diverged: $dec")
   }
 
   test("keyState excludes the current batch id (replay safety)") {
