@@ -244,6 +244,10 @@ class DocsStreamSpec extends SparkSpec {
     val fText = words("f", 50).mkString(" ")
     val corpus = Seq((0L, aText)).toDF("doc_id", "text")
     spark.sql("DROP TABLE IF EXISTS substr_idx_stream")
+    // DROP alone leaves the physical dir behind when a previous JVM
+    // created it; the create would then refuse LOCATION_ALREADY_EXISTS
+    val loc = new java.io.File("spark-warehouse/substr_idx_stream")
+    if (loc.exists) { loc.listFiles.foreach(_.delete()); loc.delete() }
     graft.ext.SubstrIndex.build(corpus, "substr_idx_stream")
     val ms = MemoryStream[(Long, String)]
     val q = DocsStream.substrAdmission(spark,

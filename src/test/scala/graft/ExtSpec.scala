@@ -2407,4 +2407,25 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("fertility_e6") >= 1000000L),
       "fertility below 1 token/word — merges crossed a word boundary")
   }
+
+  test("requirePackableDocIds fires on an out-of-range doc_id and passes the bound") {
+    // the r16 guard must actually throw — a guard without a firing
+    // test is indistinguishable from a no-op filter (the Md5Seg32
+    // silent-fallback lesson applied to assert_true)
+    import spark.implicits._
+    val lim = 8796093022208L // 2^43
+    val ok = graft.ext.TextOps.requirePackableDocIds(
+      Seq((lim - 1, 1L), (0L, 2L)).toDF("doc_id", "v"), "doc_id", "spec")
+    assert(ok.collect().length == 2)
+    val bad = graft.ext.TextOps.requirePackableDocIds(
+      Seq((lim, 1L)).toDF("doc_id", "v"), "doc_id", "spec")
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("packed-long")),
+      s"guard threw the wrong error: ${msgs(e)}")
+    val neg = graft.ext.TextOps.requirePackableDocIds(
+      Seq((-1L, 1L)).toDF("doc_id", "v"), "doc_id", "spec")
+    intercept[Exception](neg.collect())
+  }
 }
