@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   * This is the [[DedupIndex]] pattern (build/append/probe, parity with
   * the in-query flavor spec-gated) applied to suffix dedup — the most
   * expensive thing a curation run does. dd25 derives the history's key
-  * set in-query per run (cost ∝ corpus EVERY day); with the index the
-  * history fold is paid once at build, each day pays window-signing +
-  * one co-partitioned join ∝ BATCH only, and acceptance appends only
-  * the batch's genuinely new keys (an anti-join against the standing
-  * set, so the table stays a SET and probe counts stay exact).
+  * set in-query per run (the full corpus TEXT re-signed and
+  * distinct-folded EVERY day); with the index the history fold is paid
+  * once at build, and each day pays batch window-signing plus ONE pass
+  * over the bucketed 16-byte-key scan — IO ∝ index size but no corpus
+  * re-sign, no distinct fold, and no shuffle of the standing side
+  * (SubstrIndexProbe at 500k: 32.5 s in-query vs 3.2-3.6 s probe,
+  * near-flat between 0.1 % and 1 % batches because the key-scan floor
+  * dominates at those sizes; the batch term takes over as batches
+  * grow). Acceptance appends only the batch's genuinely new keys (an
+  * anti-join against the standing set, so the table stays a SET and
+  * probe counts stay exact).
   *
   * The index stores keys only — 16 bytes a window, no text, no
   * positions: the probe's contract is dd25's (known-window counting +

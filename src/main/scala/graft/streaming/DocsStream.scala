@@ -232,8 +232,9 @@ object DocsStream {
     * double later batches' known counts). `initialKeys` is any
     * (h1, h2) key frame and is RE-EVALUATED per batch: pass
     * `spark.table(indexTable)` for a persisted [[graft.ext.SubstrIndex]]
-    * (the deployment path — each batch re-reads the bucketed key scan,
-    * cost ∝ index IO, no corpus re-sign) or
+    * (the deployment path — each batch re-reads the bucketed key scan:
+    * IO ∝ index size, but no corpus re-sign, no distinct fold, no
+    * shuffle of the standing side) or
     * [[graft.ext.SubstrIndex.keySet]] of a corpus frame (the dd25 twin
     * shape the spec binds against — re-folds the corpus per batch,
     * test-scale only). */
