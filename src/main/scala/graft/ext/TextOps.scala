@@ -822,8 +822,22 @@ object TextOps {
       maxBucketSize: Int,
       threshNum: Int,
       threshDen: Int): DataFrame = {
-    val sets = rows.groupBy(col(idCol)).agg(collect_set(col("_el")).as("_set"))
-    val cand = lshCandidatesFromRows(rows, idCol, numHashes, rowsPerBand, maxBucketSize)
+    // Verify sets are built for CANDIDATE ids only (the DedupIndex.probe
+    // narrowing applied in-query): jaccardJoin's pair joins are inner,
+    // so sets for docs in no candidate pair never meet the join —
+    // folding them was pure waste, and the waste grows with corpus
+    // size while candidates stay duplication-bounded (at the 500k
+    // headroom corpus the un-narrowed set build was 17.7 s for 500k
+    // docs when ~4% appear in a pair; receipts in SCALING.md r16).
+    // The semi-join runs map-side against the small distinct-id frame;
+    // cand is checkpointed because the narrowing and the verify join
+    // both read it.
+    val cand = lshCandidatesFromRows(rows, idCol, numHashes, rowsPerBand,
+      maxBucketSize).localCheckpoint(true)
+    val candIds = cand.select(col("a_id").as(idCol))
+      .union(cand.select(col("b_id").as(idCol))).distinct()
+    val sets = rows.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("_el")).as("_set"))
     jaccardJoin(cand, sets, idCol, "_set", threshNum, threshDen)
   }
 
@@ -1292,18 +1306,28 @@ object TextOps {
       threshNum: Int,
       threshDen: Int): DataFrame = {
     val cand = lshProbeCandidates(histRows, batchRows, idCol,
-      numHashes, rowsPerBand, maxBucketSize)
+      numHashes, rowsPerBand, maxBucketSize).localCheckpoint(true)
     // each side's verify sets aggregate SEPARATELY: a doc_id present on
     // BOTH sides (a re-submission, a batch that overlaps history) keeps
     // two distinct sets and verifies batch-content against
     // history-content — a single union+groupBy would merge the two
     // sets into one and corrupt that id's Jaccard (inter == uni == 1.0
-    // always). Still one set-agg pass per side; only candidate ids'
-    // sets meet the join.
-    val batchSets = batchRows.groupBy(col(idCol))
+    // always). And each side folds sets for its CANDIDATE ids only
+    // (the lshNearDupPairs narrowing): the pair joins are inner, so a
+    // history doc no batch doc buckets with never meets the join —
+    // at any real batch:history ratio that is nearly the whole history
+    // side skipped. cand is checkpointed (read by both narrowings and
+    // the verify join).
+    val batchSets = batchRows
+      .join(cand.select(col("batch_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
       .agg(collect_set(col("_el")).as("_sa"))
       .select(col(idCol).as("batch_id"), col("_sa"))
-    val histSets = histRows.groupBy(col(idCol))
+    val histSets = histRows
+      .join(cand.select(col("hist_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
       .agg(collect_set(col("_el")).as("_sb"))
       .select(col(idCol).as("hist_id"), col("_sb"))
     cand.join(batchSets, "batch_id").join(histSets, "hist_id")

@@ -86,6 +86,31 @@ object ShingleKeyProbe {
     time("full lshNearDupPairs chain") {
       force(TextOps.lshNearDupPairs(rows3, "doc_id", 36, 6, 100, 8, 10))
     }
+    // A/B the r16 candidate-narrowed verify sets against the old
+    // full-corpus fold IN ONE SESSION (single-shot cross-session
+    // readings carry a ±30-50% band), plus the structural receipt:
+    // element rows entering the collect_set SHUFFLE each way — that
+    // volume is ∝ corpus un-narrowed and ∝ candidate docs narrowed,
+    // which is the part that matters at 100 TB whatever the local
+    // wall-clock says
+    def chainUnNarrowed = {
+      val sets = rows3.groupBy(col("doc_id"))
+        .agg(collect_set(col("_el")).as("_set"))
+      val cand = TextOps.lshCandidatesFromRows(rows3, "doc_id", 36, 6, 100)
+      TextOps.jaccardJoin(cand, sets, "doc_id", "_set", 8, 10)
+    }
+    time("chain, un-narrowed sets") { force(chainUnNarrowed) }
+    time("chain, narrowed sets (prod)") {
+      force(TextOps.lshNearDupPairs(rows3, "doc_id", 36, 6, 100, 8, 10))
+    }
+    val candA = TextOps.lshCandidatesFromRows(rows3, "doc_id", 36, 6, 100)
+    val candIds = candA.select(col("a_id").as("doc_id"))
+      .union(candA.select(col("b_id").as("doc_id"))).distinct()
+    val allRows = rows3.count()
+    val narrowedRows = rows3
+      .join(candIds, Seq("doc_id"), "left_semi").count()
+    println(f"SHINGLEKEY set-shuffle rows: all=$allRows narrowed=" +
+      f"$narrowedRows (${100.0 * narrowedRows / allRows}%.1f%% of corpus)")
     // B side: verify sets over the two-lane hashed element instead of
     // the raw string — same candidates, jaccardJoin on struct arrays
     val rowsK = rows3.select(col("doc_id"),
