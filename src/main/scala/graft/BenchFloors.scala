@@ -47,6 +47,11 @@ object BenchFloors {
   // local[32] boards (sentinel ratios 1.008 and 0.964, both
   // degraded:false, flagged:{}); tx21 from the second board only (the
   // first predates its flat-key change).
+  // The round-16 candidate-narrowed LSH verify sets (lshNearDupPairs/
+  // lshProbePairs) re-pin their 9 consumers (dd03/dd05/dd10/dd17/dd18/
+  // dd19/dd21/dd22/tx23) from the third clean board (ratio 0.987,
+  // flagged:{}) — the narrowing trades a small-sf checkpoint constant
+  // for a 25x cut in shuffled set mass at 500k (SCALING.md receipts).
   // Round 14 changed the instrument itself: Bench previously
   // timed count(), under which Catalyst join-eliminated and
   // projection-pruned part of many plans (dd15's dup chain, tx17's
@@ -56,25 +61,25 @@ object BenchFloors {
   // honest times; the whole map is re-pinned from the first forced
   // board rather than mixed across instruments.
   val floors: Map[String, Double] = Map(
-    "dd03_minhash_lsh" -> 2.923,
+    "dd03_minhash_lsh" -> 3.105,
     "dd04_simhash" -> 3.280,
-    "dd05_ngram_jaccard" -> 2.269,
+    "dd05_ngram_jaccard" -> 3.271,
     "dd06_embedding_neardup" -> 0.556,
     "dd07_simhash_wide" -> 2.723,
     "dd08_dedup_clusters" -> 4.171,
     "dd09_chunk_dedup" -> 1.003,
-    "dd10_dedup_clusters_lsh" -> 3.902,
+    "dd10_dedup_clusters_lsh" -> 3.734,
     "dd12_embedding_neardup_lsh" -> 1.500,
     "dd13_semdedup" -> 3.919,
     "dd14_bloom_prefilter" -> 0.644,
     "dd15_substring_dedup" -> 2.348,
     "dd16_cc_star" -> 4.143,
-    "dd17_incremental_minhash" -> 3.124,
-    "dd18_sequential_admission" -> 3.646,
-    "dd19_best_rep_dedup" -> 3.409,
+    "dd17_incremental_minhash" -> 3.765,
+    "dd18_sequential_admission" -> 3.755,
+    "dd19_best_rep_dedup" -> 3.324,
     "dd20_span_removal" -> 2.643,
-    "dd21_dedup_impact" -> 4.283,
-    "dd22_threshold_sweep" -> 2.386,
+    "dd21_dedup_impact" -> 5.186,
+    "dd22_threshold_sweep" -> 2.849,
     "dd23_substring_dup_estimate" -> 1.855,
     "dd24_dup_source_estimate" -> 1.515,
     "dd25_incremental_substring" -> 1.620,
@@ -247,7 +252,7 @@ object BenchFloors {
     "tx20_quality_gate" -> 0.757,
     "tx21_source_overlap" -> 2.160,
     "tx22_source_overlap_estimate" -> 1.960,
-    "tx23_cross_source_neardup" -> 3.150,
+    "tx23_cross_source_neardup" -> 2.846,
     "tx24_split_drift_psi" -> 0.539,
     "tx25_bpe_tokenize" -> 0.911,
     "tx26_bpe_train" -> 1.071,
