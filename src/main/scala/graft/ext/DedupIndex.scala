@@ -48,6 +48,31 @@ object DedupIndex {
   def append(docs: DataFrame, table: String, nBuckets: Int = 8): Unit =
     writeBuckets(docs, table, nBuckets, "append")
 
+  /** Rewrite the table under its own bucket spec, folding the
+    * one-file-set-per-append accumulation (each [[append]] adds up to
+    * task-count × bucket-count files) back to one file per bucket
+    * group — the lifecycle twin of [[graft.ext.SubstrIndex.compact]]:
+    * file COUNT, not data size, is what years of daily acceptance
+    * appends degrade. Pre-shuffling on Spark's own bucket id
+    * (murmur3(band, bucket) mod n — the writer's function) makes the
+    * staging write emit exactly one file per bucket. Content-identical
+    * by construction; DedupIndexSpec pins rebuild equivalence, probe
+    * parity, and the file-count bound. */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(8)
+    val tmp = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(table)
+      .repartition(pmod(hash(col("band"), col("bucket")), lit(nBuckets)))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Near-dup pairs of `batch` against the persisted index: banded
     * candidates (flooded index buckets collapse to their min-id
     * representative, dd17's bounded-work rule), then exact-Jaccard

@@ -180,7 +180,7 @@ object DedupQueries {
     * algorithm. localCheckpoint truncates the growing lineage each
     * round (blocks are context-cleaned when the round's RDD is
     * dropped; Bench/driver also clear caches per query). */
-  private def minLabelComponents(pairs: DataFrame, what: String): DataFrame = {
+  private[graft] def minLabelComponents(pairs: DataFrame, what: String): DataFrame = {
     // undirected: propagate labels along both edge directions
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))

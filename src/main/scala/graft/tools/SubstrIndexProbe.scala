@@ -86,6 +86,51 @@ object SubstrIndexProbe {
       l.contains("ShuffledHashJoin") || l.contains("Exchange") ||
         l.contains("Scan parquet")).map(_.trim.take(90)).mkString("\n  ")
     println(s"SUBSTRIDX probe plan:\n  $joinLines")
+
+    // ---- round 17: partition-pruned probe at a fine pb layout ----
+    // touched ≈ nParts·(1 − (1 − 1/nParts)^k) for k distinct batch
+    // keys: pruning bites when k ≲ nParts (interactive / trickle
+    // probes) and degrades to the full one-pass key scan for bulk
+    // batches — both receipted here on the same table
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def idxScans(p: SparkPlan, t: String): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => idxScans(a.executedPlan, t)
+      case q: QueryStageExec => idxScans(q.plan, t)
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == t) => Seq(f)
+      case other => other.children.flatMap(idxScans(_, t))
+    }
+    def prunedProbe(label: String, batch: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val probed = SubstrIndex.probe(spark, "substr_idx_headroom_pb", batch)
+      val nRows = force(probed)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val parts = idxScans(probed.queryExecution.executedPlan,
+        "substr_idx_headroom_pb").map(_.selectedPartitions.partitionCount)
+      println(f"SUBSTRIDX $label%-28s $secs%.2f s  " +
+        f"partitions=${parts.mkString("+")}/1024  rows=$nRows")
+      probed
+    }
+    spark.sql("DROP TABLE IF EXISTS substr_idx_headroom_pb")
+    time("build pb=1024 (once)") {
+      SubstrIndex.build(hist, "substr_idx_headroom_pb",
+        nBuckets = 4, nParts = 1024)
+    }
+    prunedProbe(s"pruned probe batch=${n / 1000}", batchSmall)
+    val oneDoc = d.filter(col("doc_id") === (n - 1))
+    prunedProbe("pruned probe batch=1 doc", oneDoc)
+    import spark.implicits._
+    val tinyDoc = Seq((0L, (1 to 15).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    prunedProbe("pruned probe 8-window doc", tinyDoc)
+    // parity: pruned path == plain key-frame probe on the same batch
+    val gotP = SubstrIndex.probe(spark, "substr_idx_headroom_pb", oneDoc)
+      .collect().map(_.mkString("|")).toSeq
+    val wantP = SubstrIndex.probeKeys(
+        spark.table("substr_idx_headroom_pb").select("h1", "h2"), oneDoc)
+      .collect().map(_.mkString("|")).toSeq
+    println(s"SUBSTRIDX pruned parity: ${gotP == wantP}")
     spark.stop()
   }
 }

@@ -76,6 +76,44 @@ class DedupIndexSpec extends SparkSpec {
       s"index probe per-side verify sets broken: $gotIdx")
   }
 
+  test("compact folds per-append file sets to one file per bucket; content, probe, and layout survive") {
+    dropTable("dedup_idx_cpt")
+    dropTable("dedup_idx_cpt__compact")
+    val d = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    val isBatch = pmod(col("doc_id"), lit(5)) === 4
+    val hist = d.filter(!isBatch)
+    val batch = d.filter(isBatch)
+    DedupIndex.build(hist.filter(col("doc_id") % 3 === 0), "dedup_idx_cpt")
+    DedupIndex.append(hist.filter(col("doc_id") % 3 === 1), "dedup_idx_cpt")
+    DedupIndex.append(hist.filter(col("doc_id") % 3 === 2), "dedup_idx_cpt")
+    def files(t: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"spark-warehouse/$t"))
+    }
+    def rows(t: String) = spark.table(t).collect()
+      .map(_.mkString("|")).toSeq.sorted
+    def pairs() = DedupIndex.probe(spark, "dedup_idx_cpt", batch, hist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val (before, rowsBefore, pairsBefore) =
+      (files("dedup_idx_cpt"), rows("dedup_idx_cpt"), pairs())
+    assert(before > 8, s"3 writes produced only $before files — fixture too small")
+    DedupIndex.compact(spark, "dedup_idx_cpt")
+    val after = files("dedup_idx_cpt")
+    assert(after <= 8 && after < before,
+      s"compact left $after files (before: $before, bound: 8)")
+    assert(rows("dedup_idx_cpt") == rowsBefore, "compact changed the bucket rows")
+    assert(pairsBefore.nonEmpty && pairs() == pairsBefore,
+      "compact changed probe pairs")
+    val agg = spark.table("dedup_idx_cpt")
+      .groupBy(col("band"), col("bucket")).count()
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"), "compact lost the bucket spec")
+  }
+
   test("build + append equals a from-scratch build over the union") {
     dropTable("dedup_idx_inc")
     dropTable("dedup_idx_all")

@@ -11,8 +11,12 @@ class SubstrIndexSpec extends SparkSpec {
 
   private def dropTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
     val loc = new java.io.File(s"spark-warehouse/$name")
-    if (loc.exists) { loc.listFiles.foreach(_.delete()); loc.delete() }
+    if (loc.exists) rm(loc) // pb= partition dirs need the recursion
   }
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
@@ -72,6 +76,90 @@ class SubstrIndexSpec extends SparkSpec {
     val batch = d.filter(isBatch)
     assert(rows(SubstrIndex.probe(spark, "substr_idx_inc", batch)) ==
       rows(SubstrIndex.probe(spark, "substr_idx_all", batch)))
+  }
+
+  test("probe partition-prunes the key scan to the batch's pb partitions; values match the full scan") {
+    import spark.implicits._
+    dropTable("substr_idx_prune")
+    // corpus keys spread across (nearly) all 64 pb partitions; the
+    // 1-doc probe touches at most its own 5 window keys' partitions
+    val corpus = (0L until 200L).map(i =>
+      (i, (1 to 20).map(j => s"c${i}w$j").mkString(" "))).toDF("doc_id", "text")
+    SubstrIndex.build(corpus, "substr_idx_prune")
+    val nPbDirs = new java.io.File("spark-warehouse/substr_idx_prune")
+      .listFiles.count(_.getName.startsWith("pb="))
+    assert(nPbDirs > 32, s"corpus keys landed in only $nPbDirs pb partitions")
+    val batch = Seq((999L, (1 to 12).map(j => s"c5w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probed = SubstrIndex.probe(spark, "substr_idx_prune", batch)
+    val got = rows(probed)
+    // value parity with the unpruned standing frame
+    val want = rows(SubstrIndex.probeKeys(
+      spark.table("substr_idx_prune").select("h1", "h2"), batch))
+    assert(got == want && got.head._4 == 5L,
+      s"pruned probe diverged: got=$got want=$want") // 5 known windows
+    // IO receipt: the index scan carries a partition filter on pb and
+    // reads ≤ 5 of the pb partitions (one per distinct batch key)
+    probed.collect()
+    // descend through AQE wrappers — QueryStageExec nodes are leaves
+    // to collect(), hiding the scans they contain
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansIn(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+      case q: QueryStageExec => scansIn(q.plan)
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "substr_idx_prune") => Seq(f)
+      case other => other.children.flatMap(scansIn)
+    }
+    val scans = scansIn(probed.queryExecution.executedPlan)
+    assert(scans.nonEmpty,
+      s"no index scan found:\n${probed.queryExecution.executedPlan.toString.take(2000)}")
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "pb")),
+      s"no pb partition filter on the index scan: ${scans.head.partitionFilters}")
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected <= 5 && selected < nPbDirs,
+      s"probe read $selected of $nPbDirs partitions — pruning not effective")
+  }
+
+  test("compact folds per-append file sets to one file per (pb, bucket); content, probe, and layout survive") {
+    import spark.implicits._
+    dropTable("substr_idx_cpt")
+    dropTable("substr_idx_cpt__compact")
+    val mk = (lo: Long, hi: Long) => (lo until hi).map(i =>
+      (i, (1 to 20).map(j => s"d${i}w$j").mkString(" "))).toDF("doc_id", "text")
+    SubstrIndex.build(mk(0L, 60L), "substr_idx_cpt", nBuckets = 4, nParts = 8)
+    SubstrIndex.append(mk(60L, 120L), "substr_idx_cpt", nBuckets = 4)
+    SubstrIndex.append(mk(120L, 180L), "substr_idx_cpt", nBuckets = 4)
+    def files(t: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"spark-warehouse/$t"))
+    }
+    def keys(t: String) = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = mk(60L, 70L)
+    val (before, keysBefore, probeBefore) =
+      (files("substr_idx_cpt"), keys("substr_idx_cpt"),
+        rows(SubstrIndex.probe(spark, "substr_idx_cpt", batch)))
+    assert(before > 32, s"3 writes produced only $before files — fixture too small")
+    SubstrIndex.compact(spark, "substr_idx_cpt")
+    val after = files("substr_idx_cpt")
+    assert(after <= 8 * 4 && after < before,
+      s"compact left $after files (before: $before, bound: 32)")
+    assert(keys("substr_idx_cpt").sorted == keysBefore.sorted,
+      "compact changed the key set")
+    assert(keysBefore.size == keysBefore.distinct.size, "pre-compact table not a set")
+    assert(rows(SubstrIndex.probe(spark, "substr_idx_cpt", batch)) == probeBefore,
+      "compact changed probe results")
+    // layout survives the rewrite: pb modulus property + bucketed agg
+    // still exchange-free + pruning still engages
+    assert(SubstrIndex.pbMod(spark, "substr_idx_cpt").contains(8))
+    val agg = spark.table("substr_idx_cpt").groupBy(col("h1"), col("h2")).count()
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"), "compact lost the bucket spec")
   }
 
   test("re-appending an already-indexed batch is a no-op (idempotent acceptance)") {
