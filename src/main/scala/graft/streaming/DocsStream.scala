@@ -184,9 +184,30 @@ object DocsStream {
     * overlap is deliberately un-counted, pinned in ExtSpec — an
     * admission gate must not inherit that). keep mirrors dd25's cut
     * on the COMBINED fraction. Deterministic under any partitioning
-    * (min + counts). Scale shape: ONE pass over the standing side
-    * (semi-join down to the batch's own key set, batch the
-    * shuffle-hash build side); every other frame is batch-sized. */
+    * (min + counts).
+    *
+    * CONSERVATIVE intra-batch flavor (the [[nearDupAdmission]]
+    * default's analogue, documented divergence): a window counts as
+    * batch-known for any doc whose batch-wide first carrier has a
+    * smaller id, EVEN when that carrier is itself rejected as
+    * hist-heavy — so a doc consisting only of a rejected doc's fresh
+    * tail is rejected too, and that content enters no state THIS
+    * batch (a later-batch resubmission of the tail alone keeps; the
+    * planted DocsStreamSpec geometry pins exactly this, doc 13 then
+    * doc 21). The insert-then-probe alternative (count a window only
+    * when its first carrier is KEPT) would need a sequentialAdmit-
+    * style fixpoint — windows decide keeps and keeps decide windows —
+    * and is deliberately not offered here.
+    *
+    * `standingKeys` is any (h1, h2) frame and need NOT be set-valued:
+    * the known-key set is distinct-folded after the batch-key join
+    * (on the batch ∩ standing-sized result, not the standing side),
+    * so a standing frame carrying duplicate keys — a SubstrIndex
+    * table also appended out-of-band, a caller-built union — cannot
+    * multiply occurrence rows and inflate n_known_hist. Scale shape:
+    * ONE pass over the standing side (semi-join down to the batch's
+    * own key set, batch the shuffle-hash build side); every other
+    * frame, including the distinct fold, is batch-sized. */
   private[graft] def substrDecide(standingKeys: DataFrame,
       batch: DataFrame): DataFrame = {
     import graft.ext.SubstrIndex
@@ -195,7 +216,8 @@ object DocsStream {
     val knownKeys = standingKeys
       .join(bk.select(col("h1"), col("h2")).distinct().hint("shuffle_hash"),
         Seq("h1", "h2"))
-      .withColumn("_hist", lit(1L))
+      .distinct() // duplicate-proof: a non-set standing frame must not
+      .withColumn("_hist", lit(1L)) // inflate per-occurrence counts
     val fc = bk.groupBy(col("h1"), col("h2"))
       .agg(min(col("doc_id")).as("_fc"))
     val perDoc = bk
@@ -222,6 +244,63 @@ object DocsStream {
       .withColumn("keep", (col("known_pct_e6") < 200000).cast("long"))
   }
 
+  /** The standing key set narrowed to the keys the current batch can
+    * possibly touch: standing ∩ batch-keys, as a SET. Both of a
+    * micro-batch's standing-side consumers are invariant under this
+    * narrowing — the probe ([[substrDecide]]) joins INNER on the
+    * batch's keys, and the state append anti-joins a kept-doc key set
+    * that is BY CONSTRUCTION a subset of the batch's keys (for any
+    * batch key k, k ∈ standing ⟺ k ∈ narrowed) — so the per-batch
+    * checkpoint this feeds is batch-sized instead of index-sized.
+    * One pass over the standing side (the semi-join probe, batch keys
+    * the build side); the distinct fold runs on the narrowed
+    * batch-sized result, which also makes the frame duplicate-proof
+    * for non-set standing inputs. */
+  private[graft] def narrowStanding(standing: DataFrame,
+      batchKeys: DataFrame): DataFrame =
+    standing.join(batchKeys.hint("shuffle_hash"), Seq("h1", "h2"),
+      "left_semi").distinct()
+
+  /** Promote the admission stream's accepted-key state into the
+    * persisted [[graft.ext.SubstrIndex]] table it probes — the
+    * nightly lifecycle op for the deployment path (table-backed
+    * `initialKeys`): state partitions with batch_id ≤ `uptoBatchId`
+    * append into the bucketed index (anti-join keeps it a SET) and
+    * are then deleted, so the standing union the NEXT batch sees —
+    * table ∪ remaining state — is unchanged, while per-batch state
+    * stays days-sized instead of growing forever.
+    *
+    * Same replay contract as [[StreamState.compact]]: a restarted
+    * stream replays only its last uncommitted batch, so pass
+    * `uptoBatchId` strictly below the newest landed batch — a
+    * replayed batch must still find its own keys in the STATE dir
+    * (where its batch_id is excluded), not in the table (where it
+    * would wrongly count itself as known history).
+    *
+    * Crash-safe without coordination: if the append lands but the
+    * delete doesn't, the promoted keys exist on BOTH sides of the
+    * standing union — harmless, because [[substrDecide]]'s known-key
+    * fold and [[narrowStanding]] are duplicate-proof, and re-running
+    * the promotion appends nothing (the anti-join sees them standing)
+    * and completes the delete. */
+  def promoteSubstrState(spark: SparkSession, stateDir: String,
+      table: String, uptoBatchId: Long): Unit =
+    StreamState.readDir(spark, stateDir).foreach { df =>
+      import graft.ext.SubstrIndex
+      SubstrIndex.appendKeys(
+        df.filter(col("batch_id") <= uptoBatchId)
+          .select(col("h1"), col("h2")), table)
+      val base = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(base)
+        .filter { st =>
+          val nm = st.getPath.getName
+          nm.startsWith("batch_id=") &&
+            nm.stripPrefix("batch_id=").toLong <= uptoBatchId
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+
   /** Start the suffix-dedup admission stream — [[nearDupAdmission]]'s
     * storage/replay design (parquet state dir keyed by batch_id,
     * overwrite-by-batchId sinks, standing view excludes the current
@@ -234,7 +313,10 @@ object DocsStream {
     * `spark.table(indexTable)` for a persisted [[graft.ext.SubstrIndex]]
     * (the deployment path — each batch re-reads the bucketed key scan:
     * IO ∝ index size, but no corpus re-sign, no distinct fold, no
-    * shuffle of the standing side) or
+    * shuffle of the standing side, and the per-batch CHECKPOINT is
+    * batch-sized, not index-sized: [[narrowStanding]] semi-joins the
+    * standing union down to the batch's own keys inside the one
+    * standing pass before anything materializes) or
     * [[graft.ext.SubstrIndex.keySet]] of a corpus frame (the dd25 twin
     * shape the spec binds against — re-folds the corpus per batch,
     * test-scale only). */
@@ -245,14 +327,58 @@ object DocsStream {
       stateDir: String,
       decisionsDir: String,
       checkpointDir: String): StreamingQuery =
+    substrAdmissionWith(spark, docs,
+      _ => initialKeys.select(col("h1"), col("h2")),
+      stateDir, decisionsDir, checkpointDir)
+
+  /** [[substrAdmission]] bound directly to a persisted
+    * [[graft.ext.SubstrIndex]] TABLE — identical decisions
+    * (spec-pinned), but the per-batch standing scan is PARTITION-
+    * PRUNED to the batch's own pb partitions (the probe's bounded
+    * driver-list mechanics, per micro-batch): the trickle/interactive
+    * admission path stops paying the full key scan a generic
+    * initialKeys frame costs, and degrades to exactly that one-pass
+    * scan for bulk batches. */
+  def substrAdmission(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexTable: String,
+      stateDir: String,
+      decisionsDir: String,
+      checkpointDir: String): StreamingQuery =
+    substrAdmissionWith(spark, docs,
+      bKeys => graft.ext.SubstrIndex.prunedKeys(spark, indexTable, bKeys),
+      stateDir, decisionsDir, checkpointDir)
+
+  /** Shared admission loop: `initialFor` maps the batch's distinct
+    * key set to the initial standing frame (a constant frame, or a
+    * partition-pruned index scan that USES those keys). */
+  private def substrAdmissionWith(
+      spark: SparkSession,
+      docs: DataFrame,
+      initialFor: DataFrame => DataFrame,
+      stateDir: String,
+      decisionsDir: String,
+      checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ext.SubstrIndex
         val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
-        val standing = initialKeys.select(col("h1"), col("h2"))
-          .union(keyState(spark, stateDir, excludeBatchId = batchId))
-          .localCheckpoint(true) // read twice: probe + append anti-join
+        // checkpointed: consumed by initialFor (pb collection on the
+        // pruned path) AND as the narrowing's build side
+        val bKeys = SubstrIndex.keySet(b).localCheckpoint(true)
+        // read twice (probe + append anti-join) but BATCH-sized: the
+        // full standing union is never materialized — narrowStanding
+        // semi-joins it down to the batch's own key set in the one
+        // standing-side pass, and only that intersection checkpoints
+        // (an unnarrowed localCheckpoint here would eagerly copy the
+        // whole index per micro-batch at deployment scale)
+        val standing = narrowStanding(
+            initialFor(bKeys)
+              .union(keyState(spark, stateDir, excludeBatchId = batchId)),
+            bKeys)
+          .localCheckpoint(true)
         val decisions = substrDecide(standing, b).localCheckpoint(true)
         decisions.coalesce(1).write.mode("overwrite")
           .parquet(s"$decisionsDir/batch_id=$batchId")

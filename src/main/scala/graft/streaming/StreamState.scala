@@ -1,13 +1,21 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The one copy of the storage-backed streaming-state read idiom
   * shared by DocsStream and BudgetStream: state lives under
   * `dir/batch_id=N` (overwrite-by-batchId, so at-least-once replay is
   * idempotent), and a standing view must EXCLUDE the current batchId
   * so a replayed batch never reads its own previous attempt. */
-private[streaming] object StreamState {
+object StreamState {
+
+  /** The folded-history partition [[compact]] writes. Real batch ids
+    * are ≥ 0, so a standing view's `batch_id =!= currentBatch` filter
+    * can never exclude the base — folded keys stay visible to every
+    * future batch. */
+  val BaseBatchId: Long = -1L
 
   /** The state directory as a DataFrame (batch_id partition column
     * included), or None when no batch has landed yet. Callers apply
@@ -16,4 +24,42 @@ private[streaming] object StreamState {
   def readDir(spark: SparkSession, dir: String): Option[DataFrame] =
     try Some(spark.read.option("basePath", dir).parquet(dir))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Fold every state partition with batch_id ≤ `uptoBatchId` (plus
+    * any existing base) into the single base partition
+    * `batch_id=-1` — the lifecycle operation a
+    * one-file-set-per-micro-batch state layout needs: after months of
+    * batches the standing read is file-count-bound, not data-bound.
+    *
+    * Replay contract: a restarted stream replays only its LAST
+    * uncommitted batch, so callers must pass
+    * `uptoBatchId < the newest landed batch` — the newest partition
+    * keeps its own batch_id and the replay exclusion filter keeps
+    * working. Folded batches are by definition committed history; a
+    * base partition is never excluded (BaseBatchId is below every
+    * real id). Content-identical by construction: the fold is a
+    * straight read of the victim partitions written to a sibling
+    * staging dir, swapped in only after the write completes. */
+  def compact(spark: SparkSession, dir: String, uptoBatchId: Long): Unit =
+    readDir(spark, dir).foreach { df =>
+      val dataCols = df.columns.filterNot(_ == "batch_id").map(col(_))
+      val victims = df.filter(col("batch_id") <= uptoBatchId)
+      val staging = new Path(dir + ".__compact")
+      val base = new Path(dir)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      // no coalesce(1): the scan already bins the many small batch
+      // files into ~maxPartitionBytes tasks, so the folded base comes
+      // out at ≈ data-size/128MB files — right at any scale
+      victims.select(dataCols: _*)
+        .write.mode("overwrite").parquet(staging.toString)
+      fs.listStatus(base)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLong <= uptoBatchId
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+      fs.rename(staging, new Path(base, s"batch_id=$BaseBatchId"))
+      ()
+    }
 }

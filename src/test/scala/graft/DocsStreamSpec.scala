@@ -246,8 +246,13 @@ class DocsStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS substr_idx_stream")
     // DROP alone leaves the physical dir behind when a previous JVM
     // created it; the create would then refuse LOCATION_ALREADY_EXISTS
+    // (recursive: the pb= partition dirs nest one level down)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
     val loc = new java.io.File("spark-warehouse/substr_idx_stream")
-    if (loc.exists) { loc.listFiles.foreach(_.delete()); loc.delete() }
+    if (loc.exists) rm(loc)
     graft.ext.SubstrIndex.build(corpus, "substr_idx_stream")
     val ms = MemoryStream[(Long, String)]
     val q = DocsStream.substrAdmission(spark,
@@ -264,6 +269,156 @@ class DocsStreamSpec extends SparkSpec {
       10L -> ((43L, 0L, 0L)),
       11L -> ((0L, 0L, 1L)),
       12L -> ((0L, 43L, 0L))), s"table-backed admission diverged: $dec")
+
+    // the TABLE-NAME overload (partition-pruned standing scan) must
+    // decide identically and accrue the identical state
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = DocsStream.substrAdmission(spark,
+      ms2.toDF().toDF("doc_id", "text"), "substr_idx_stream",
+      s"$base/state2", s"$base/decisions2", s"$base/ck2")
+    try {
+      ms2.addData((10L, aText), (11L, fText), (12L, fText))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val dec2 = spark.read.parquet(s"$base/decisions2").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(6)))
+      .toMap
+    assert(dec2 == dec, s"pruned table overload diverged: $dec2")
+    def keysOf(dir: String) = spark.read.parquet(dir)
+      .select("h1", "h2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keysOf(s"$base/state2") == keysOf(s"$base/state"),
+      "pruned table overload accrued different state keys")
+  }
+
+  test("narrowStanding: the checkpointed frame is batch ∩ standing sized, decision-equivalent, duplicate-proof") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val aText = words("a", 50).mkString(" ")
+    val zText = words("z", 50).mkString(" ") // standing-only: untouched by the batch
+    val fText = words("f", 50).mkString(" ")
+    val standing = graft.ext.SubstrIndex.keySet(
+      Seq((0L, aText), (1L, zText)).toDF("doc_id", "text"))
+    val batch = Seq((10L, aText), (11L, fText)).toDF("doc_id", "text")
+    val bKeys = graft.ext.SubstrIndex.keySet(batch)
+    // standing holds 86 keys (43 a- + 43 z-windows); the batch can
+    // touch only the 43 a-keys — what the admission loop checkpoints
+    // per batch must be that overlap, NOT the standing total
+    assert(standing.count() == 86L)
+    val nk = DocsStream.narrowStanding(standing, bKeys)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(nk.length == 43 && nk.distinct.length == 43,
+      s"narrowed frame not the 43-key overlap set: ${nk.length}/${nk.distinct.length}")
+    def dec(st: org.apache.spark.sql.DataFrame) =
+      DocsStream.substrDecide(st, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val want = dec(standing)
+    assert(want.nonEmpty && dec(DocsStream.narrowStanding(standing, bKeys)) == want,
+      "narrowed standing changed decisions")
+    // duplicate-proofing (probe AND narrowing): a standing frame
+    // carrying every key twice must neither inflate known counts nor
+    // leak duplicates into the checkpointed set
+    assert(dec(standing.union(standing)) == want,
+      "duplicate standing keys inflated the probe's known counts")
+    val nkDup = DocsStream.narrowStanding(standing.union(standing), bKeys)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(nkDup.length == 43 && nkDup.distinct.length == 43,
+      "duplicate standing keys leaked through narrowStanding")
+  }
+
+  test("promoteSubstrState folds accepted keys into the index table; standing union, decisions, and crash retry unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("substr-promote").toString
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val aText = words("a", 50).mkString(" ")
+    val fText = words("f", 50).mkString(" ")
+    val gText = words("g", 50).mkString(" ")
+    val corpus = Seq((0L, aText)).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS substr_idx_promote")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    val loc = new java.io.File("spark-warehouse/substr_idx_promote")
+    if (loc.exists) rm(loc)
+    graft.ext.SubstrIndex.build(corpus, "substr_idx_promote")
+    val ms = MemoryStream[(Long, String)]
+    val q = DocsStream.substrAdmission(spark,
+      ms.toDF().toDF("doc_id", "text"), spark.table("substr_idx_promote"),
+      s"$base/state", s"$base/decisions", s"$base/ck")
+    try {
+      ms.addData((10L, fText)) // batch 0: fresh, kept -> 43 f-keys in state
+      q.processAllAvailable()
+      ms.addData((20L, gText)) // batch 1: fresh, kept -> 43 g-keys in state
+      q.processAllAvailable()
+    } finally q.stop()
+    def standing() = spark.table("substr_idx_promote").select("h1", "h2")
+      .union(DocsStream.keyState(spark, s"$base/state", excludeBatchId = 99))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def decide(batch: org.apache.spark.sql.DataFrame) =
+      DocsStream.substrDecide(
+        spark.table("substr_idx_promote").select(col("h1"), col("h2"))
+          .union(DocsStream.keyState(spark, s"$base/state", 99)), batch)
+        .collect().map(_.mkString("|")).toSet
+    val probeBatch = Seq((30L, fText), (31L, gText),
+      (32L, words("h", 50).mkString(" "))).toDF("doc_id", "text")
+    val (standingBefore, decideBefore) = (standing(), decide(probeBatch))
+    val tableBefore = spark.table("substr_idx_promote").count()
+    // promote batch 0 only (batch 1 is the newest — replay contract)
+    DocsStream.promoteSubstrState(spark, s"$base/state",
+      "substr_idx_promote", uptoBatchId = 0)
+    assert(new java.io.File(s"$base/state").listFiles
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSeq == Seq("batch_id=1"))
+    assert(spark.table("substr_idx_promote").count() == tableBefore + 43,
+      "batch 0's 43 accepted keys did not land in the table")
+    assert(standing() == standingBefore, "promotion changed the standing union")
+    assert(decide(probeBatch) == decideBefore, "promotion changed decisions")
+    // crash retry: append landed but delete didn't — keys on BOTH
+    // sides must not inflate counts (duplicate-proof probe), and the
+    // re-run appends nothing
+    graft.ext.SubstrIndex.appendKeys(
+      DocsStream.keyState(spark, s"$base/state", 99), "substr_idx_promote")
+    assert(decide(probeBatch) == decideBefore,
+      "keys on both table and state sides inflated the probe")
+    val n1 = spark.table("substr_idx_promote").count()
+    DocsStream.promoteSubstrState(spark, s"$base/state",
+      "substr_idx_promote", uptoBatchId = 1)
+    assert(spark.table("substr_idx_promote").count() == n1,
+      "retried promotion re-appended standing keys")
+    assert(new java.io.File(s"$base/state").listFiles
+      .map(_.getName).count(_.startsWith("batch_id=")) == 0)
+    assert(standing() == standingBefore && decide(probeBatch) == decideBefore)
+  }
+
+  test("state compaction folds committed batches into the base partition; standing view and replay exclusion unchanged") {
+    import spark.implicits._
+    import graft.streaming.StreamState
+    val base = java.nio.file.Files.createTempDirectory("state-compact").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("h1", "h2")
+      .write.parquet(s"$base/state/batch_id=0")
+    Seq((3L, 30L)).toDF("h1", "h2").write.parquet(s"$base/state/batch_id=1")
+    Seq((4L, 40L)).toDF("h1", "h2").write.parquet(s"$base/state/batch_id=2")
+    def dirs() = new java.io.File(s"$base/state").listFiles
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    def state(excl: Long) = DocsStream.keyState(spark, s"$base/state", excl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = state(excl = 99)
+    assert(all.size == 4)
+    // fold batches 0 and 1 (committed history); 2 is the newest and
+    // must keep its own id so a replay of it can still self-exclude
+    StreamState.compact(spark, s"$base/state", uptoBatchId = 1)
+    assert(dirs() == Set("batch_id=-1", "batch_id=2"), s"got ${dirs()}")
+    assert(state(excl = 99) == all, "compaction changed the standing content")
+    assert(state(excl = 2) == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      "replay exclusion of the newest batch broke, or the base got excluded")
+    // a later compaction folds the existing base together with batch 2
+    StreamState.compact(spark, s"$base/state", uptoBatchId = 2)
+    assert(dirs() == Set("batch_id=-1") && state(excl = 99) == all,
+      s"re-compaction diverged: ${dirs()} / ${state(excl = 99)}")
+    // no staging residue to confuse partition discovery
+    assert(!new java.io.File(s"$base/state.__compact").exists)
   }
 
   test("keyState excludes the current batch id (replay safety)") {
