@@ -26,11 +26,18 @@ object DedupIndex {
   val Hashes = 36
   val RowsPerBand = 6
 
+  /** The (doc_id, band, bucket) rows the index stores, derived from
+    * (doc_id, text) docs — THE band/bucket derivation, shared by
+    * build/append and by the streaming admission's state side so the
+    * two can never disagree with the stored rows. */
+  def bucketRows(docs: DataFrame): DataFrame =
+    TextOps.bandBucketRows(
+      TextOps.wordShingleRows(docs, "doc_id", "text", 3),
+      "doc_id", Hashes, RowsPerBand)
+
   private def writeBuckets(docs: DataFrame, table: String, nBuckets: Int,
       mode: String): Unit =
-    TextOps.bandBucketRows(
-        TextOps.wordShingleRows(docs, "doc_id", "text", 3),
-        "doc_id", Hashes, RowsPerBand)
+    bucketRows(docs)
       .write.mode(mode).format("parquet")
       .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(table)
@@ -42,11 +49,16 @@ object DedupIndex {
   def build(docs: DataFrame, table: String, nBuckets: Int = 8): Unit =
     writeBuckets(docs, table, nBuckets, "overwrite")
 
-  /** Append an accepted batch's buckets (same bucket spec, so the
-    * bucketed-join property survives ingestion — the DocsStream
-    * admission loop's state-append as a table operation). */
-  def append(docs: DataFrame, table: String, nBuckets: Int = 8): Unit =
-    writeBuckets(docs, table, nBuckets, "append")
+  /** Append an accepted batch's buckets (same bucket spec — read back
+    * from the catalog so a mismatched parameter cannot silently break
+    * the bucketed-join property — the DocsStream admission loop's
+    * state-append as a table operation). */
+  def append(docs: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+    val nB = docs.sparkSession.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(nBuckets)
+    writeBuckets(docs, table, nB, "append")
+  }
 
   /** Rewrite the table under its own bucket spec, folding the
     * one-file-set-per-append accumulation (each [[append]] adds up to
@@ -85,8 +97,26 @@ object DedupIndex {
       corpus: DataFrame,
       maxBucketSize: Int = 100,
       threshNum: Int = 8,
+      threshDen: Int = 10): DataFrame =
+    probeBuckets(
+      spark.table(table).select(col("doc_id"), col("band"), col("bucket")),
+      batch, corpus, maxBucketSize, threshNum, threshDen)
+
+  /** [[probe]] against any standing (doc_id, band, bucket) frame —
+    * the persisted index scan, optionally unioned with bucket rows
+    * derived from a not-yet-promoted streaming state
+    * ([[bucketRows]]), so the flooded-bucket cap counts across the
+    * WHOLE standing side exactly as the in-query fold would.
+    * `corpus` must carry the text of every standing doc_id the frame
+    * references (verification reads it candidate-narrowed). */
+  def probeBuckets(
+      standingBuckets: DataFrame,
+      batch: DataFrame,
+      corpus: DataFrame,
+      maxBucketSize: Int = 100,
+      threshNum: Int = 8,
       threshDen: Int = 10): DataFrame = {
-    val idx = spark.table(table)
+    val idx = standingBuckets
     val kept = TextOps.capFloodedBuckets(idx, "doc_id", maxBucketSize)
       .select(col("band"), col("bucket"), col("doc_id").as("hist_id"))
     val batchRows = TextOps.wordShingleRows(batch, "doc_id", "text", 3)

@@ -160,8 +160,10 @@ object SubstrIndex {
         val pbs = batchKeys.select(pbCol(nParts)).distinct()
           .collect().map(_.getInt(0)).toSeq
         val pruned =
-          if (pbs.isEmpty) idx.where(lit(false)) else idx.where(col("pb").isin(pbs: _*))
-        pruned.select(col("h1"), col("h2"))
+          if (pbs.isEmpty) idx.where(lit(false))
+          else if (pbs.size == nParts) idx // bulk batch covers every
+          else idx.where(col("pb").isin(pbs: _*)) // partition: skip the
+        pruned.select(col("h1"), col("h2"))       // pointless IN filter
       case _ => idx.select(col("h1"), col("h2"))
     }
   }

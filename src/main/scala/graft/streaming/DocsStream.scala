@@ -70,11 +70,22 @@ object DocsStream {
     * `intraSequential`. Returns (doc_id, status, dup_of, n_matches)
     * for every batch doc. */
   private[graft] def decide(standing: DataFrame, batch: DataFrame,
-      intraSequential: Boolean = false): DataFrame = {
-    val histRows = TextOps.wordShingleRows(standing, "doc_id", "text", 3)
+      intraSequential: Boolean = false): DataFrame =
+    decideWith(
+      TextOps.lshProbePairs(
+        TextOps.wordShingleRows(standing, "doc_id", "text", 3),
+        TextOps.wordShingleRows(batch, "doc_id", "text", 3),
+        "doc_id", Hashes, RowsPerBand, MaxBucket, TNum, TDen),
+      batch, intraSequential)
+
+  /** [[decide]] with the history probe already run — the seam the
+    * table-backed admission path shares with the in-query one, so the
+    * intra-batch semantics (both flavors) literally cannot diverge
+    * between them. `histPairs`: (batch_id, hist_id, inter, uni). */
+  private[graft] def decideWith(histPairs: DataFrame, batch: DataFrame,
+      intraSequential: Boolean): DataFrame = {
     val batchRows = TextOps.wordShingleRows(batch, "doc_id", "text", 3)
-    val histRoll = TextOps.lshProbePairs(histRows, batchRows, "doc_id",
-        Hashes, RowsPerBand, MaxBucket, TNum, TDen)
+    val histRoll = histPairs
       .groupBy(col("batch_id"))
       .agg(min(col("hist_id")).as("hist_dup_of"),
         count(lit(1)).as("hist_matches"))
@@ -152,6 +163,94 @@ object DocsStream {
       }
       .outputMode(OutputMode.Append())
       .start()
+
+  /** [[nearDupAdmission]] bound to a persisted [[graft.ext.DedupIndex]]
+    * TABLE plus a (doc_id, text) corpus table — the deployment path
+    * the in-query overload's scaladoc promises, as an executed path:
+    * the standing side's band/bucket rows come from the BUCKETED index
+    * scan (no corpus re-sign per batch), unioned with rows derived
+    * from the not-yet-promoted streaming state (days-sized, bounded by
+    * [[promoteNearDupState]]'s cadence), so the flooded-bucket cap
+    * counts across the whole standing side exactly as the in-query
+    * fold would; verification text is fetched CANDIDATE-NARROWED from
+    * `corpusTable` ∪ state. Decisions are identical to the in-query
+    * overload by construction (same [[decideWith]] seam, and
+    * DedupIndexSpec pins table-vs-in-query pair parity) and
+    * spec-pinned on the planted geometry. `corpusTable` must hold the
+    * text of every doc the index references. */
+  def nearDupAdmission(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexTable: String,
+      corpusTable: String,
+      stateDir: String,
+      decisionsDir: String,
+      checkpointDir: String,
+      intraSequential: Boolean): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ext.DedupIndex
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+        // read thrice (bucket rows, verify text, and not at all when
+        // empty) but DAYS-sized, not corpus-sized: promotion drains it
+        val state = acceptedState(spark, stateDir, excludeBatchId = batchId)
+          .localCheckpoint(true)
+        val histPairs = DedupIndex.probeBuckets(
+          spark.table(indexTable)
+            .select(col("doc_id"), col("band"), col("bucket"))
+            .union(DedupIndex.bucketRows(state)),
+          b,
+          spark.table(corpusTable).select(col("doc_id"), col("text"))
+            .union(state),
+          MaxBucket, TNum, TDen)
+        val decisions = decideWith(histPairs, b, intraSequential)
+          .localCheckpoint(true)
+        decisions.coalesce(1).write.mode("overwrite")
+          .parquet(s"$decisionsDir/batch_id=$batchId")
+        b.join(decisions.filter(col("status") === "new").select("doc_id"), "doc_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/batch_id=$batchId")
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Promote the near-dup admission's accepted-doc state into its
+    * persisted tables — [[promoteSubstrState]]'s twin for the
+    * [[nearDupAdmission]] deployment path: state docs with
+    * batch_id ≤ `uptoBatchId` append their band/bucket rows into the
+    * [[graft.ext.DedupIndex]] table and their text into the corpus
+    * table, then the promoted state partitions are deleted, leaving
+    * the standing side (index ∪ corpus ∪ remaining state) unchanged
+    * for the next batch. Same replay contract as
+    * [[StreamState.compact]]: pass `uptoBatchId` strictly below the
+    * newest landed batch. Idempotent per sink — each append
+    * anti-joins on doc_id against its own table first, so a crashed
+    * promotion retried re-appends nothing that already landed. */
+  def promoteNearDupState(spark: SparkSession, stateDir: String,
+      indexTable: String, corpusTable: String, uptoBatchId: Long): Unit =
+    StreamState.readDir(spark, stateDir).foreach { df =>
+      import graft.ext.DedupIndex
+      val docs = df.filter(col("batch_id") <= uptoBatchId)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      DedupIndex.append(
+        docs.join(spark.table(indexTable).select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"),
+        indexTable)
+      docs.join(spark.table(corpusTable).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .write.mode("append").format("parquet").saveAsTable(corpusTable)
+      val base = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(base)
+        .filter { st =>
+          val nm = st.getPath.getName
+          nm.startsWith("batch_id=") &&
+            nm.stripPrefix("batch_id=").toLong <= uptoBatchId
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    }
 
   // ---------------------------------------------------------------
   // ExactSubstr (suffix-dedup) admission — dd25 run continuously

@@ -45,7 +45,19 @@ object SubstrIndexProbe {
     val batchBig = d.filter(col("doc_id") >= histBound) // 1% of corpus
     val batchSmall = d.filter(col("doc_id") >= n - n / 1000) // 0.1%
 
-    spark.sql("DROP TABLE IF EXISTS substr_idx_headroom")
+    // a previous JVM's run leaves the warehouse dir behind while the
+    // fresh in-memory catalog forgets the table — recursive delete
+    // (pb= partition dirs nest) or the create refuses
+    def dropTable(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      val loc = new java.io.File(s"spark-warehouse/$name")
+      if (loc.exists) rm(loc)
+    }
+    dropTable("substr_idx_headroom")
     time("build (once, ~corpus)") {
       SubstrIndex.build(hist, "substr_idx_headroom")
     }
@@ -112,7 +124,7 @@ object SubstrIndexProbe {
         f"partitions=${parts.mkString("+")}/1024  rows=$nRows")
       probed
     }
-    spark.sql("DROP TABLE IF EXISTS substr_idx_headroom_pb")
+    dropTable("substr_idx_headroom_pb")
     time("build pb=1024 (once)") {
       SubstrIndex.build(hist, "substr_idx_headroom_pb",
         nBuckets = 4, nParts = 1024)

@@ -142,6 +142,89 @@ class DocsStreamSpec extends SparkSpec {
     assert(DocsStream.acceptedState(spark, s"$base/nope", 0).count() == 0)
   }
 
+  test("table-backed near-dup admission (DedupIndex + corpus table) decides identically; promotion preserves the standing side") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("neardup-table").toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    Seq("dedup_idx_stream_t", "dedup_corpus_stream_t").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists) rm(loc)
+    }
+    val corpus = Seq((0L, aText)).toDF("doc_id", "text")
+    graft.ext.DedupIndex.build(corpus, "dedup_idx_stream_t")
+    corpus.write.format("parquet").saveAsTable("dedup_corpus_stream_t")
+
+    def runStream(useTable: Boolean, sub: String): Map[Long, (String, Any)] = {
+      val ms = MemoryStream[(Long, String)]
+      val q =
+        if (useTable) DocsStream.nearDupAdmission(spark,
+          ms.toDF().toDF("doc_id", "text"), "dedup_idx_stream_t",
+          "dedup_corpus_stream_t", s"$base/$sub/state",
+          s"$base/$sub/decisions", s"$base/$sub/ck", intraSequential = false)
+        else DocsStream.nearDupAdmission(spark,
+          ms.toDF().toDF("doc_id", "text"), corpus, s"$base/$sub/state",
+          s"$base/$sub/decisions", s"$base/$sub/ck")
+      try {
+        // batch 0: 10 = near-dup of corpus A (J=0.88, reject);
+        // 11 = fresh (keep)
+        ms.addData((10L, bText), (11L, fText))
+        q.processAllAvailable()
+        // batch 1: 20 = exact copy of accepted 11 (reject via accrued
+        // state); 21 = fresh (keep)
+        ms.addData((20L, fText), (21L, gText))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$base/$sub/decisions").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2)): (String, Any))).toMap
+    }
+    val inQuery = runStream(useTable = false, "inq")
+    val tabled = runStream(useTable = true, "tab")
+    assert(inQuery == Map[Long, (String, Any)](
+      10L -> (("near_dup_history", 0L)), 11L -> (("new", null)),
+      20L -> (("near_dup_history", 11L)), 21L -> (("new", null))),
+      s"in-query decisions off: $inQuery")
+    assert(tabled == inQuery, s"table-backed diverged: $tabled")
+
+    // promote batch 0 (newest is 1): 11 moves into index + corpus
+    val idxBefore = spark.table("dedup_idx_stream_t").count()
+    DocsStream.promoteNearDupState(spark, s"$base/tab/state",
+      "dedup_idx_stream_t", "dedup_corpus_stream_t", uptoBatchId = 0)
+    assert(new java.io.File(s"$base/tab/state").listFiles
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSeq == Seq("batch_id=1"))
+    assert(spark.table("dedup_corpus_stream_t").count() == 2L)
+    val idxAfter = spark.table("dedup_idx_stream_t").count()
+    assert(idxAfter > idxBefore, "promotion appended no bucket rows")
+    // idempotent retry (crash between sinks re-run): nothing doubles
+    DocsStream.promoteNearDupState(spark, s"$base/tab/state",
+      "dedup_idx_stream_t", "dedup_corpus_stream_t", uptoBatchId = 0)
+    assert(spark.table("dedup_idx_stream_t").count() == idxAfter &&
+      spark.table("dedup_corpus_stream_t").count() == 2L,
+      "retried promotion re-appended rows")
+
+    // a fresh stream over the SAME state dir sees the identical
+    // standing side: 30 matches promoted 11 (now table-side), 31
+    // matches un-promoted 21 (still state-side)
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = DocsStream.nearDupAdmission(spark,
+      ms2.toDF().toDF("doc_id", "text"), "dedup_idx_stream_t",
+      "dedup_corpus_stream_t", s"$base/tab/state",
+      s"$base/tab/decisions2", s"$base/tab/ck2", intraSequential = false)
+    try { ms2.addData((30L, fText), (31L, gText)); q2.processAllAvailable() }
+    finally q2.stop()
+    val dec2 = spark.read.parquet(s"$base/tab/decisions2").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2)): (String, Any))).toMap
+    assert(dec2 == Map[Long, (String, Any)](
+      30L -> (("near_dup_history", 11L)), 31L -> (("near_dup_history", 21L))),
+      s"post-promotion standing side diverged: $dec2")
+  }
+
   // ------------- suffix-dedup (ExactSubstr) admission -------------
 
   test("substr admission, single batch: standing probe equals dd25 column-for-column") {
