@@ -85,20 +85,34 @@ object DocsStream {
   private[graft] def decideWith(histPairs: DataFrame, batch: DataFrame,
       intraSequential: Boolean): DataFrame = {
     val batchRows = TextOps.wordShingleRows(batch, "doc_id", "text", 3)
+    rollDecisions(batch.select(col("doc_id")), histPairs,
+      cleanIds => TextOps.lshNearDupPairs(batchRows.join(cleanIds, "doc_id"),
+        "doc_id", Hashes, RowsPerBand, MaxBucket, TNum, TDen),
+      intraSequential)
+  }
+
+  /** The admission status roll, generic over the near-dup FLAVOR —
+    * text LSH here, embedding LSH in [[EmbedStream]]: history matches
+    * first (dup_of = min standing match), then intra-batch pairs among
+    * the history-clean residue — conservative smaller-id rejection by
+    * default, greedy insert-then-probe when `intraSequential`.
+    * `intraPairsFor` maps the clean-id frame (one `doc_id` column) to
+    * that residue's verified (a_id, b_id) near-dup pairs. */
+  private[graft] def rollDecisions(batchIds: DataFrame,
+      histPairs: DataFrame, intraPairsFor: DataFrame => DataFrame,
+      intraSequential: Boolean): DataFrame = {
     val histRoll = histPairs
       .groupBy(col("batch_id"))
       .agg(min(col("hist_id")).as("hist_dup_of"),
         count(lit(1)).as("hist_matches"))
-    val withHist = batch.select(col("doc_id"))
+    val withHist = batchIds.select(col("doc_id"))
       .join(histRoll, col("doc_id") === col("batch_id"), "left")
       .select(col("doc_id"), col("hist_dup_of"),
         coalesce(col("hist_matches"), lit(0L)).as("hist_matches"))
     val cleanIds = withHist.filter(col("hist_dup_of").isNull).select("doc_id")
-    val cleanRows = batchRows.join(cleanIds, "doc_id")
     val intraRoll =
       if (!intraSequential)
-        TextOps.lshNearDupPairs(cleanRows, "doc_id",
-            Hashes, RowsPerBand, MaxBucket, TNum, TDen)
+        intraPairsFor(cleanIds)
           .groupBy(col("b_id").as("doc_id"))
           .agg(min(col("a_id")).as("batch_dup_of"),
             count(lit(1)).as("batch_matches"))
@@ -110,9 +124,8 @@ object DocsStream {
         // matching id
         // materialized ONCE: cnt and sequentialAdmit both consume this
         // frame, and without the checkpoint each would re-evaluate the
-        // whole shingle -> minhash -> bucket-join -> verify chain
-        val cleanPairs = TextOps.lshNearDupPairs(cleanRows, "doc_id",
-            Hashes, RowsPerBand, MaxBucket, TNum, TDen)
+        // whole sign -> bucket-join -> verify chain
+        val cleanPairs = intraPairsFor(cleanIds)
           .select(col("a_id"), col("b_id"))
           .localCheckpoint(true)
         val cnt = cleanPairs.groupBy(col("b_id").as("doc_id"))
@@ -168,7 +181,9 @@ object DocsStream {
     * TABLE plus a (doc_id, text) corpus table — the deployment path
     * the in-query overload's scaladoc promises, as an executed path:
     * the standing side's band/bucket rows come from the BUCKETED index
-    * scan (no corpus re-sign per batch), unioned with rows derived
+    * scan — no corpus re-sign per batch, and PARTITION-PRUNED to the
+    * batch's own pb values, so a trickle batch's scan IO is ∝ the
+    * partitions it touches, not the index — unioned with rows derived
     * from the not-yet-promoted streaming state (days-sized, bounded by
     * [[promoteNearDupState]]'s cadence), so the flooded-bucket cap
     * counts across the whole standing side exactly as the in-query
@@ -196,14 +211,14 @@ object DocsStream {
         // empty) but DAYS-sized, not corpus-sized: promotion drains it
         val state = acceptedState(spark, stateDir, excludeBatchId = batchId)
           .localCheckpoint(true)
-        val histPairs = DedupIndex.probeBuckets(
-          spark.table(indexTable)
-            .select(col("doc_id"), col("band"), col("bucket"))
-            .union(DedupIndex.bucketRows(state)),
-          b,
+        // the INDEX side of the standing union partition-prunes to the
+        // batch's own pb values; the days-sized state side joins in full
+        val histPairs = DedupIndex.probe(
+          spark, indexTable, b,
           spark.table(corpusTable).select(col("doc_id"), col("text"))
             .union(state),
-          MaxBucket, TNum, TDen)
+          MaxBucket, TNum, TDen,
+          extraBuckets = Some(DedupIndex.bucketRows(state)))
         val decisions = decideWith(histPairs, b, intraSequential)
           .localCheckpoint(true)
         decisions.coalesce(1).write.mode("overwrite")
@@ -241,15 +256,7 @@ object DocsStream {
       docs.join(spark.table(corpusTable).select(col("doc_id")),
           Seq("doc_id"), "left_anti")
         .write.mode("append").format("parquet").saveAsTable(corpusTable)
-      val base = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.listStatus(base)
-        .filter { st =>
-          val nm = st.getPath.getName
-          nm.startsWith("batch_id=") &&
-            nm.stripPrefix("batch_id=").toLong <= uptoBatchId
-        }
-        .foreach(st => fs.delete(st.getPath, true))
+      StreamState.dropUpto(spark, stateDir, uptoBatchId)
     }
 
   // ---------------------------------------------------------------
@@ -389,15 +396,7 @@ object DocsStream {
       SubstrIndex.appendKeys(
         df.filter(col("batch_id") <= uptoBatchId)
           .select(col("h1"), col("h2")), table)
-      val base = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.listStatus(base)
-        .filter { st =>
-          val nm = st.getPath.getName
-          nm.startsWith("batch_id=") &&
-            nm.stripPrefix("batch_id=").toLong <= uptoBatchId
-        }
-        .foreach(st => fs.delete(st.getPath, true))
+      StreamState.dropUpto(spark, stateDir, uptoBatchId)
     }
 
   /** Start the suffix-dedup admission stream — [[nearDupAdmission]]'s

@@ -17,6 +17,24 @@ object StreamState {
     * future batch. */
   val BaseBatchId: Long = -1L
 
+  /** Delete every `batch_id=N` partition with N ≤ `uptoBatchId` — the
+    * promotion epilogue shared by the three index-backed admissions
+    * (promoted state has moved into a persisted table; the partitions
+    * are committed history). Idempotent: re-running after a crash
+    * deletes nothing or finishes the interrupted delete. */
+  def dropUpto(spark: SparkSession, dir: String, uptoBatchId: Long): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(base))
+      fs.listStatus(base)
+        .filter { st =>
+          val nm = st.getPath.getName
+          nm.startsWith("batch_id=") &&
+            nm.stripPrefix("batch_id=").toLong <= uptoBatchId
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** The state directory as a DataFrame (batch_id partition column
     * included), or None when no batch has landed yet. Callers apply
     * their own exclusion filter + projection/aggregation so the

@@ -9,8 +9,12 @@ class DedupIndexSpec extends SparkSpec {
 
   private def dropTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
     val loc = new java.io.File(s"spark-warehouse/$name")
-    if (loc.exists) { loc.listFiles.foreach(_.delete()); loc.delete() }
+    if (loc.exists) rm(loc) // pb= partition dirs need the recursion
   }
 
   test("persisted-index probe emits exactly dd17's pair set; index side stays shuffle-free") {
@@ -102,8 +106,11 @@ class DedupIndexSpec extends SparkSpec {
     assert(before > 8, s"3 writes produced only $before files — fixture too small")
     DedupIndex.compact(spark, "dedup_idx_cpt")
     val after = files("dedup_idx_cpt")
-    assert(after <= 8 && after < before,
-      s"compact left $after files (before: $before, bound: 8)")
+    // one file per touched (pb, bucket) group: bound = 64 pb × 8 buckets
+    assert(after <= 64 * 8 && after < before,
+      s"compact left $after files (before: $before, bound: ${64 * 8})")
+    assert(DedupIndex.pbMod(spark, "dedup_idx_cpt").contains(64),
+      "compact lost the pb modulus property")
     assert(rows("dedup_idx_cpt") == rowsBefore, "compact changed the bucket rows")
     assert(pairsBefore.nonEmpty && pairs() == pairsBefore,
       "compact changed probe pairs")
@@ -129,5 +136,55 @@ class DedupIndexSpec extends SparkSpec {
     def pairs(t: String) = DedupIndex.probe(spark, t, batch, hist)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs("dedup_idx_inc") == pairs("dedup_idx_all"))
+  }
+
+  test("probe partition-prunes the index scan to the batch's pb partitions; pairs match the full scan") {
+    import spark.implicits._
+    dropTable("dedup_idx_prune")
+    // 200 all-distinct docs spread buckets across (nearly) all 64 pb
+    // partitions; the 2-doc probe touches ≤ 12 (6 bands per doc)
+    val corpus = (0L until 200L).map(i =>
+      (i, (1 to 20).map(j => s"c${i}w$j").mkString(" "))).toDF("doc_id", "text")
+    DedupIndex.build(corpus, "dedup_idx_prune")
+    val nPbDirs = new java.io.File("spark-warehouse/dedup_idx_prune")
+      .listFiles.count(_.getName.startsWith("pb="))
+    assert(nPbDirs > 32, s"corpus buckets landed in only $nPbDirs pb partitions")
+    // 999 = exact copy of doc 7 (every band matches — a guaranteed
+    // candidate with J = 1); 998 = fresh (no standing bucket hit)
+    val batch = Seq(
+      (999L, (1 to 20).map(j => s"c7w$j").mkString(" ")),
+      (998L, (1 to 20).map(j => s"zw$j").mkString(" "))).toDF("doc_id", "text")
+    val probed = DedupIndex.probe(spark, "dedup_idx_prune", batch, corpus)
+    val got = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // value parity with the unpruned standing frame
+    val want = DedupIndex.probeBuckets(
+        spark.table("dedup_idx_prune")
+          .select(col("doc_id"), col("band"), col("bucket")),
+        batch, corpus)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.contains((999L, 7L, 18L, 18L)),
+      s"pruned probe diverged: got=$got want=$want")
+    // IO receipt: the index scan carries a pb partition filter and
+    // reads ≤ 12 partitions (one per distinct batch band/bucket)
+    probed.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansIn(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+      case q: QueryStageExec => scansIn(q.plan)
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "dedup_idx_prune") => Seq(f)
+      case other => other.children.flatMap(scansIn)
+    }
+    val scans = scansIn(probed.queryExecution.executedPlan)
+    assert(scans.nonEmpty,
+      s"no index scan found:\n${probed.queryExecution.executedPlan.toString.take(2000)}")
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "pb")),
+      s"no pb partition filter on the index scan: ${scans.head.partitionFilters}")
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected <= 12 && selected < nPbDirs,
+      s"probe read $selected of $nPbDirs partitions — pruning not effective")
   }
 }
