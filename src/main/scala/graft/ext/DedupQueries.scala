@@ -1438,5 +1438,40 @@ object DedupQueries {
       Some(TextOps.sequentialAdmitOracleSql(TextOps.wordShingleSql(3),
         numHashes = 36, rowsPerBand = 6, maxBucketSize = 100,
         threshNum = 8, threshDen = 10, rounds = 4))),
+
+    CatalogQuery(
+      "dd26_embed_incremental",
+      "Incremental EMBEDDING near-dup probe: new batch (vec_id % 5 = 4) hyperplane-LSH-signed and probed against the standing corpus's flood-capped signature buckets, exact-cosine verified - dd17's daily shape in dd12's family",
+      (s, dir) => {
+        // dd17's incremental-probe shape for embeddings: the history
+        // side folds once into flood-capped (t, sig) buckets — at
+        // 100 TB a persisted EmbedIndex table maintained by promotion,
+        // here derived in-query (graft.ext.EmbedIndex.probeVecs is the
+        // shared twin; the EmbedStream admission runs this
+        // continuously) — the batch signs ONLY itself, candidates
+        // co-partition on the signature key, history-history pairs are
+        // never generated, and verification is one codegen'd dot over
+        // candidate-narrowed vectors the index rows already carry.
+        val e = SimilarityQueries.embeddings(s, dir)
+          .select(col("vec_id"), col("v"))
+        val isBatch = pmod(col("vec_id"), lit(5)) === 4
+        val roll = graft.ext.EmbedIndex.probeVecs(
+            e.filter(!isBatch), e.filter(isBatch))
+          .groupBy(col("batch_id"))
+          .agg(min(col("hist_id")).as("dup_of"),
+            count(lit(1)).as("n_matches"))
+        e.filter(isBatch).select(col("vec_id"))
+          .join(roll, col("vec_id") === col("batch_id"), "left")
+          .select(col("vec_id"),
+            when(col("dup_of").isNotNull, lit("near_dup_history"))
+              .otherwise(lit("new")).as("status"),
+            col("dup_of").cast("long").as("dup_of"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+          .orderBy(col("vec_id"))
+      },
+      // the probe flavor of dd12's CTE chain: bucket stats over
+      // HISTORY sigs only, batch × kept candidates, dd17's roll
+      Some(SimilarityQueries.embedProbeOracleSql(
+        "vec_id % 5 = 4", "vec_id % 5 <> 4"))),
   )
 }

@@ -759,7 +759,10 @@ object SimilarityQueries {
     * re-derives `ndCandidates` from the same plane constants, bucket
     * cap and rep-chain union as the Spark plan — dd12 and ss06 append
     * their own scoring tail. */
-  private[ext] def ndCandSqlCtes: String = {
+  /** The e/n/sigs CTE prefix (normalize + 8-table signature union)
+    * shared by [[ndCandSqlCtes]] and the incremental probe oracle
+    * ([[embedProbeOracleSql]]). */
+  private def ndSigCtePrefix: String = {
     def planeLit(j: Int): String =
       (0 until Dim).map(i => s"${planeBits(j, i)}.0/65536.0 - 0.5")
         .mkString("[", ", ", "]")
@@ -779,7 +782,11 @@ object SimilarityQueries {
        |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
        |    END AS nv
        |  FROM e),
-       |sigs AS ($sigUnion),
+       |sigs AS ($sigUnion)""".stripMargin
+  }
+
+  private[ext] def ndCandSqlCtes: String = {
+    s"""$ndSigCtePrefix,
        |ct AS (SELECT t, sig, count(*) AS bn, min(vec_id) AS rep
        |       FROM sigs GROUP BY t, sig),
        |szd AS (SELECT sigs.*, ct.bn, ct.rep FROM sigs JOIN ct USING (t, sig)),
@@ -803,6 +810,41 @@ object SimilarityQueries {
        |SELECT a_id, b_id, CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
        |FROM v WHERE cos >= $NdThreshold
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** DuckDB value oracle for dd26 — the PROBE flavor of the dd12
+    * family: bucket stats and the flood cap over HISTORY signatures
+    * only (batch vectors must not change which standing buckets
+    * collapse), candidates = batch × kept on (t, sig), exact cosine
+    * ≥ threshold, rolled to dd17's per-doc status shape. Mirrors
+    * [[graft.ext.EmbedIndex]].probeVecs + the dd26 roll exactly. */
+  private[ext] def embedProbeOracleSql(batchPred: String,
+      histPred: String): String =
+    s"""$ndSigCtePrefix,
+       |hs AS (SELECT * FROM sigs WHERE $histPred),
+       |bs AS (SELECT * FROM sigs WHERE $batchPred),
+       |ct AS (SELECT t, sig, count(*) AS bn, min(vec_id) AS rep
+       |       FROM hs GROUP BY t, sig),
+       |kept AS (SELECT hs.t, hs.sig, hs.vec_id AS hist_id
+       |         FROM hs JOIN ct USING (t, sig)
+       |         WHERE ct.bn <= $NdMaxBucket OR hs.vec_id = ct.rep),
+       |cand AS (SELECT DISTINCT bs.vec_id AS batch_id, kept.hist_id
+       |         FROM bs JOIN kept ON bs.t = kept.t AND bs.sig = kept.sig),
+       |p AS (SELECT c.batch_id, c.hist_id
+       |      FROM cand c
+       |      JOIN n a ON a.vec_id = c.batch_id
+       |      JOIN n b ON b.vec_id = c.hist_id
+       |      WHERE list_dot_product(a.nv, b.nv) >= $NdThreshold),
+       |roll AS (SELECT batch_id, min(hist_id) AS dup_of,
+       |           count(*) AS n_matches
+       |         FROM p GROUP BY batch_id)
+       |SELECT e.vec_id,
+       |  CASE WHEN roll.dup_of IS NOT NULL THEN 'near_dup_history'
+       |       ELSE 'new' END AS status,
+       |  CAST(roll.dup_of AS BIGINT) AS dup_of,
+       |  CAST(coalesce(roll.n_matches, 0) AS BIGINT) AS n_matches
+       |FROM e LEFT JOIN roll ON e.vec_id = roll.batch_id
+       |WHERE $batchPred
+       |ORDER BY vec_id""".stripMargin
 
   /** DuckDB value oracle for ss06 — the same candidate CTEs,
     * symmetrized, with a (cos DESC, neighbor ASC) row_number mirroring
