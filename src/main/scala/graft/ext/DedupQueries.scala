@@ -87,20 +87,38 @@ object DedupQueries {
     * m = min(N(u) ∪ {u}); rewire every strictly-larger neighbor to m.
     * Output edges satisfy u > v (child → smaller parent). */
   private def largeStar(e: DataFrame): DataFrame = {
+    // repartition(u) BEFORE the two references (r17, guide §2.4): the
+    // groupBy and the join both need `und` clustered by u; expressed as
+    // two independent reads, each planned its own exchange and the und
+    // subplan evaluated twice. One explicit repartition makes both
+    // required distributions already-satisfied, so the shuffle is
+    // planned once (ReusedExchange on the second reference) and the
+    // union+project under it runs once.
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
     val mins = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    // No trailing distinct (r17): largeStar's output feeds ONLY
+    // smallStar, whose groupBy-min is duplicate-insensitive and whose
+    // own trailing distinct dedups the round's result — the result
+    // relation is identical, and each round saves one full |E|-row
+    // exchange + aggregation. Output volume stays <= |E| rows (one per
+    // undirected edge), so nothing blows up between the stars.
     und.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-      .distinct()
   }
 
   /** One small-star round over child→parent edges (u > v invariant):
     * for each u, m = min(parents(u)); rewire u and every non-min
     * parent to m. Preserves the u > v invariant. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-    e.join(mins, "u")
+    // same repartition-for-reuse shape as largeStar: smallStar's input
+    // is largeStar's (unmaterialized) output, which the groupBy and the
+    // join would otherwise each recompute AND re-shuffle; clustering it
+    // once by u makes the second reference a ReusedExchange.
+    val ep = e.repartition(col("u"))
+    val mins = ep.groupBy(col("u")).agg(min(col("v")).as("m"))
+    ep.join(mins, "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
       .union(mins.select(col("u"), col("m").as("v")))
@@ -127,24 +145,35 @@ object DedupQueries {
     var e = pairs.toDF("u", "v")
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    def sig(d: DataFrame): (Long, Long) = {
-      // bit_xor, not sum: order-independent AND overflow-free under
-      // ANSI mode (sum of 64-bit hashes throws ARITHMETIC_OVERFLOW)
-      val r = d.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
     var prev = (-1L, 0L)
     var rounds = 0
     var converged = false
     var prevEdges: DataFrame = null
+    // dev-only per-round forensics, same switch as minLabelComponents
+    val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
     while (!converged && rounds < 30) {
+      val t0 = if (ccLog) System.nanoTime() else 0L
       prevEdges = e
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val cur = sig(e)
+      // The (count, bit_xor-hash) convergence signature rides INSIDE
+      // the checkpoint job as observed metrics (r17, same move as
+      // minLabelComponents): the loop is per-job latency at sf0.1, and
+      // a separate signature collect doubled the jobs per round. The
+      // metrics aggregate exactly the rows the checkpoint materializes.
+      // bit_xor, not sum: order-independent AND overflow-free under
+      // ANSI mode (sum of 64-bit hashes throws ARITHMETIC_OVERFLOW).
+      val obs = org.apache.spark.sql.Observation()
+      e = smallStar(largeStar(e))
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+      val m = obs.getAsJava
+      val cur = (m.get("n").asInstanceOf[java.lang.Long].longValue(),
+        m.get("h").asInstanceOf[java.lang.Long].longValue())
       converged = cur == prev
       prev = cur
       rounds += 1
+      if (ccLog) println(f"[cc:$what] star round $rounds%2d: " +
+        f"${cur._1}%8d edges, ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     require(converged,
       s"$what star contraction did not converge within $rounds rounds")
@@ -172,16 +201,28 @@ object DedupQueries {
     * with lbl = min id reachable from v. Shared by dd08 (cosine pairs)
     * and dd10 (LSH-verified Jaccard pairs).
     *
-    * Each round is one shuffle join edges⋈labels + one aggregation;
-    * rounds needed = component diameter, and near-dup clusters are
-    * star-like (diameter ≤ ~3), so the driver loop runs O(1)
-    * distributed passes — this is the standard distributed
+    * Each propagation hop is one shuffle join edges⋈labels + one
+    * aggregation; hops needed = component diameter, and near-dup
+    * clusters are star-like (diameter ≤ ~3), so the driver loop runs
+    * O(1) distributed passes — this is the standard distributed
     * connected-components shape at cluster scale, not a driver-side
-    * algorithm. localCheckpoint truncates the growing lineage each
-    * round (blocks are context-cleaned when the round's RDD is
-    * dropped; Bench/driver also clear caches per query). */
+    * algorithm. Since r17 each MATERIALIZED round runs two hops (see
+    * the in-loop note): hop semantics and final labels are untouched,
+    * but driver jobs, convergence counts and checkpoint writes halve.
+    * localCheckpoint truncates the growing lineage each round (blocks
+    * are context-cleaned when the round's RDD is dropped; Bench/driver
+    * also clear caches per query). */
   private[graft] def minLabelComponents(pairs: DataFrame, what: String): DataFrame = {
-    // undirected: propagate labels along both edge directions
+    // undirected: propagate labels along both edge directions.
+    // Deliberately cached UNPARTITIONED (r17): a hash(src)-pinned cache
+    // would save the per-round edge exchange, but it also pins every
+    // downstream stage to the pinned partition count, defeating AQE's
+    // scale-adaptive coalescing — measured 1.8× WORSE at sf0.1/local[32]
+    // (cc_loop 3.8 → 6.8 s) because each of the loop's tiny stages ran
+    // at 32 tasks instead of the 1-2 AQE picks from actual bytes. With
+    // pointer doubling (below) the round count is O(log d), so the
+    // per-round edge exchange is paid few times; AQE sizes it from
+    // bytes at any scale.
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").persist()
@@ -215,13 +256,25 @@ object DedupQueries {
         val t0 = if (ccLog) System.nanoTime() else 0L
         val cand = edges.join(labels, edges("src") === labels("v"))
           .groupBy(col("dst")).agg(min(col("lbl")).as("cand"))
-        // carry (old, new) through one join so the convergence count
-        // reads the checkpointed blocks instead of re-joining labels
+        // The convergence count rides INSIDE the checkpoint job as an
+        // observed metric (r17): the old shape checkpointed, then ran a
+        // second job to count lbl < prev — at sf0.1 the loop is pure
+        // per-job latency (the shuffles are AQE-coalesced to 1-2
+        // tasks), so halving the jobs per round is the one lever left
+        // (r17 receipts: dd08's 16-round loop, 32 jobs -> 16). The
+        // metric is computed on exactly the rows the checkpoint
+        // materializes, so the decision is unchanged.
+        val obs = org.apache.spark.sql.Observation()
         val merged = labels.join(cand, labels("v") === cand("dst"), "left")
           .select(labels("v"), labels("lbl").as("prev"),
             least(labels("lbl"), coalesce(col("cand"), labels("lbl"))).as("lbl"))
+          .observe(obs, sum(when(col("lbl") < col("prev"), 1L)
+            .otherwise(0L)).as("chg"))
           .localCheckpoint(true)
-        val changed = merged.filter(col("lbl") < col("prev")).count()
+        val changed = obs.getAsJava.get("chg") match {
+          case null => 0L // empty relation: no rows, no change
+          case n: java.lang.Long => n.longValue()
+        }
         labels = merged.select(col("v"), col("lbl"))
         converged = changed == 0
         iters += 1
