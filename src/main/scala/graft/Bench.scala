@@ -14,6 +14,25 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // r17 (OPTIMIZATION_r17.md), env-parameterised with local
+      // defaults so the driver's bench stays comparable:
+      // - runtime bloom-filter injection OFF by default here: at bench
+      //   scale every injected filter is DEFAULT-sized (1M items /
+      //   8.4M bits — the optimizer has no stats to size it) and rides
+      //   on joins whose small side already broadcasts, so it is pure
+      //   build+broadcast overhead (measured −4% warm across the LSH
+      //   probe family, −0.3 s on tpcds_q14a). At 100 TB re-enable
+      //   (SPARK_GRAFT_RUNTIME_BLOOM=true) and size
+      //   ...bloomFilter.creationSideThreshold/expectedNumItems to the
+      //   real dimension cardinalities — guide §3.2.
+      // - prefer shuffled-hash over sort-merge when the planner's
+      //   per-partition size conditions hold (guide §3.1/§9): skips
+      //   the sort of both sides; the size conditions, AQE skew
+      //   handling and spill paths bound the risk at scale.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "false"))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

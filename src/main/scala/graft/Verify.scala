@@ -39,6 +39,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // same session shape as Bench (r17): verify must exercise the
+      // exact plans the bench times — see Bench.scala for the rationale
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "false"))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

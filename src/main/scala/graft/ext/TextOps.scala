@@ -564,7 +564,12 @@ object TextOps {
     // materialize the signature frame once (id + `segments` longs):
     // both self-join sides re-derive it otherwise — token explode,
     // (id, tok) pre-agg shuffle and md5 digests, twice per query
-    val sig = simhashSignatures(tok, idCol, segments).localCheckpoint(true)
+    // sub-phase attribution (the dd08/ss03 OpMetrics pattern): the sig
+    // checkpoint forces the token+digest+bit-counter pipeline; the rest
+    // is the chunk self-join — two different cost stories
+    val sig = graft.core.OpMetrics.timed(s"simhash${segments}_sig") {
+      simhashSignatures(tok, idCol, segments).localCheckpoint(true)
+    }
     val starts = chunkStarts(32 * segments, nChunks)
     val chunks = sig.select(col(idCol) +: (0 until segments).map(k => col(s"_sig$k")) :+
       explode(array((0 until nChunks).map(c =>

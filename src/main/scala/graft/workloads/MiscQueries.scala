@@ -230,10 +230,21 @@ object MiscQueries {
       "q36_approx_distinct",
       "HLL-sketch approx_count_distinct alongside exact (sketch family baseline)",
       (s, dir) => {
-        t(s, dir, "lineitem")
-          .agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        // The sketch aggregates in its OWN ungrouped pass (r17): fused
+        // with count(DISTINCT), Spark's single-distinct rewrite keys the
+        // partial aggregate by l_partkey, materializing the rsd=0.01
+        // HLL buffer (1536 longs) PER GROUP — ~200k x 12 KB of
+        // aggregation buffer churned to merge sketches of single
+        // values (plans/r17/q36_approx_distinct_before.txt). Split,
+        // each pass keeps its natural shape (distinct two-phase;
+        // one sketch buffer per task), and the joined 1-row output is
+        // bit-identical — same sketch algorithm, same rsd, same data.
+        val li = t(s, dir, "lineitem")
+        val exact = li.agg(
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        val approx = li.agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        exact.crossJoin(approx)
           .select(col("exact_parts"),
             // approx value is engine-specific; assert sane bounds and
             // emit the exact value for the oracle comparison
