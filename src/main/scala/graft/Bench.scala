@@ -25,14 +25,25 @@ object Bench {
       //   (SPARK_GRAFT_RUNTIME_BLOOM=true) and size
       //   ...bloomFilter.creationSideThreshold/expectedNumItems to the
       //   real dimension cardinalities — guide §3.2.
-      // - prefer shuffled-hash over sort-merge when the planner's
-      //   per-partition size conditions hold (guide §3.1/§9): skips
-      //   the sort of both sides; the size conditions, AQE skew
-      //   handling and spill paths bound the risk at scale.
+      // - join strategy (r18, ADVICE medium): sort-merge stays the
+      //   PLANNER default (SHJ's build-side hash map cannot spill, and
+      //   the static flip rode on size ESTIMATES, absent/unreliable at
+      //   scale — a misestimate at 100 TB is an executor OOM). The SHJ
+      //   win is taken through AQE's runtime rewrite instead:
+      //   maxShuffledHashJoinLocalMapThreshold converts SMJ→SHJ only
+      //   when every post-shuffle partition's MEASURED map output is
+      //   under the threshold, so the build map is bounded by a known
+      //   constant at any scale — the scale-aware gate the advisor
+      //   asked for (guide §3.1). At sf0.1 every partition qualifies,
+      //   so the bench keeps the no-sort plans (A/B receipt in
+      //   OPTIMIZATION_r18.md). Explicit shuffle_hash hints in
+      //   operators are unaffected.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
         sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "false"))
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -176,7 +187,17 @@ object Bench {
     }
     val flaggedDigest = capJson(flaggedEntries, 300)
     val decompDigest = capJson(decompEntries, 200)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,$sentinelJson,"flagged":$flagged,"decomp":$decomp,"sf":"$sfDir"}""")
+    // Effective plan-shaping configs (r18, ADVICE): the env-gated join
+    // strategy means two boards can time different plans — record which
+    // one THIS board ran so receipts are self-describing.
+    val confJson = Seq(
+      "spark.sql.join.preferSortMergeJoin" -> "preferSMJ",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "runtimeBloom",
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "shjLocalMap")
+      .map { case (k, short) =>
+        "\"" + short + "\":\"" + spark.conf.get(k, "<unset>") + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,$sentinelJson,"flagged":$flagged,"decomp":$decomp,"conf":$confJson,"sf":"$sfDir"}""")
     // The harness that captures this output keeps only the LAST ~2000
     // characters of stdout, and the full per-query line above is ~4x
     // that — so it can never be machine-parsed from the capture. Print a

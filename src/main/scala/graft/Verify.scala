@@ -44,7 +44,9 @@ object Verify {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
         sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "false"))
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -68,6 +70,20 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Effective plan-shaping configs (r18, ADVICE): verify's invariant is
+    // "exercises the exact plans the bench times" — if verify and bench
+    // ever run under different env vars that silently breaks. Record the
+    // values this verification actually ran with in a sidecar file (NOT
+    // inside oracle_sql.json, whose keys the driver treats as query
+    // names).
+    val conf = Seq(
+      "spark.sql.join.preferSortMergeJoin",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => s"${q(k)}: ${q(spark.conf.get(k, "<unset>"))}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_config.json"), conf)
     spark.stop()
   }
 }

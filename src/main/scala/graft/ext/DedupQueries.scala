@@ -206,7 +206,7 @@ object DedupQueries {
     * clusters are star-like (diameter ≤ ~3), so the driver loop runs
     * O(1) distributed passes — this is the standard distributed
     * connected-components shape at cluster scale, not a driver-side
-    * algorithm. Since r17 each MATERIALIZED round runs two hops (see
+    * algorithm. Since r18 each MATERIALIZED round runs two hops (see
     * the in-loop note): hop semantics and final labels are untouched,
     * but driver jobs, convergence counts and checkpoint writes halve.
     * localCheckpoint truncates the growing lineage each round (blocks
@@ -220,9 +220,11 @@ object DedupQueries {
     // scale-adaptive coalescing — measured 1.8× WORSE at sf0.1/local[32]
     // (cc_loop 3.8 → 6.8 s) because each of the loop's tiny stages ran
     // at 32 tasks instead of the 1-2 AQE picks from actual bytes. With
-    // pointer doubling (below) the round count is O(log d), so the
-    // per-round edge exchange is paid few times; AQE sizes it from
-    // bytes at any scale.
+    // two hops per materialized round (below) the edge exchange is
+    // paid twice per checkpoint — half the rounds of the one-hop
+    // shape for the same hop count; AQE sizes it from bytes at any
+    // scale. (Full O(log n)-round robustness on chain graphs is
+    // dd16's star-contraction engine, not this loop.)
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").persist()
@@ -254,20 +256,42 @@ object DedupQueries {
       graft.core.OpMetrics.timed(s"${what}_cc_loop") {
       while (!converged && iters < 25) {
         val t0 = if (ccLog) System.nanoTime() else 0L
-        val cand = edges.join(labels, edges("src") === labels("v"))
-          .groupBy(col("dst")).agg(min(col("lbl")).as("cand"))
+        // TWO propagation hops per MATERIALIZED round (r18 — the r17
+        // scaladoc promised this but the loop still checkpointed every
+        // hop; ADVICE flagged the mismatch, this lands the change).
+        // Labels are monotone non-increasing under least(), so fusing
+        // two hops into one lineage segment changes nothing about the
+        // fixpoint; what halves is the per-distance overhead that is
+        // NOT the propagation itself: driver jobs (per-job latency
+        // dominates at sf0.1 — the r17 lesson) and, at scale, the
+        // eager localCheckpoint that copies the full |V|-row label
+        // table to executor storage once per round instead of once
+        // per two hops.
+        // h1 is referenced twice below (hop-2 candidate source + merge
+        // base); repartition(v) clusters it once so the second
+        // reference is a ReusedExchange, not a recompute of hop 1
+        // (the largeStar/smallStar r17 move).
+        val h1 = {
+          val cand1 = edges.join(labels, edges("src") === labels("v"))
+            .groupBy(col("dst")).agg(min(col("lbl")).as("c1"))
+          labels.join(cand1, labels("v") === cand1("dst"), "left")
+            .select(labels("v"), labels("lbl").as("prev"),
+              least(labels("lbl"), coalesce(col("c1"), labels("lbl")))
+                .as("lbl"))
+            .repartition(col("v"))
+        }
+        val cand2 = edges.join(h1, edges("src") === h1("v"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("c2"))
         // The convergence count rides INSIDE the checkpoint job as an
-        // observed metric (r17): the old shape checkpointed, then ran a
-        // second job to count lbl < prev — at sf0.1 the loop is pure
-        // per-job latency (the shuffles are AQE-coalesced to 1-2
-        // tasks), so halving the jobs per round is the one lever left
-        // (r17 receipts: dd08's 16-round loop, 32 jobs -> 16). The
-        // metric is computed on exactly the rows the checkpoint
-        // materializes, so the decision is unchanged.
+        // observed metric (r17), now spanning both hops: chg counts
+        // labels that dropped across the round (final lbl < prev =
+        // label before hop 1). Monotonicity makes chg == 0 equivalent
+        // to "hop 1 changed nothing AND hop 2 changed nothing", so
+        // the fixpoint test is exact.
         val obs = org.apache.spark.sql.Observation()
-        val merged = labels.join(cand, labels("v") === cand("dst"), "left")
-          .select(labels("v"), labels("lbl").as("prev"),
-            least(labels("lbl"), coalesce(col("cand"), labels("lbl"))).as("lbl"))
+        val merged = h1.join(cand2, h1("v") === cand2("dst"), "left")
+          .select(h1("v"), col("prev"),
+            least(h1("lbl"), coalesce(col("c2"), h1("lbl"))).as("lbl"))
           .observe(obs, sum(when(col("lbl") < col("prev"), 1L)
             .otherwise(0L)).as("chg"))
           .localCheckpoint(true)
@@ -278,8 +302,8 @@ object DedupQueries {
         labels = merged.select(col("v"), col("lbl"))
         converged = changed == 0
         iters += 1
-        if (ccLog) println(f"[cc:$what] round $iters%2d: $changed%8d changed, " +
-          f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        if (ccLog) println(f"[cc:$what] round $iters%2d (2 hops): " +
+          f"$changed%8d changed, ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }
       }
       require(converged,

@@ -874,42 +874,71 @@ object TextOps {
   def sequentialAdmit(pairs0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val pairs = pairs0.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    // the undecided count rides the checkpoint job as an observed
+    // metric (the r17/r18 CC-loop move) — early exit when the set
+    // drains, with no separate isEmpty job
+    val obs0 = org.apache.spark.sql.Observation()
     var undecided = pairs.select(col("a_id").as("v"))
       .union(pairs.select(col("b_id").as("v"))).distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    var nUnd = obs0.getAsJava.get("n").asInstanceOf[java.lang.Long].longValue()
     val decided = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
-    // early-exit when the undecided set drains before the bound: the
+    // Early-exit when the undecided set drains before the bound: the
     // remaining rounds operate on an empty frame and contribute nothing
     // (as does the fallback), so results are identical — this just
     // skips their checkpoint jobs. Real near-dup graphs (pairs/stars)
     // settle in 1-2 rounds, so dd18's bound of 4 and DocsStream's 8
-    // usually cost 1-2 iterations. isEmpty is a limit-1 job on the
-    // just-checkpointed (tiny) frame.
-    while (round < rounds && !undecided.isEmpty) {
+    // usually cost 1-2 iterations.
+    while (round < rounds && nUnd > 0) {
       round += 1
-      // blocked = undecided docs with an UNDECIDED smaller neighbor
-      val blocked = pairs
+      // ONE materialized STATUS frame per round (r18): admit / rej /
+      // next-undecided were three separate checkpoints plus an isEmpty
+      // probe — 4 driver jobs of set algebra per round, pure per-job
+      // latency on frames this small (and 4 block-manager copies per
+      // round at scale). The same three sets fall out of one DAG over
+      // the round's edge set, checkpointed once; the three frames
+      // below are cheap filters of the checkpointed result, so the
+      // round SEMANTICS (and the unrolled-round DuckDB oracle) are
+      // untouched.
+      // e = pairs with BOTH endpoints undecided (blocked tests the
+      // smaller end undecided; rej additionally needs the larger end
+      // undecided — the old shape enforced that with a semi join)
+      val e = pairs
         .join(undecided.select(col("v").as("a_id")), "a_id")
-        .select(col("b_id").as("v")).distinct()
-      val admit = undecided.join(blocked, Seq("v"), "left_anti")
-        .localCheckpoint(true)
+        .join(undecided.select(col("v").as("b_id")), Seq("b_id"), "left_semi")
+      // blocked = undecided docs with an UNDECIDED smaller neighbor
+      val blocked = e.select(col("b_id").as("v")).distinct()
+      val admitIds = undecided.join(blocked, Seq("v"), "left_anti")
       // rejected = undecided docs whose smaller neighbor just admitted
-      // (disjoint from admit: an admit has no undecided smaller nbr)
-      val rej = pairs
-        .join(admit.select(col("v").as("a_id")), "a_id")
-        .select(col("b_id").as("v"), col("a_id"))
-        .join(undecided, Seq("v"), "left_semi")
-        .groupBy(col("v")).agg(min(col("a_id")).as("dup_of"))
+      // (disjoint from admit: an admit has no undecided smaller nbr,
+      // so rejMin can only land on blocked rows)
+      val rejMin = e
+        .join(admitIds.select(col("v").as("a_id")), "a_id")
+        .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+        .select(col("b_id").as("v"), col("dup_of"))
+      val obs = org.apache.spark.sql.Observation()
+      val st = undecided
+        .join(blocked.withColumn("_blk", lit(1)), Seq("v"), "left")
+        .join(rejMin, Seq("v"), "left")
+        .select(col("v"),
+          when(col("_blk").isNull, lit(1L)) // admitted
+            .when(col("dup_of").isNotNull, lit(0L)) // rejected
+            .otherwise(lit(-1L)).as("_st"), // still undecided
+          col("dup_of"))
+        .observe(obs, sum(when(col("_st") === -1L, 1L).otherwise(0L)).as("n"))
         .localCheckpoint(true)
-      decided += admit.select(col("v"), lit(1L).as("admitted"),
-        lit(null).cast("long").as("dup_of"))
-      decided += rej.select(col("v"), lit(0L).as("admitted"),
-        col("dup_of").cast("long"))
-      undecided = undecided
-        .join(admit, Seq("v"), "left_anti")
-        .join(rej.select(col("v")), Seq("v"), "left_anti")
-        .localCheckpoint(true)
+      decided += st.filter(col("_st") === 1L)
+        .select(col("v"), lit(1L).as("admitted"),
+          lit(null).cast("long").as("dup_of"))
+      decided += st.filter(col("_st") === 0L)
+        .select(col("v"), lit(0L).as("admitted"), col("dup_of").cast("long"))
+      undecided = st.filter(col("_st") === -1L).select(col("v"))
+      nUnd = obs.getAsJava.get("n") match {
+        case null => 0L // empty relation: nothing left undecided
+        case n: java.lang.Long => n.longValue()
+      }
     }
     // conservative fallback for anything beyond the round bound
     val fallback = pairs

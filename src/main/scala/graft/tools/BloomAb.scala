@@ -20,9 +20,14 @@ object BloomAb {
       for (name <- names) {
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir).collect()
+        // stop the clock BEFORE cache cleanup (r18, ADVICE): clearCache/
+        // unpersist are inter-query isolation, not part of the query
+        // under test — timing them inside the window charged cleanup
+        // cost to whichever bloom setting ran the query.
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        println(f"BLOOMAB bloom=$bloom $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+        println(f"BLOOMAB bloom=$bloom $name $dt%.2f s")
       }
     }
     spark.stop()

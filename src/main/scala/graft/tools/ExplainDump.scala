@@ -39,6 +39,15 @@ object ExplainDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // mirror Bench's env-gated plan-shaping configs (r18): without
+      // these the dumped plan is NOT the one the bench times (r17's
+      // dumps ran under Spark defaults — bloom on, SMJ preferred)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "false"))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
