@@ -34,10 +34,11 @@ object Bench {
       //   when every post-shuffle partition's MEASURED map output is
       //   under the threshold, so the build map is bounded by a known
       //   constant at any scale — the scale-aware gate the advisor
-      //   asked for (guide §3.1). At sf0.1 every partition qualifies,
-      //   so the bench keeps the no-sort plans (A/B receipt in
-      //   OPTIMIZATION_r18.md). Explicit shuffle_hash hints in
-      //   operators are unaffected.
+      //   asked for (guide §3.1). Measured plan-neutral at sf0.1
+      //   (JoinAudit receipt in OPTIMIZATION_r18.md): every un-hinted
+      //   equi-join on the board broadcasts at this scale, and the
+      //   operators' deliberate SHJ sites carry explicit shuffle_hash
+      //   hints, which a planner default never overrides.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
         sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "false"))
       .config("spark.sql.join.preferSortMergeJoin",

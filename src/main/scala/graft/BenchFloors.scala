@@ -52,6 +52,17 @@ object BenchFloors {
   // dd19/dd21/dd22/tx23) from the third clean board (ratio 0.987,
   // flagged:{}) — the narrowing trades a small-sf checkpoint constant
   // for a 25x cut in shuffled set mass at 500k (SCALING.md receipts).
+  // Round 18 re-pins the code-changed queries (CC two-hop loop:
+  // dd08/dd10/dd19/dd21; sequentialAdmit one-job rounds: dd18;
+  // recompute-elimination checkpoints: tx15/tx19/tx22/dp17; plus q38,
+  // whose r17 HashAggregate fix never got its re-pin — old floor 4.819
+  // vs a 1.4-2.2 s post-fix cost) as the MIN of the two round-18 clean
+  // final boards (ratios 1.011 and 0.951, both flagged:{}). DOWNWARD
+  // pins only: dd13/ss10/g12 also changed but their round-18 minima
+  // (4.03/3.18/1.93) sit above the old floors because this round's
+  // environment never matched the old floors' session (sentinel ratio
+  // never below 0.885) — keeping the old lower floors is the stricter
+  // protection, and no round-18 reading comes near FlagRatio of either.
   // Round 14 changed the instrument itself: Bench previously
   // timed count(), under which Catalyst join-eliminated and
   // projection-pruned part of many plans (dd15's dup chain, tx17's
@@ -66,19 +77,19 @@ object BenchFloors {
     "dd05_ngram_jaccard" -> 3.271,
     "dd06_embedding_neardup" -> 0.556,
     "dd07_simhash_wide" -> 2.723,
-    "dd08_dedup_clusters" -> 4.171,
+    "dd08_dedup_clusters" -> 3.865,
     "dd09_chunk_dedup" -> 1.003,
-    "dd10_dedup_clusters_lsh" -> 3.734,
+    "dd10_dedup_clusters_lsh" -> 3.459,
     "dd12_embedding_neardup_lsh" -> 1.500,
     "dd13_semdedup" -> 3.919,
     "dd14_bloom_prefilter" -> 0.644,
     "dd15_substring_dedup" -> 2.348,
     "dd16_cc_star" -> 4.143,
     "dd17_incremental_minhash" -> 3.765,
-    "dd18_sequential_admission" -> 3.755,
-    "dd19_best_rep_dedup" -> 3.324,
+    "dd18_sequential_admission" -> 3.534,
+    "dd19_best_rep_dedup" -> 3.136,
     "dd20_span_removal" -> 2.643,
-    "dd21_dedup_impact" -> 5.186,
+    "dd21_dedup_impact" -> 3.730,
     "dd22_threshold_sweep" -> 2.849,
     "dd23_substring_dup_estimate" -> 1.855,
     "dd24_dup_source_estimate" -> 1.515,
@@ -88,7 +99,7 @@ object BenchFloors {
     "dp12_token_budget_plan" -> 0.844,
     "dp13_balanced_shards" -> 0.654,
     "dp15_bpe_pack" -> 1.079,
-    "dp17_plan_reconciliation" -> 1.297,
+    "dp17_plan_reconciliation" -> 0.991,
     "e03_sessionize" -> 0.707,
     "e05_json_extract" -> 0.537,
     "e08_funnel_conversion" -> 0.867,
@@ -138,7 +149,7 @@ object BenchFloors {
     "q35_cast_key_join" -> 1.010,
     "q36_approx_distinct" -> 3.325,
     "q37_rollup_rank" -> 1.440,
-    "q38_wide_agg" -> 4.819,
+    "q38_wide_agg" -> 1.680,
     "q39_asof_join" -> 0.989,
     "q41_range_join" -> 0.717,
     "rq10_channel_rollup" -> 0.684,
@@ -244,14 +255,14 @@ object BenchFloors {
     "tx12_bm25_search" -> 1.032,
     "tx13_model_quality_filter" -> 0.558,
     "tx14_boilerplate_removal" -> 1.202,
-    "tx15_contamination_report" -> 2.733,
+    "tx15_contamination_report" -> 1.698,
     "tx16_lm_bigram_score" -> 1.732,
     "tx17_novelty_score" -> 1.676,
     "tx18_cms_counts" -> 2.495,
-    "tx19_scored_decontamination" -> 2.591,
+    "tx19_scored_decontamination" -> 1.764,
     "tx20_quality_gate" -> 0.757,
     "tx21_source_overlap" -> 2.160,
-    "tx22_source_overlap_estimate" -> 1.960,
+    "tx22_source_overlap_estimate" -> 1.490,
     "tx23_cross_source_neardup" -> 2.846,
     "tx24_split_drift_psi" -> 0.539,
     "tx25_bpe_tokenize" -> 0.911,

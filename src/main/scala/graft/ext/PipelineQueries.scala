@@ -963,8 +963,15 @@ object PipelineQueries {
         // dp14's one per-source cumsum window, the reconcile is one
         // map-combined groupBy — nothing new touches the corpus twice.
         import s.implicits._
+        // checkpointed (r18): plan is read twice (the admission input
+        // + the final reconcile join) and each lazy reference re-ran
+        // the whole water-filling chain — its 3 unrolled rounds each
+        // re-aggregate the corpus (JoinAudit: 20 parquet scans in the
+        // final job, only 6 exchanges reused). The frame is |sources|
+        // rows — the dd03 small-frame checkpoint rule.
         val plan = budgetPlan(s, dir)
           .select(col("source"), col("planned_tokens"))
+          .localCheckpoint(true)
         val zero = Seq.empty[(String, Long)].toDF("source", "consumed")
         val dec = graft.streaming.BudgetStream.decide(
           plan.select(col("source"),

@@ -1306,8 +1306,15 @@ object SimilarityQueries {
         // reimplementation's. Cost = the two ANN queries + a semi-join
         // on (q_id, neighbor_id) over 5·|Q| rows — the eval relation is
         // tiny at any corpus size; recall_e6 = hits · 1e6/5 exact.
+        // both sides checkpointed (r18): exact is read twice (hit
+        // semi-join + the q_id spine) and each lazy reference re-ran
+        // the FULL ANN chain — JoinAudit counted 38 parquet scans in
+        // the final job. Both frames are 5·|Q| id pairs (tiny at any
+        // corpus size), the dd03 small-frame checkpoint rule.
         val exact = exactTop5(s, dir).select(col("q_id"), col("neighbor_id"))
+          .localCheckpoint(true)
         val lsh = lshTop5(s, dir).select(col("q_id"), col("neighbor_id"))
+          .localCheckpoint(true)
         val hits = exact.join(lsh, Seq("q_id", "neighbor_id"), "left_semi")
           .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
         exact.select(col("q_id")).distinct()

@@ -651,10 +651,18 @@ object TextQueries {
         val ev = TextOps
           .wordShingleRows(d.filter(col("doc_id") < 20), "doc_id", "text", 4)
           .select(col("_el")).distinct()
+        // checkpointed (r18): contam is read TWICE below (per-source
+        // contamination + kept∩contam) and each lazy reference re-ran
+        // the corpus shingle pass + broadcast eval join — JoinAudit
+        // counted 19 parquet scans in the final job with only 2 reused
+        // exchanges. The frame is distinct doc_ids (tiny at any corpus
+        // size: bounded by contaminated docs), exactly the dd03
+        // small-frame checkpoint rule.
         val contam = TextOps
           .wordShingleRows(corpus, "doc_id", "text", 4)
           .join(broadcast(ev), "_el")
           .select(col("doc_id")).distinct()
+          .localCheckpoint(true)
         val pr = conv(substring(md5(concat(lit("cap:"),
           col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
         val topk = udaf(new graft.functions.Aggregators.TopKByScore(10))
@@ -964,7 +972,17 @@ object TextQueries {
         val sh = TextOps.wordShingleRows(docs(s, dir), "doc_id", "text", k)
         val ev = sh.filter(col("doc_id") < 20).select(col("_el")).distinct()
         val corpus = sh.filter(col("doc_id") >= 20)
+        // checkpointed (r18): hitOcc is read twice (hitDocs + perDocOcc)
+        // and hitDocs twice more (spread + perDocRare) — lazily each
+        // reference re-ran the corpus shingle pass + broadcast eval
+        // join (JoinAudit: 18 parquet scans in the final job). The
+        // frame is the eval-overlap OCCURRENCES only — bounded by the
+        // eval set's carriers, tiny at any corpus size — so one
+        // checkpoint puts the whole query on a single corpus shingle
+        // pass (the dd03 small-frame checkpoint rule).
         val hitOcc = corpus.join(broadcast(ev), "_el")
+          .select(col("_el"), col("doc_id"))
+          .localCheckpoint(true)
         // distinct (shingle, doc) pairs — bounded by |eval shingles| ×
         // carriers; spread per shingle is then a count over that
         val hitDocs = hitOcc.select(col("_el"), col("doc_id")).distinct()
@@ -1098,6 +1116,15 @@ object TextQueries {
         // exact form is the oracle-able baseline that calibrates such
         // an estimator.
         val d = docs(s, dir)
+        // NOT checkpointed, deliberately (r18 audit): ss is read three
+        // times (sizes + both self-join sides) and JoinAudit counts the
+        // re-derivations (15 scans in the final job) — but a checkpoint
+        // here moves the shingle generator and the distinct exchange
+        // into an opaque RDD scan, which would make PlanSpec's tx21
+        // string-free-exchange gate vacuous (the r16 2.2× receipt it
+        // protects) and leaves the self-join's exchanges free to
+        // collapse below the gate's floor. The re-derivations are
+        // narrow long-keyed passes; the gate wins.
         val ss = TextOps.wordShingleRows(d, "doc_id", "text", 3)
           .select(col("doc_id"), TextOps.windowKey1(col("_el")).as("h1"),
             TextOps.windowKey2(col("_el")).as("h2"))
@@ -1151,7 +1178,13 @@ object TextQueries {
         val srcRows = TextOps.wordShingleRows(d, "doc_id", "text", 3)
           .join(d.select(col("doc_id"), col("source")), "doc_id")
           .select(col("source"), col("_el"))
+        // checkpointed (r18): the pairwise matrix SELF-JOINS this frame,
+        // and each lazy side re-ran the whole corpus shingle + md5 +
+        // 64-way min-agg signature pass (JoinAudit: 9 parquet scans in
+        // the final job). The frame is ONE row of 64 longs per source —
+        // the dd03 small-frame checkpoint rule at its purest.
         val sig = TextOps.signatureRows(srcRows, "source", 64)
+          .localCheckpoint(true)
         TextOps.signatureOverlapMatrix(sig, "source", 64)
           .select(col("id_a").as("src_a"), col("id_b").as("src_b"),
             col("n_match"), col("est_jaccard_e6"))

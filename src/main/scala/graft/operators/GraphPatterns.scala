@@ -126,9 +126,12 @@ object GraphPatterns {
     * k-core/dd18 reason: a fixed unrolled depth is what a DuckDB
     * oracle mirrors exactly. Per round: one hashed join of the edge
     * set against the FRONTIER only (not the whole reached set) + one
-    * anti-join dedup — the textbook distributed BFS; every round's
-    * frontier/reached frame is localCheckpoint'd because the next
-    * round reads each twice (expand + anti-join). */
+    * anti-join dedup — the textbook distributed BFS. ONE checkpoint
+    * per round (r18): the round's reached∪next union materializes
+    * once and the next frontier is a hops==r FILTER of that
+    * checkpointed frame — the old shape checkpointed `next` AND the
+    * union separately, a second block-manager copy of the frontier
+    * per hop for no reader that needed it. */
   def boundedReach(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
@@ -146,9 +149,8 @@ object GraphPatterns {
         .select(col("b").as("v")).distinct()
         .join(reached, Seq("v"), "left_anti")
         .select(col("v"), lit(r.toLong).as("hops"))
-        .localCheckpoint(true)
       reached = reached.unionByName(next).localCheckpoint(true)
-      frontier = next.select(col("v"))
+      frontier = reached.filter(col("hops") === r).select(col("v"))
     }
     reached
   }

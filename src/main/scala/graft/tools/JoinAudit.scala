@@ -39,13 +39,18 @@ object JoinAudit {
     spark.listenerManager.register(new QueryExecutionListener {
       def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
         // executedPlan AFTER execution carries AQE's final sub-plans
-        val lines = qe.executedPlan.toString.linesIterator
+        val txt = qe.executedPlan.toString
+        val lines = txt.linesIterator
           .map(_.trim.replaceAll("#\\d+L?", "#"))
           .filter(l => l.contains("Join") || l.contains("SortAggregate")
             || l.contains("ObjectHashAggregate"))
           .map(_.take(240)).toSeq
-        if (lines.nonEmpty)
-          seen.add(s"-- action=$funcName (${durationNs / 1000000} ms)\n" +
+        def n(p: String) = p.r.findAllIn(txt).size
+        val counts = s"scans=${n("Scan parquet")} " +
+          s"reusedExch=${n("ReusedExchange")} reusedSub=${n("ReusedSubquery")} " +
+          s"exch=${n("Exchange (hash|range|single|round)")}"
+        if (lines.nonEmpty || n("Scan parquet") > 0)
+          seen.add(s"-- action=$funcName (${durationNs / 1000000} ms) $counts\n" +
             lines.mkString("\n"))
       }
       def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
